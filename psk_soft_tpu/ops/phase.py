@@ -1,0 +1,98 @@
+"""Carrier-phase recovery primitives: M-th-power phase and unwrapping.
+
+TPU-native recast of C3 in the reference (``cpp/psk_soft.cpp:471-500,
+592-603``): per selected symbol, ``thisPhase = arg(sample^M)`` removes the
+PSK modulation; the phase is unwrapped against the running estimate
+(``numWraps = round((phaseEstimate - thisPhase)/2pi)``), fed to the sliding
+linear fit, and the correction applied is ``-phaseEstimate/M`` (+pi/4
+constellation rotation for QPSK only).  At packet end the whole estimator
+history is re-wrapped about ``M*2pi`` (NOT 2pi -- the estimate is of the
+M-th-power phase) to keep it bounded (``cpp/psk_soft.cpp:592-603``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def mth_power_phase(sample: jnp.ndarray, m: int) -> jnp.ndarray:
+    """arg(sample**m) for m in {2, 4, 8} via repeated squaring.
+
+    Matches ``arg(pow(sample, numSyms))`` at cpp/psk_soft.cpp:474 but avoids
+    the transcendental complex pow: three squarings at most, then one atan2.
+    """
+    s = sample
+    if m == 2:
+        s = s * s
+    elif m == 4:
+        s = s * s
+        s = s * s
+    elif m == 8:
+        s = s * s
+        s = s * s
+        s = s * s
+    else:
+        raise ValueError(f"unsupported constellation size {m}")
+    return jnp.arctan2(s.imag, s.real).astype(jnp.float32)
+
+
+def mth_power_phase_dynamic(sample: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """M-th-power phase with traced per-element m in {2, 4, 8}."""
+    s2 = sample * sample
+    s4 = s2 * s2
+    s8 = s4 * s4
+    s = jnp.where(m == 2, s2, jnp.where(m == 4, s4, s8))
+    return jnp.arctan2(s.imag, s.real).astype(jnp.float32)
+
+
+def unwrap_step(prev_estimate: jnp.ndarray, raw: jnp.ndarray) -> jnp.ndarray:
+    """One reference unwrap: shift raw by whole turns toward the estimate.
+
+    cpp/psk_soft.cpp:477-478.
+    """
+    wraps = jnp.round((prev_estimate - raw) / TWO_PI)
+    return raw + wraps * TWO_PI
+
+
+def block_unwrap(raw: jnp.ndarray, prev: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Feed-forward unwrap of a block of raw phases against a carried value.
+
+    Classic prefix unwrap: each element is shifted by a whole number of turns
+    so that successive differences lie in (-pi, pi]; the first element is
+    unwrapped against ``prev`` (the last unwrapped phase before the block).
+    Cumulative wrap counts are a prefix sum, i.e. fully parallel -- this is
+    the feed-forward equivalent of the reference's sequential
+    unwrap-against-the-estimate.  The two differ only when the linear-fit
+    estimate and the previous sample disagree by more than ~pi, i.e. under
+    phase dynamics faster than pi/symbol where any M-th-power tracker has
+    already lost lock; the equivalence is gated by tests on the golden
+    vectors (SURVEY.md section 7 stage 4).
+
+    Args:
+      raw: raw principal-value phases.
+      prev: carried last unwrapped phase; broadcastable to raw with the
+        scanned axis removed.
+    """
+    raw = jnp.moveaxis(raw, axis, -1)
+    first = jnp.expand_dims(prev, -1)
+    d = jnp.diff(jnp.concatenate([first, raw], axis=-1), axis=-1)
+    adj = jnp.cumsum(jnp.round(d / TWO_PI), axis=-1)
+    out = raw - adj * TWO_PI
+    return jnp.moveaxis(out, -1, axis)
+
+
+def rewrap_offset(estimate: jnp.ndarray, m: int) -> jnp.ndarray:
+    """End-of-block re-wrap offset about M*2pi (cpp/psk_soft.cpp:592-603).
+
+    Returns the constant to subtract from the estimator history (0 if the
+    estimate is already within +-M*2pi).  Subtracting a constant from the
+    window shifts the fit by that constant (the reference implements this as
+    ``LinearFit::subtractConst``, cpp/psk_soft.cpp:126-133), and the applied
+    correction ``-estimate/M`` changes by a multiple of 2pi, so soft symbols
+    are unaffected.
+    """
+    wrap_value = TWO_PI * m
+    wraps = jnp.round(estimate / wrap_value)
+    return jnp.where(jnp.abs(estimate) > wrap_value, wraps * wrap_value, 0.0)

@@ -1,0 +1,79 @@
+"""Symbol-timing recovery: windowed max-energy decision-sample selection.
+
+TPU-native recast of the reference's sliding deque + incremental energy bins
+(C2: ``cpp/psk_soft.cpp:442-467, 568-584, 619-636``).  The reference keeps the
+last ``numAvg*sps`` samples, accumulates per-sample energy into
+``symbolEnergy[sps]`` bins keyed by intra-symbol index, picks
+``argmax(symbolEnergy)`` at each symbol boundary, then subtracts the oldest
+symbol's energies (sliding window) with a periodic full resync every 2^20
+symbols against FP drift.
+
+Key observation for the TPU: the sliding accumulation is a *windowed
+segmented sum* with no sequential dependence at all.  For symbol-aligned data
+``E[k, j] = |x[k*sps + j]|^2``, the bin state the reference holds when input
+symbol ``k + numAvg - 1`` completes is exactly
+
+    W[k, j] = sum_{t=k}^{k+numAvg-1} E[t, j]
+
+and the emitted symbol is the *oldest* in the window (``samples.begin() +
+sampleIndex``, cpp/psk_soft.cpp:462-465), i.e. output symbol k uses the
+forward-looking window [k, k+numAvg-1].  We compute W for a whole block with
+one windowed reduction (exact tree sums, no drift -> the 2^20 resync is
+unnecessary by construction) and take a row-wise first-max argmax
+(``std::max_element`` also returns the first maximum).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def symbol_energy_rows(xs: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample energy |x|^2 for symbol-aligned data.
+
+    Args:
+      xs: (..., S, sps) complex64.
+    Returns:
+      (..., S, sps) float32 (the reference accumulates in double,
+      cpp/psk_soft.h:67-68; exact windowed reductions make float32 adequate
+      within the 1e-3 tolerance of tests/test_psk_soft.py:204,238).
+    """
+    return (xs.real * xs.real + xs.imag * xs.imag).astype(jnp.float32)
+
+
+def windowed_bin_sums(e_rows: jnp.ndarray, num_avg: int) -> jnp.ndarray:
+    """Rolling sum of energy rows over a forward window of num_avg symbols.
+
+    Args:
+      e_rows: (..., R, sps) energies for R = S + num_avg - 1 consecutive
+        symbols (carry rows prepended to the block's rows).
+      num_avg: window length in symbols.
+    Returns:
+      (..., S, sps): W[o] = sum(e_rows[o:o+num_avg]).
+    """
+    if num_avg == 1:
+        return e_rows
+    return jax.lax.reduce_window(
+        e_rows,
+        jnp.float32(0),
+        jax.lax.add,
+        window_dimensions=(1,) * (e_rows.ndim - 2) + (num_avg, 1),
+        window_strides=(1,) * e_rows.ndim,
+        padding="valid",
+    )
+
+
+def select_decision_samples(s_rows: jnp.ndarray, w: jnp.ndarray):
+    """Pick the max-energy intra-symbol index and gather the decision sample.
+
+    Args:
+      s_rows: (..., S, sps) complex symbol rows (block rows, carry-aligned so
+        row o is output symbol o).
+      w: (..., S, sps) windowed bin sums aligned with s_rows.
+    Returns:
+      (sample_index (..., S) int32, decision (..., S) complex64).
+    """
+    idx = jnp.argmax(w, axis=-1).astype(jnp.int32)
+    sel = jnp.take_along_axis(s_rows, idx[..., None], axis=-1)[..., 0]
+    return idx, sel
