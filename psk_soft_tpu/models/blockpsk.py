@@ -1,0 +1,189 @@
+"""Block-parallel feed-forward PSK demodulator: the performance flagship.
+
+Recasts the reference's strictly sequential per-symbol recursion
+(cpp/psk_soft.cpp:442-603) into a pipeline with **no scan at all**
+(SURVEY.md section 7 stage 4):
+
+* C2 timing: windowed segmented energy sums + argmax -- already parallel
+  (ops/timing.py).
+* C3 phase: the reference unwraps each M-th-power phase against the running
+  *estimate* (cpp/psk_soft.cpp:477-478).  Here the block's raw phases are
+  unwrapped against the *previous unwrapped phase* -- cumulative wrap counts
+  are a prefix sum (ops/phase.block_unwrap) -- and the sliding linear fit
+  becomes an FIR filter over the unwrapped phases (the fit-at-newest-point is
+  linear in its window; ops/linear_fit.endpoint_fir_weights), evaluated as a
+  convolution.  Warm-up (growing window) is handled exactly with the
+  right-aligned warm-up weight matrix on the first ``phase_avg`` outputs.
+
+Feedback -> feed-forward equivalence (SURVEY.md "hard part #1"): the two
+formulations agree whenever the tracker's prediction and the previous sample
+agree to within half a turn of the M-th-power phase -- i.e. except under
+phase dynamics of >~ pi per symbol where an M-th-power tracker has already
+lost lock.  ``tests/test_block_equiv.py`` gates the equivalence against the
+exact-scan pipeline on the golden vectors and under frequency offset.
+
+This is also the pipeline that time-shards over a mesh (parallel/sharded.py):
+every stage is either local, a halo exchange, or a prefix combine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DemodConfig
+from ..ops import linear_fit, phase as phase_ops
+from .common import correct_and_slice, timing_frontend
+from .psk import DemodOutputs
+
+
+class FFState(NamedTuple):
+    """Carry for the feed-forward pipeline (leading axes batch channels)."""
+
+    win_samples: jnp.ndarray   # (num_avg-1, sps) complex64
+    win_energy: jnp.ndarray    # (num_avg-1, sps) float32
+    seen: jnp.ndarray          # () int32, saturating at num_avg
+    # Right-aligned history of the last (phase_avg-1) unwrapped phases;
+    # only the rightmost min(phase_count, phase_avg-1) entries are live.
+    phase_hist: jnp.ndarray    # (phase_avg-1,) float32
+    phase_count: jnp.ndarray   # () int32, saturating at phase_avg
+    last_phase: jnp.ndarray    # () float32, last unwrapped phase
+    last_any: jnp.ndarray      # () complex64
+
+
+def ff_init(cfg: DemodConfig, channel_shape: tuple = ()) -> FFState:
+    a1 = max(cfg.num_avg - 1, 0)
+    n1 = max(cfg.phase_avg - 1, 0)
+    return FFState(
+        win_samples=jnp.zeros(channel_shape + (a1, cfg.sps), jnp.complex64),
+        win_energy=jnp.zeros(channel_shape + (a1, cfg.sps), jnp.float32),
+        seen=jnp.zeros(channel_shape, jnp.int32),
+        phase_hist=jnp.zeros(channel_shape + (n1,), jnp.float32),
+        phase_count=jnp.zeros(channel_shape, jnp.int32),
+        last_phase=jnp.zeros(channel_shape, jnp.float32),
+        last_any=jnp.ones(channel_shape, jnp.complex64),
+    )
+
+
+def _fir_phase_track(cfg: DemodConfig, hist, phase_count, unwrapped, valid):
+    """Sliding linear-fit estimates for one block, as convolution + warm-up fix.
+
+    Args:
+      hist: (n-1,) right-aligned unwrapped-phase history.
+      phase_count: () int32 valid phases before this block (saturated at n).
+      unwrapped: (S,) block unwrapped phases (garbage where ~valid).
+      valid: (S,) bool; invalid entries form a prefix and never interleave.
+
+    Returns (est (S,), new_hist (n-1,), new_phase_count ()).
+    """
+    n = cfg.phase_avg
+    S = unwrapped.shape[0]
+    cat = jnp.concatenate([hist, unwrapped])            # (n-1+S,)
+
+    # Steady-state FIR: est[o] = w . cat[o:o+n]  (fit at newest point).
+    w = jnp.asarray(linear_fit.endpoint_fir_weights(n))
+    if n == 1:
+        est = unwrapped
+    else:
+        est = jnp.convolve(cat, w[::-1], mode="valid")  # (S,)
+
+    # Warm-up: outputs whose effective window p < n get the right-aligned
+    # p-point weights (exactly matching LinearFit's growing window,
+    # cpp/psk_soft.cpp:81-83,135-174).  p depends on the valid rank, which
+    # only differs from o during the first blocks of a stream.
+    rank = jnp.cumsum(valid.astype(jnp.int32))           # 1-based among valid
+    p = jnp.minimum(phase_count + rank, n)
+    if n > 1:
+        # Warm-up rows are the first (at most) n *valid* rows of a fresh
+        # stream; they start at the first-valid index, which can sit anywhere
+        # in the block (the timing warm-up numAvg spans blocks), so the
+        # fix-up window is dynamically placed.
+        k = min(n, S)
+        fv = jnp.argmax(valid).astype(jnp.int32)
+        start = jnp.minimum(fv, S - k)
+        wm = jnp.asarray(linear_fit.warmup_fir_weight_matrix(n))
+        warm_cat = jax.lax.dynamic_slice(cat, (start,), (k + n - 1,))
+        idx = jnp.arange(k)[:, None] + jnp.arange(n)[None, :]
+        windows = warm_cat[idx]                          # (k, n)
+        p_warm = jax.lax.dynamic_slice(p, (start,), (k,))
+        w_sel = wm[jnp.clip(p_warm, 1, n) - 1]           # (k, n)
+        est_warm = jnp.sum(windows * w_sel, axis=-1)
+        est_slice = jax.lax.dynamic_slice(est, (start,), (k,))
+        fixed = jnp.where(p_warm < n, est_warm, est_slice)
+        est = jax.lax.dynamic_update_slice(est, fixed, (start,))
+
+    new_count = jnp.minimum(phase_count + jnp.sum(valid.astype(jnp.int32)), n)
+    new_hist = cat[S:] if n > 1 else hist
+    return est, new_hist, new_count
+
+
+def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
+    """Feed-forward demod of one symbol-aligned block (single chain; vmap for
+    channels).  Same outputs as models/psk.demod_block."""
+    sps, m = cfg.sps, cfg.constellation_size
+    T = x.shape[0]
+    if T % sps != 0:
+        raise ValueError(f"block length {T} not a multiple of sps={sps}")
+    S = T // sps
+    xs = x.reshape(S, sps)
+
+    fe = timing_frontend(cfg, state.win_samples, state.win_energy, state.seen, xs)
+    sel, valid = fe["sel"], fe["valid"]
+
+    # --- phase: prefix unwrap + FIR fit ---
+    raw = phase_ops.mth_power_phase(sel, m)
+    # First block of a stream: unwrap against the first valid raw phase
+    # itself (zero adjustment); afterwards against the carried last phase.
+    fv = jnp.argmax(valid)  # index of first valid (0 if none/all)
+    prev_eff = jnp.where(state.phase_count > 0, state.last_phase,
+                         raw[jnp.clip(fv, 0, S - 1)])
+    raw_eff = jnp.where(valid, raw, prev_eff)
+    unwrapped = phase_ops.block_unwrap(raw_eff, prev_eff)
+    est, new_hist, new_count = _fir_phase_track(
+        cfg, state.phase_hist, state.phase_count, unwrapped, valid)
+    phase_seq = jnp.where(valid, est, 0.0)
+
+    any_valid = jnp.any(valid)
+    last_idx = jnp.where(any_valid, S - 1 - jnp.argmax(valid[::-1]), 0)
+    new_last_phase = jnp.where(any_valid, unwrapped[last_idx], state.last_phase)
+
+    # End-of-block re-wrap about M*2pi (cpp/psk_soft.cpp:592-603): keep the
+    # carried history bounded; estimates already emitted are unaffected.
+    last_est = jnp.where(any_valid, est[last_idx], 0.0)
+    off = phase_ops.rewrap_offset(last_est, m)
+    new_hist = new_hist - off
+    new_last_phase = new_last_phase - off
+
+    soft, bits, last_any = correct_and_slice(cfg, sel, fe["prev_exists"],
+                                             state.last_any, phase_seq)
+
+    new_state = FFState(
+        win_samples=fe["new_win_samples"],
+        win_energy=fe["new_win_energy"],
+        seen=fe["seen2"],
+        phase_hist=new_hist,
+        phase_count=new_count,
+        last_phase=new_last_phase,
+        last_any=last_any,
+    )
+    outputs = DemodOutputs(
+        soft=jnp.where(valid, soft, 0),
+        bits=jnp.where(valid[:, None], bits, 0).astype(jnp.int8),
+        phase=phase_seq,
+        sample_index=jnp.where(valid, fe["sample_index"], 0),
+        valid=valid,
+    )
+    return new_state, outputs
+
+
+def make_ff_demod_fn(cfg: DemodConfig, channels: int | None = None,
+                     jit: bool = True):
+    """Build a (optionally channel-batched) jitted feed-forward step."""
+    fn = functools.partial(demod_block_ff, cfg)
+    if channels is not None:
+        fn = jax.vmap(fn)
+    return jax.jit(fn) if jit else fn

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..config import DemodConfig
 from ..state import DemodState, init_state
-from ..ops import linear_fit, phase as phase_ops, slicers, timing
+from ..ops import linear_fit, phase as phase_ops
+from .common import correct_and_slice, timing_frontend
 
 TWO_PI = phase_ops.TWO_PI
 
@@ -116,68 +117,34 @@ def demod_block(cfg: DemodConfig, state: DemodState, x: jnp.ndarray):
     Returns:
       (new_state, DemodOutputs) with S output rows.
     """
-    sps, num_avg, m = cfg.sps, cfg.num_avg, cfg.constellation_size
+    sps, m = cfg.sps, cfg.constellation_size
     T = x.shape[0]
     if T % sps != 0:
         raise ValueError(f"block length {T} not a multiple of sps={sps}")
     S = T // sps
     xs = x.reshape(S, sps)
 
-    if sps > 1:
-        # --- C2: windowed max-energy timing recovery, fully parallel ---
-        e = timing.symbol_energy_rows(xs)
-        e_cat = jnp.concatenate([state.win_energy, e], axis=0)
-        s_cat = jnp.concatenate([state.win_samples, xs], axis=0)
-        w = timing.windowed_bin_sums(e_cat, num_avg)          # (S, sps)
-        sample_index, sel = timing.select_decision_samples(s_cat[:S], w)
-        valid = (state.seen + 1 + jnp.arange(S, dtype=jnp.int32)) >= num_avg
-        new_win_s = s_cat[S:]
-        new_win_e = e_cat[S:]
-        seen2 = jnp.minimum(state.seen + S, jnp.int32(num_avg))
-        prev_exists = (state.seen + jnp.arange(S, dtype=jnp.int32)) >= num_avg
-    else:
-        # sps == 1: every sample is a symbol; no timing window.  (The
-        # reference would never emit in this mode unless numAvg == 0, a
-        # latent stall -- cpp/psk_soft.cpp:445,457 with samples never pushed;
-        # we emit every symbol and document the deviation.)
-        sel = xs[:, 0]
-        sample_index = jnp.zeros((S,), jnp.int32)
-        valid = jnp.ones((S,), bool)
-        new_win_s, new_win_e = state.win_samples, state.win_energy
-        seen2 = jnp.minimum(state.seen + S, jnp.int32(num_avg))
-        prev_exists = (state.seen + jnp.arange(S, dtype=jnp.int32)) >= 1
+    # --- C2: windowed max-energy timing recovery, fully parallel ---
+    fe = timing_frontend(cfg, state.win_samples, state.win_energy, state.seen, xs)
+    sel, sample_index, valid = fe["sel"], fe["sample_index"], fe["valid"]
 
     # --- C3: M-th-power phase + unwrap + linear-fit tracking ---
     raw = phase_ops.mth_power_phase(sel, m)
     (ring, pos, fill, est), phase_seq = _phase_scan(cfg, state, raw, valid)
 
-    # --- C5 / correction: differential decode or derotation ---
-    shifted = jnp.concatenate([state.last_any[None], sel[:-1]])
-    prev = jnp.where(prev_exists, shifted, jnp.complex64(1.0 + 0.0j))
-    if cfg.differential:
-        base = sel / prev
-        correction = jnp.zeros_like(phase_seq)
-    else:
-        base = sel
-        correction = -phase_seq / m
-    if m == 4:
-        # +pi/4 so decisions sit at (+-1 +- j)/sqrt(2) (cpp/psk_soft.cpp:496-498).
-        correction = correction + jnp.float32(jnp.pi / 4)
-    phasor = jax.lax.complex(jnp.cos(correction), jnp.sin(correction))
-    soft = (base * phasor).astype(jnp.complex64)
-
-    # --- C6: slicing (documented sign-based mapping; see ops/slicers.py) ---
-    bits = slicers.slice_bits(m, soft)
+    # --- C5/C6: differential decode or derotation, then slicing ---
+    soft, bits, last_any = correct_and_slice(cfg, sel, fe["prev_exists"],
+                                             state.last_any, phase_seq)
 
     new_state = DemodState(
-        win_samples=new_win_s,
-        win_energy=new_win_e,
-        seen=seen2,
+        win_samples=fe["new_win_samples"],
+        win_energy=fe["new_win_energy"],
+        seen=fe["seen2"],
         ring=ring,
         ring_pos=pos,
         ring_fill=fill,
         phase_est=est,
-        last_any=sel[-1],
+        last_any=last_any,
     )
     outputs = DemodOutputs(
         soft=jnp.where(valid, soft, 0),
