@@ -1,0 +1,76 @@
+"""Multi-device seam-invariance tests (SURVEY.md section 4 implication (c)):
+sharded output must equal single-device output, on the virtual 8-device CPU
+mesh.  Signals carry real frequency offset + noise so the timing argmax has
+structure (on the reference's noise-free rectangular pulses the argmax is a
+measure-zero FP tie and any comparison of sample_index would be meaningless).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
+from psk_soft_tpu.parallel.mesh import make_mesh, chan_time_sharding
+from psk_soft_tpu.parallel.sharded import make_sharded_demod
+from psk_soft_tpu.testing.signals import gen_psk_channel
+
+C, NS = 8, 1600
+
+
+def _signals(cfg, m=4):
+    return np.stack([
+        gen_psk_channel(NS, sps=cfg.sps, m=m, freq_offset=2e-4, snr_db=25,
+                        seed=i, timing_offset=3)[0]
+        for i in range(C)
+    ])
+
+
+def _reference_run(cfg, xs):
+    fn = make_ff_demod_fn(cfg, channels=C)
+    _, out = fn(ff_init(cfg, (C,)), jnp.asarray(xs))
+    return out
+
+
+@pytest.mark.parametrize("chan,time", [(8, 1), (1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_single_device(chan, time):
+    cfg = DemodConfig(sps=8, num_avg=100, constellation_size=4, phase_avg=50)
+    xs = _signals(cfg)
+    out1 = _reference_run(cfg, xs)
+    mesh = make_mesh(chan=chan, time=time)
+    run = make_sharded_demod(cfg, mesh, NS)
+    out2 = run(jax.device_put(jnp.asarray(xs), chan_time_sharding(mesh)))
+    v1, v2 = np.asarray(out1.valid), np.asarray(out2.valid)
+    assert v1.sum() == v2.sum() == C * (NS - cfg.num_avg + 1)
+    np.testing.assert_allclose(np.asarray(out2.soft)[v2],
+                               np.asarray(out1.soft)[v1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2.phase)[v2],
+                               np.asarray(out1.phase)[v1], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out2.bits)[v2],
+                                  np.asarray(out1.bits)[v1])
+    np.testing.assert_array_equal(np.asarray(out2.sample_index)[v2],
+                                  np.asarray(out1.sample_index)[v1])
+
+
+@pytest.mark.parametrize("m,diff", [(2, False), (8, False), (4, True)])
+def test_sharded_modes(m, diff):
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=m, phase_avg=20,
+                      differential=diff)
+    xs = _signals(cfg, m=m)
+    out1 = _reference_run(cfg, xs)
+    mesh = make_mesh(chan=2, time=4)
+    run = make_sharded_demod(cfg, mesh, NS)
+    out2 = run(jax.device_put(jnp.asarray(xs), chan_time_sharding(mesh)))
+    v1, v2 = np.asarray(out1.valid), np.asarray(out2.valid)
+    np.testing.assert_allclose(np.asarray(out2.soft)[v2],
+                               np.asarray(out1.soft)[v1], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out2.bits)[v2],
+                                  np.asarray(out1.bits)[v1])
+
+
+def test_shard_size_guard():
+    cfg = DemodConfig(sps=8, num_avg=100, constellation_size=4, phase_avg=50)
+    mesh = make_mesh(chan=1, time=8)
+    with pytest.raises(ValueError, match="symbols per time shard"):
+        make_sharded_demod(cfg, mesh, 400)  # 50/shard < num_avg-1
