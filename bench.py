@@ -1,0 +1,90 @@
+"""Headline benchmark: multi-channel QPSK streaming demod throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+
+Baseline (BASELINE.md north star): >10 Gsamples/s aggregate for 1k-channel
+QPSK on a v5e-16 slice => 625 Msamples/s per chip.  vs_baseline is the
+per-chip throughput divided by that per-chip share.
+
+The measured pipeline is the streaming feed-forward flagship
+(models/blockpsk.py) carrying real state block-to-block: 1024 channels,
+QPSK, sps=8, numAvg=100, phaseAvg=50 -- the reference's test operating point
+(tests/test_psk_soft.py:191-193) at scale.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+PER_CHIP_BASELINE = 10e9 / 16  # north-star aggregate / v5e-16 chips
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=1024)
+    ap.add_argument("--symbols", type=int, default=512, help="symbols per block")
+    ap.add_argument("--sps", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--pipeline", choices=["ff", "exact"], default="ff")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
+    from psk_soft_tpu.models.psk import demod_block, demod_init
+
+    cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    C, T = args.channels, args.symbols * args.sps
+
+    rng = np.random.default_rng(0)
+    sym = rng.integers(0, 4, size=(C, args.symbols))
+    pts = np.exp(1j * (2 * np.pi * sym / 4 + 2 * np.pi * 1e-4 *
+                       np.arange(args.symbols)))
+    x = np.repeat(pts, args.sps, axis=1).astype(np.complex64)
+    x += (0.01 * rng.standard_normal(x.shape)).astype(np.complex64)
+    x = jnp.asarray(x)
+
+    if args.pipeline == "ff":
+        state = ff_init(cfg, (C,))
+        block = demod_block_ff
+    else:
+        state = demod_init(cfg, C)
+        block = demod_block
+
+    @jax.jit
+    def step(state, x):
+        return jax.vmap(lambda s, b: block(cfg, s, b))(state, x)
+
+    # Warm-up (compile included here, excluded from timing).
+    for _ in range(args.warmup):
+        state, out = step(state, x)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, out = step(state, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples = C * T * args.iters
+    rate = samples / dt
+    print(json.dumps({
+        "metric": f"{C}-channel QPSK streaming demod throughput "
+                  f"({args.pipeline}, {jax.devices()[0].device_kind})",
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / PER_CHIP_BASELINE,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,340 @@
+"""Streaming demod engines: the service-loop equivalent.
+
+The reference's ``serviceFunction`` (C4, ``cpp/psk_soft.cpp:346-618``) is a
+blocking packet loop: getPacket -> flush/mode/reset checks -> property
+snapshot -> SRI propagation -> hot loop -> four pushPackets.  Here the same
+contract is a host-side engine around the jitted block step:
+
+* :class:`StreamEngine` -- one stream, full reference semantics
+  (flush -> reset, real-mode rejection, live reconfigure with resync rules,
+  EOS propagation, SRI rate rescaling, accurate per-port timestamps).
+* :class:`BatchEngine` -- C aligned streams (e.g. channelizer outputs)
+  demodulated as one batched device step; same per-packet semantics applied
+  group-wide.
+
+Device blocks are fixed-size (``block_symbols``) so one compiled program
+serves the steady state; the sub-block remainder waits in a host staging
+buffer (the reference's deques keep partial symbols across packets the same
+way, via ``index``).  On EOS the remaining whole symbols are processed as one
+final (recompiled once) block and the tail < sps samples are dropped, like
+the reference's never-completed last window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DemodConfig
+from ..models import blockpsk, psk
+from .. import state as state_mod
+from .streams import (SRI, Packet, PORT_BITS, PORT_PHASE, PORT_SAMPLE_INDEX,
+                      PORT_SOFT, propagate_sri)
+
+
+@dataclasses.dataclass
+class EngineMetrics:
+    """Observability counters (SURVEY.md section 5: add symbols out, resyncs)."""
+
+    packets_in: int = 0
+    samples_in: int = 0
+    symbols_out: int = 0
+    bits_out: int = 0
+    resets: int = 0
+    reconfigures: int = 0
+    real_mode_drops: int = 0
+    eos_seen: int = 0
+
+
+class _PipelineOps:
+    """Pipeline-kind dispatch: exact scan vs feed-forward."""
+
+    def __init__(self, kind: str):
+        if kind == "ff":
+            self.init = lambda cfg, shape=(): blockpsk.ff_init(cfg, shape)
+            self.block = blockpsk.demod_block_ff
+        elif kind == "exact":
+            self.init = lambda cfg, shape=(): state_mod.init_state(cfg, shape)
+            self.block = psk.demod_block
+        else:
+            raise ValueError(f"unknown pipeline {kind!r}")
+        self.kind = kind
+
+
+class StreamEngine:
+    """Single-stream streaming demodulator with reference service semantics."""
+
+    def __init__(self, cfg: DemodConfig, block_symbols: int = 512,
+                 pipeline: str = "ff"):
+        self.cfg = cfg
+        self.block_symbols = int(block_symbols)
+        self._ops = _PipelineOps(pipeline)
+        self._state = self._ops.init(cfg)
+        self._staging = np.zeros(0, np.complex64)
+        self._sri: Optional[SRI] = None
+        self._sri_dirty = True
+        self._time_origin: Optional[float] = None  # time of stream sample 0
+        self._symbols_emitted = 0    # valid outputs so far (for timestamps)
+        self._symbols_consumed = 0   # whole symbols fed to the device
+        self.metrics = EngineMetrics()
+        self._fns: dict = {}
+
+    # ------------------------------------------------------------- config
+
+    def configure(self, new_cfg: DemodConfig) -> None:
+        """Live property change: explicit resync (C7 semantics).
+
+        Mirrors cpp/psk_soft.cpp:365-426,619-651 -- the carry is re-derived,
+        not cleared, so tracking survives compatible changes.
+        """
+        if new_cfg == self.cfg:
+            return
+        if self._ops.kind == "exact":
+            self._state = state_mod.reconfigure(self.cfg, new_cfg, self._state)
+        else:
+            self._state = reconfigure_ff(self.cfg, new_cfg, self._state)
+        self.cfg = new_cfg
+        self._sri_dirty = True
+        self.metrics.reconfigures += 1
+
+    def reset(self) -> None:
+        """Full demod state reset (the resetState property,
+        psk_soft.prf.xml:55-60, consumed at cpp/psk_soft.cpp:365-372)."""
+        self._state = self._ops.init(self.cfg)
+        self._staging = np.zeros(0, np.complex64)
+        self._symbols_emitted = 0
+        self._symbols_consumed = 0
+        self._time_origin = None  # re-anchor timestamps at the next packet
+        self.metrics.resets += 1
+
+    # ------------------------------------------------------------- data
+
+    def process(self, packet: Packet) -> dict[str, Packet]:
+        """Feed one input packet; returns {port_name: Packet} for non-empty
+        outputs (like the four conditional pushPackets,
+        cpp/psk_soft.cpp:605-615)."""
+        self.metrics.packets_in += 1
+        if packet.input_queue_flushed:
+            # cpp/psk_soft.cpp:353-357: data was dropped upstream; restart
+            # tracking rather than demodulate across the gap.
+            self.reset()
+        if packet.sri.mode != 1:
+            # cpp/psk_soft.cpp:359-363: cannot work with real data.
+            self.metrics.real_mode_drops += 1
+            return {}
+        if self._sri is None or packet.sri != self._sri or packet.sri_changed:
+            if self._sri is not None and packet.sri.xdelta != self._sri.xdelta:
+                # Rate change invalidates the phase tracker history
+                # (cpp/psk_soft.cpp:394-397 -> LinearFit.reset with new rate).
+                self.reset()
+            self._sri = packet.sri
+            self._sri_dirty = True
+
+        data = np.asarray(packet.data, np.complex64).ravel()
+        if self._time_origin is None:
+            self._time_origin = packet.t
+        self.metrics.samples_in += data.size
+        self._staging = np.concatenate([self._staging, data])
+
+        outputs = self._drain(final=packet.eos)
+        if packet.eos:
+            self.metrics.eos_seen += 1
+            outputs = self._mark_eos(outputs, packet)
+        return outputs
+
+    # ------------------------------------------------------------- internals
+
+    def _step_fn(self) -> Callable:
+        # One jitted step per config; XLA re-specializes per block shape
+        # (steady state uses a single shape, EOS adds at most one more).
+        fn = self._fns.get(self.cfg)
+        if fn is None:
+            import functools
+            fn = jax.jit(functools.partial(self._ops.block, self.cfg))
+            self._fns[self.cfg] = fn
+        return fn
+
+    def _drain(self, final: bool) -> dict[str, Packet]:
+        sps = self.cfg.sps
+        block = self.block_symbols * sps
+        chunks = []
+        while self._staging.size >= block:
+            chunks.append(self._run_block(self._staging[:block]))
+            self._staging = self._staging[block:]
+        if final and self._staging.size >= sps:
+            n = (self._staging.size // sps) * sps
+            chunks.append(self._run_block(self._staging[:n]))
+            self._staging = self._staging[n:]
+        if final:
+            self._staging = np.zeros(0, np.complex64)
+        return self._assemble(chunks)
+
+    def _run_block(self, samples: np.ndarray):
+        fn = self._step_fn()
+        self._state, out = fn(self._state, jnp.asarray(samples))
+        self._symbols_consumed += samples.size // self.cfg.sps
+        return out
+
+    def _assemble(self, chunks) -> dict[str, Packet]:
+        if not chunks:
+            return {}
+        valid = np.concatenate([np.asarray(c.valid) for c in chunks])
+        if not valid.any():
+            return {}
+        soft = np.concatenate([np.asarray(c.soft) for c in chunks])[valid]
+        bits3 = np.concatenate([np.asarray(c.bits) for c in chunks])[valid]
+        phase = np.concatenate([np.asarray(c.phase) for c in chunks])[valid]
+        sidx = np.concatenate([np.asarray(c.sample_index) for c in chunks])[valid]
+        nb = self.cfg.bits_per_symbol
+        bits = bits3[:, :nb].reshape(-1).astype(np.int16)
+
+        sri = self._sri or SRI(stream_id="unknown")
+        out_sri = propagate_sri(self.cfg, sri)
+        # Timestamp: the first emitted symbol of this batch is stream symbol
+        # k0 = symbols_emitted; its first sample's time is origin+k0*sps*xdelta.
+        # (Deviation, documented: the reference stamps outputs with the
+        # triggering *input* packet's T, cpp/psk_soft.cpp:608-615, which is
+        # off by the window latency; we stamp the actual symbol time.)
+        k0 = self._symbols_emitted
+        t_out = (self._time_origin or 0.0) + sri.xdelta * self.cfg.sps * k0
+
+        self._symbols_emitted += int(valid.sum())
+        self.metrics.symbols_out += int(valid.sum())
+        self.metrics.bits_out += bits.size
+
+        sri_changed = self._sri_dirty
+        self._sri_dirty = False
+
+        def pkt(data, port):
+            return Packet(data=data, sri=out_sri[port], t=t_out,
+                          sri_changed=sri_changed)
+
+        return {
+            PORT_SOFT: pkt(soft, PORT_SOFT),
+            PORT_BITS: pkt(bits, PORT_BITS),
+            PORT_PHASE: pkt(phase.astype(np.float32), PORT_PHASE),
+            PORT_SAMPLE_INDEX: pkt(sidx.astype(np.int16), PORT_SAMPLE_INDEX),
+        }
+
+    def _mark_eos(self, outputs, packet) -> dict[str, Packet]:
+        # EOS must reach consumers even if no data is emitted.
+        if not outputs:
+            sri = self._sri or packet.sri
+            out_sri = propagate_sri(self.cfg, sri)
+            outputs = {p: Packet(data=np.zeros(0, np.float32), sri=s,
+                                 t=packet.t)
+                       for p, s in out_sri.items()}
+        for p in outputs.values():
+            p.eos = True
+        return outputs
+
+
+def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
+                   state: blockpsk.FFState) -> blockpsk.FFState:
+    """C7 resync for the feed-forward carry (see state.reconfigure for the
+    exact-path equivalent and the reference rules)."""
+    state = jax.tree_util.tree_map(np.asarray, state)
+    channel_shape = np.shape(state.seen)
+    new = blockpsk.ff_init(new_cfg, channel_shape)
+    new = new._replace(last_any=jnp.asarray(state.last_any))
+
+    if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
+        new = new._replace(
+            win_samples=jnp.asarray(state.win_samples),
+            win_energy=jnp.asarray(state.win_energy),
+            seen=jnp.asarray(state.seen),
+        )
+    else:
+        old_rows = min(int(np.min(state.seen)) if state.seen.size else 0,
+                       old_cfg.num_avg - 1)
+        flat = np.asarray(state.win_samples).reshape(channel_shape + (-1,))
+        flat = flat[..., (old_cfg.num_avg - 1 - old_rows) * old_cfg.sps:]
+        keep_syms = min(flat.shape[-1] // new_cfg.sps, new_cfg.num_avg - 1)
+        if keep_syms > 0:
+            tail = flat[..., flat.shape[-1] - keep_syms * new_cfg.sps:]
+            rows = tail.reshape(channel_shape + (keep_syms, new_cfg.sps))
+            e = (rows.real ** 2 + rows.imag ** 2).astype(np.float32)
+            ws = np.array(new.win_samples)
+            we = np.array(new.win_energy)
+            ws[..., new_cfg.num_avg - 1 - keep_syms:, :] = rows
+            we[..., new_cfg.num_avg - 1 - keep_syms:, :] = e
+            new = new._replace(
+                win_samples=jnp.asarray(ws), win_energy=jnp.asarray(we),
+                seen=jnp.full(channel_shape, keep_syms, jnp.int32))
+
+    if old_cfg.constellation_size != new_cfg.constellation_size:
+        return new  # phase history force-cleared (cpp/psk_soft.cpp:416-420)
+
+    n_old, n_new = old_cfg.phase_avg, new_cfg.phase_avg
+    hist = np.asarray(state.phase_hist)           # right-aligned (n_old-1,)
+    count = np.minimum(np.asarray(state.phase_count), n_old)
+    keep = np.minimum(count, max(n_new - 1, 0))
+    new_hist = np.zeros(channel_shape + (max(n_new - 1, 0),), np.float32)
+    if n_new > 1 and n_old > 1:
+        for ch in (np.ndindex(*channel_shape) if channel_shape else [()]):
+            k = int(keep[ch]) if channel_shape else int(keep)
+            if k > 0:
+                src = (hist[ch] if channel_shape else hist)
+                live = src[src.shape[-1] - min(int(count[ch] if channel_shape else count), src.shape[-1]):]
+                new_hist_ch = live[max(live.size - k, 0):]
+                if channel_shape:
+                    new_hist[ch][new_hist[ch].size - new_hist_ch.size:] = new_hist_ch
+                else:
+                    new_hist[new_hist.size - new_hist_ch.size:] = new_hist_ch
+    return new._replace(
+        phase_hist=jnp.asarray(new_hist),
+        phase_count=jnp.asarray(np.minimum(count, n_new).astype(np.int32)),
+        last_phase=jnp.asarray(state.last_phase),
+    )
+
+
+class BatchEngine:
+    """C aligned streams demodulated as one vmapped device step.
+
+    Packets are pushed per channel slot; a device step runs whenever every
+    slot holds at least ``block_symbols`` symbols (channelizer-aligned
+    streams advance in lockstep).  Flush/reset/reconfigure semantics apply
+    group-wide, matching C independent reference components with shared
+    properties.
+    """
+
+    def __init__(self, cfg: DemodConfig, channels: int,
+                 block_symbols: int = 512, pipeline: str = "ff"):
+        self.cfg = cfg
+        self.channels = channels
+        self.block_symbols = int(block_symbols)
+        self._ops = _PipelineOps(pipeline)
+        self._state = self._ops.init(cfg, (channels,))
+        self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
+        self.metrics = EngineMetrics()
+        import functools
+        self._fn = jax.jit(jax.vmap(functools.partial(self._ops.block, cfg)))
+
+    def push(self, channel: int, data: np.ndarray) -> None:
+        self._staging[channel] = np.concatenate(
+            [self._staging[channel], np.asarray(data, np.complex64).ravel()])
+        self.metrics.samples_in += data.size
+
+    def ready(self) -> bool:
+        need = self.block_symbols * self.cfg.sps
+        return all(s.size >= need for s in self._staging)
+
+    def step(self):
+        """Run one batched block; returns DemodOutputs (C, S) or None."""
+        if not self.ready():
+            return None
+        need = self.block_symbols * self.cfg.sps
+        x = np.stack([s[:need] for s in self._staging])
+        self._staging = [s[need:] for s in self._staging]
+        self._state, out = self._fn(self._state, jnp.asarray(x))
+        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        return out
+
+    def reset(self) -> None:
+        self._state = self._ops.init(self.cfg, (self.channels,))
+        self._staging = [np.zeros(0, np.complex64) for _ in range(self.channels)]
+        self.metrics.resets += 1

@@ -1,0 +1,78 @@
+"""Stream metadata and packets: the BulkIO equivalent.
+
+The reference receives ``dataTransfer`` packets carrying a StreamSRI
+(xdelta, mode, streamID), a timestamp, and an EOS flag from its BulkIO input
+port (``cpp/psk_soft.cpp:349-363``), and propagates SRI to its output ports
+with rate rescaling (``cpp/psk_soft.cpp:392-405``).  Here the same metadata
+is a frozen dataclass pytree-side-channel; packets are host numpy arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..config import DemodConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SRI:
+    """Signal-Related Information (BULKIO::StreamSRI equivalent)."""
+
+    stream_id: str
+    xdelta: float = 1.0       # seconds between samples
+    mode: int = 1             # 1 = complex, 0 = scalar
+    xstart: float = 0.0
+
+    @property
+    def sample_rate(self) -> float:
+        return 1.0 / self.xdelta
+
+
+@dataclasses.dataclass
+class Packet:
+    """One data packet (bulkio dataTransfer equivalent).
+
+    data: complex64 samples (or float/int for output ports).
+    t: timestamp of the first sample (seconds).
+    eos: end-of-stream marker, propagated to consumers.
+    sri_changed: whether sri differs from the previous packet's.
+    input_queue_flushed: upstream overflow happened before this packet
+      (cpp/psk_soft.cpp:353-357 -> full demod state reset).
+    """
+
+    data: np.ndarray
+    sri: SRI
+    t: float = 0.0
+    eos: bool = False
+    sri_changed: bool = False
+    input_queue_flushed: bool = False
+
+
+# Output port names mirror the SCD port graph (psk_soft.scd.xml:32-73).
+PORT_SOFT = "softDecision_dataFloat_out"
+PORT_BITS = "bits_dataShort_out"
+PORT_PHASE = "phase_dataFloat_out"
+PORT_SAMPLE_INDEX = "sampleIndex_dataShort_out"
+
+
+def propagate_sri(cfg: DemodConfig, in_sri: SRI) -> dict[str, SRI]:
+    """Output-port SRI with rate rescaling (cpp/psk_soft.cpp:392-405).
+
+    soft:  xdelta *= sps (one value per symbol), complex.
+    phase: same rate, real.
+    bits:  xdelta *= sps / bits_per_symbol, real.
+    sample_index: same rate as soft, real.  (The reference never pushes SRI
+    to this port -- a quirk; we emit it, trap (f) beyond SURVEY's list.)
+    """
+    sym_xdelta = in_sri.xdelta * cfg.sps
+    return {
+        PORT_SOFT: dataclasses.replace(in_sri, xdelta=sym_xdelta, mode=1),
+        PORT_PHASE: dataclasses.replace(in_sri, xdelta=sym_xdelta, mode=0),
+        PORT_BITS: dataclasses.replace(
+            in_sri, xdelta=sym_xdelta / cfg.bits_per_symbol, mode=0),
+        PORT_SAMPLE_INDEX: dataclasses.replace(
+            in_sri, xdelta=sym_xdelta, mode=0),
+    }
