@@ -50,6 +50,12 @@ class DemodConfig:
     matched_filter: str = "none"
     rrc_beta: float = 0.35
     rrc_span: int = 8
+    # Feed-forward early-late timing refinement (extension; BASELINE.json
+    # config 3): parabolic interpolation of the energy bins around the argmax
+    # gives a fractional offset, and the decision sample is linearly
+    # interpolated.  Off by default (reference parity: single-sample pick,
+    # cpp/psk_soft.cpp:462-465).
+    timing_interp: bool = False
 
     def __post_init__(self):
         if self.constellation_size not in _BITS_PER_SYMBOL:
@@ -74,3 +80,12 @@ class DemodConfig:
     def window_samples(self) -> int:
         """Timing window length numAvg*sps ("numDataPts", cpp/psk_soft.cpp:377)."""
         return self.sps * self.num_avg
+
+    @property
+    def mf_ntaps(self) -> int:
+        """Matched-filter length (0 when disabled)."""
+        if self.matched_filter == "none":
+            return 0
+        if self.matched_filter == "boxcar":
+            return self.sps
+        return self.rrc_span * self.sps + 1

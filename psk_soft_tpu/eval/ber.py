@@ -1,0 +1,146 @@
+"""BER / SER measurement under real AWGN, frequency offset, and pulse shaping.
+
+The reference never measures error rate (its tests use noise amplitude 1e-4,
+tests/test_psk_soft.py:116); BASELINE.json config 3 calls for an Es/N0 BER
+sweep.  This module runs the feed-forward pipeline over generated channels,
+resolves the M-fold phase ambiguity of M-th-power carrier recovery and any
+group delay (matched filter / timing) by a short probe-prefix search -- the
+same role as the reference test helper ``getDelay``
+(tests/test_psk_soft.py:43-57) -- then counts symbol and bit errors against
+the documented slicer mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import DemodConfig
+from ..models.blockpsk import ff_init, make_ff_demod_fn
+from ..ops import slicers
+from ..testing.signals import gen_psk_channel
+from ..utils.transfer import to_host
+
+
+def qfunc(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    return 0.5 * np.array([math.erfc(v / math.sqrt(2.0)) for v in x.ravel()]
+                          ).reshape(x.shape)
+
+
+def theoretical_ber(m: int, esn0_db: np.ndarray) -> np.ndarray:
+    """Gray-coded coherent M-PSK bit-error probability (standard approximations).
+
+    Es/N0 is per *decision sample* (for unfiltered rectangular pulses each
+    sample carries the full symbol amplitude, so per-sample SNR is Es/N0; a
+    matched filter adds its processing gain on top).
+    """
+    esn0 = 10 ** (np.asarray(esn0_db, np.float64) / 10)
+    if m == 2:
+        return qfunc(np.sqrt(2 * esn0))
+    if m == 4:
+        return qfunc(np.sqrt(esn0))
+    if m == 8:
+        return (2.0 / 3.0) * qfunc(np.sqrt(2 * esn0) * np.sin(np.pi / 8))
+    raise ValueError(m)
+
+
+def _bit_map(m: int) -> np.ndarray:
+    """(m, bits_per_symbol) mapping of constellation index -> bits, from the
+    documented slicers (psk_soft.scd.xml:42-63)."""
+    idx = np.arange(m)
+    theta = 2 * np.pi * idx / m + (np.pi / 4 if m == 4 else 0.0)
+    pts = jnp.asarray(np.exp(1j * theta).astype(np.complex64))
+    bits = np.asarray(slicers.slice_bits(m, pts))
+    nb = {2: 1, 4: 2, 8: 3}[m]
+    return bits[:, :nb]
+
+
+def decide_indices(soft: np.ndarray, m: int) -> np.ndarray:
+    """Hard constellation index from a soft decision (0..m-1), undoing the
+    QPSK +pi/4 presentation rotation."""
+    ang = np.angle(soft)
+    if m == 4:
+        ang = ang - np.pi / 4
+    return np.round(ang * m / (2 * np.pi)).astype(int) % m
+
+
+@dataclasses.dataclass
+class BerPoint:
+    esn0_db: float
+    n_symbols: int
+    n_bits: int
+    symbol_errors: int
+    bit_errors: int
+    rotation: int
+    delay: int
+
+    @property
+    def ser(self) -> float:
+        return self.symbol_errors / max(self.n_symbols, 1)
+
+    @property
+    def ber(self) -> float:
+        return self.bit_errors / max(self.n_bits, 1)
+
+
+def measure_ber(cfg: DemodConfig, esn0_db: float, num_symbols: int = 20000,
+                seed: int = 0, freq_offset: float = 0.0,
+                pulse: str = "rect", skip: int = 500,
+                max_delay: int = 8) -> BerPoint:
+    """Demodulate one AWGN channel realization and count errors.
+
+    skip: symbols discarded at the head (tracker convergence + filter
+    transients) before counting.
+    """
+    m = cfg.constellation_size
+    x, tx_idx = gen_psk_channel(
+        num_symbols, sps=cfg.sps, m=m, differential=cfg.differential,
+        seed=seed, freq_offset=freq_offset, snr_db=esn0_db, pulse=pulse,
+        rrc_beta=cfg.rrc_beta, rrc_span=cfg.rrc_span)
+    fn = make_ff_demod_fn(cfg)
+    _, out = fn(ff_init(cfg), jnp.asarray(x))
+    out = to_host(out)
+    soft = out.soft[out.valid]
+    rx_idx = decide_indices(soft, m)
+
+    # Resolve (delay, rotation) on a probe prefix, like getDelay + the
+    # rotation search in tests/test_psk_soft.py:223-238.
+    probe = slice(skip, min(skip + 2000, rx_idx.size))
+    best = (1.1, 0, 0)
+    rotations = [0] if cfg.differential else range(m)
+    for d in range(max_delay + 1):
+        for r in rotations:
+            tx = (tx_idx[probe.start - d: probe.stop - d] + r) % m
+            rx = rx_idx[probe]
+            nn = min(len(tx), len(rx))
+            if nn <= 0:
+                continue
+            ser = np.mean(tx[:nn] != rx[:nn])
+            if ser < best[0]:
+                best = (ser, d, r)
+    _, delay, rot = best
+
+    n = min(rx_idx.size, tx_idx.size + delay) - skip
+    rx = rx_idx[skip: skip + n]
+    tx = (tx_idx[skip - delay: skip - delay + n] + rot) % m
+    bm = _bit_map(m)
+    rx_bits = bm[rx]
+    tx_bits = bm[tx]
+    return BerPoint(
+        esn0_db=esn0_db,
+        n_symbols=n,
+        n_bits=rx_bits.size,
+        symbol_errors=int(np.sum(rx != tx)),
+        bit_errors=int(np.sum(rx_bits != tx_bits)),
+        rotation=rot,
+        delay=delay,
+    )
+
+
+def ber_sweep(cfg: DemodConfig, esn0_dbs, **kw) -> list[BerPoint]:
+    """BASELINE.json config 3: sweep Es/N0, return measured points."""
+    return [measure_ber(cfg, e, **kw) for e in esn0_dbs]

@@ -37,7 +37,7 @@ import numpy as np
 
 from ..config import DemodConfig
 from ..ops import linear_fit, phase as phase_ops
-from .common import correct_and_slice, timing_frontend
+from .common import correct_and_slice, maybe_matched_filter, timing_frontend
 from .psk import DemodOutputs
 
 
@@ -53,6 +53,7 @@ class FFState(NamedTuple):
     phase_count: jnp.ndarray   # () int32, saturating at phase_avg
     last_phase: jnp.ndarray    # () float32, last unwrapped phase
     last_any: jnp.ndarray      # () complex64
+    mf_tail: jnp.ndarray       # (mf_ntaps-1 or 0,) complex64
 
 
 def ff_init(cfg: DemodConfig, channel_shape: tuple = ()) -> FFState:
@@ -66,6 +67,8 @@ def ff_init(cfg: DemodConfig, channel_shape: tuple = ()) -> FFState:
         phase_count=jnp.zeros(channel_shape, jnp.int32),
         last_phase=jnp.zeros(channel_shape, jnp.float32),
         last_any=jnp.ones(channel_shape, jnp.complex64),
+        mf_tail=jnp.zeros(channel_shape + (max(cfg.mf_ntaps - 1, 0),),
+                          jnp.complex64),
     )
 
 
@@ -129,20 +132,34 @@ def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
     if T % sps != 0:
         raise ValueError(f"block length {T} not a multiple of sps={sps}")
     S = T // sps
+    x, mf_tail = maybe_matched_filter(cfg, state, x)
     xs = x.reshape(S, sps)
 
     fe = timing_frontend(cfg, state.win_samples, state.win_energy, state.seen, xs)
     sel, valid = fe["sel"], fe["valid"]
 
-    # --- phase: prefix unwrap + FIR fit ---
+    # --- phase: trend-robust prefix unwrap + FIR fit ---
     raw = phase_ops.mth_power_phase(sel, m)
-    # First block of a stream: unwrap against the first valid raw phase
-    # itself (zero adjustment); afterwards against the carried last phase.
     fv = jnp.argmax(valid)  # index of first valid (0 if none/all)
-    prev_eff = jnp.where(state.phase_count > 0, state.last_phase,
-                         raw[jnp.clip(fv, 0, S - 1)])
+    first_raw = raw[jnp.clip(fv, 0, S - 1)]
+    prev_eff = jnp.where(state.phase_count > 0, state.last_phase, first_raw)
     raw_eff = jnp.where(valid, raw, prev_eff)
-    unwrapped = phase_ops.block_unwrap(raw_eff, prev_eff)
+    # Unwrap over [history, block] in one locally-consistent chain (history
+    # values are unwrapped but enter mod 2pi, which is all the trend needs;
+    # hist[-1] is the chronologically newest value just before the block),
+    # then snap the absolute origin back onto the carry with an exact
+    # multiple of 2pi.
+    n1 = cfg.phase_avg - 1
+    head = state.phase_hist if n1 > 0 else state.last_phase[None]
+    h = head.shape[0]
+    ext = jnp.concatenate([head, raw_eff])
+    u_ext = phase_ops.robust_block_unwrap(ext)
+    cont_shift = phase_ops.TWO_PI * jnp.round(
+        (state.last_phase - u_ext[h - 1]) / phase_ops.TWO_PI)
+    start_shift = phase_ops.TWO_PI * jnp.round(
+        (first_raw - u_ext[h + jnp.clip(fv, 0, S - 1)]) / phase_ops.TWO_PI)
+    shift = jnp.where(state.phase_count > 0, cont_shift, start_shift)
+    unwrapped = u_ext[h:] + shift
     est, new_hist, new_count = _fir_phase_track(
         cfg, state.phase_hist, state.phase_count, unwrapped, valid)
     phase_seq = jnp.where(valid, est, 0.0)
@@ -169,6 +186,7 @@ def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
         phase_count=new_count,
         last_phase=new_last_phase,
         last_any=last_any,
+        mf_tail=mf_tail,
     )
     outputs = DemodOutputs(
         soft=jnp.where(valid, soft, 0),

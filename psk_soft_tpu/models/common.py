@@ -7,7 +7,19 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DemodConfig
-from ..ops import timing
+from ..ops import matched_filter, timing
+
+
+def maybe_matched_filter(cfg: DemodConfig, state, x: jnp.ndarray):
+    """Apply the configured matched filter (streaming overlap-save).
+
+    Returns (filtered_x, new_mf_tail).  Identity when disabled (reference
+    parity: the reference has no front-end filter).
+    """
+    if cfg.matched_filter == "none":
+        return x, state.mf_tail
+    taps = jnp.asarray(matched_filter.filter_taps(cfg))
+    return matched_filter.streaming_filter(x, state.mf_tail, taps)
 
 
 def timing_frontend(cfg: DemodConfig, win_samples, win_energy, seen, xs):
@@ -30,7 +42,11 @@ def timing_frontend(cfg: DemodConfig, win_samples, win_energy, seen, xs):
         e_cat = jnp.concatenate([win_energy, e], axis=0)
         s_cat = jnp.concatenate([win_samples, xs], axis=0)
         w = timing.windowed_bin_sums(e_cat, num_avg)
-        sample_index, sel = timing.select_decision_samples(s_cat[:S], w)
+        if cfg.timing_interp:
+            sample_index, sel = timing.select_decision_samples_interp(
+                s_cat.reshape(-1), w, cfg.sps)
+        else:
+            sample_index, sel = timing.select_decision_samples(s_cat[:S], w)
         valid = (seen + 1 + jnp.arange(S, dtype=jnp.int32)) >= num_avg
         prev_exists = (seen + jnp.arange(S, dtype=jnp.int32)) >= num_avg
         new_win_s, new_win_e = s_cat[S:], e_cat[S:]

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..config import DemodConfig
 from ..state import DemodState, init_state
 from ..ops import linear_fit, phase as phase_ops
-from .common import correct_and_slice, timing_frontend
+from .common import correct_and_slice, maybe_matched_filter, timing_frontend
 
 TWO_PI = phase_ops.TWO_PI
 
@@ -122,6 +122,7 @@ def demod_block(cfg: DemodConfig, state: DemodState, x: jnp.ndarray):
     if T % sps != 0:
         raise ValueError(f"block length {T} not a multiple of sps={sps}")
     S = T // sps
+    x, mf_tail = maybe_matched_filter(cfg, state, x)
     xs = x.reshape(S, sps)
 
     # --- C2: windowed max-energy timing recovery, fully parallel ---
@@ -145,6 +146,7 @@ def demod_block(cfg: DemodConfig, state: DemodState, x: jnp.ndarray):
         ring_fill=fill,
         phase_est=est,
         last_any=last_any,
+        mf_tail=mf_tail,
     )
     outputs = DemodOutputs(
         soft=jnp.where(valid, soft, 0),

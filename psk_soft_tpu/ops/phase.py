@@ -12,6 +12,7 @@ M-th-power phase) to keep it bounded (``cpp/psk_soft.cpp:592-603``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 TWO_PI = 2.0 * jnp.pi
@@ -81,6 +82,64 @@ def block_unwrap(raw: jnp.ndarray, prev: jnp.ndarray, axis: int = -1) -> jnp.nda
     adj = jnp.cumsum(jnp.round(d / TWO_PI), axis=-1)
     out = raw - adj * TWO_PI
     return jnp.moveaxis(out, -1, axis)
+
+
+def wrap_to_pi(x: jnp.ndarray) -> jnp.ndarray:
+    """Map angles to (-pi, pi]."""
+    return x - TWO_PI * jnp.round(x / TWO_PI)
+
+
+# Trend window for the robust unwrap.  sigma of the squared/4th/8th-power
+# phase noise shrinks ~1/sqrt(K); K=9 keeps the false-wrap probability
+# negligible down to the tracker's own lock threshold while adding only a
+# half-window of trend lag (irrelevant: the unwrap tolerates +-pi of lag).
+UNWRAP_TREND_LEN = 9
+
+
+def causal_complex_ma(phases: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Causal moving average of exp(i*phase) over the last k entries.
+
+    phases: (..., T).  Head entries average over what is available.
+    Returns the trend *angle* (..., T).
+    """
+    c_re = jnp.cos(phases)
+    c_im = jnp.sin(phases)
+    ones = jnp.ones((1, 1, k), c_re.dtype)
+    lead = phases.shape[:-1]
+    t = phases.shape[-1]
+
+    def conv(v):
+        v2 = v.reshape(-1, 1, t)
+        out = jax.lax.conv_general_dilated(
+            v2, ones, window_strides=(1,), padding=[(k - 1, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        return out.reshape(lead + (t,))
+
+    return jnp.arctan2(conv(c_im), conv(c_re))
+
+
+def robust_block_unwrap(raw: jnp.ndarray, axis: int = -1,
+                        k: int = UNWRAP_TREND_LEN) -> jnp.ndarray:
+    """Feed-forward unwrap robust to per-symbol phase noise.
+
+    A strict previous-sample prefix unwrap takes a false +-2pi wrap whenever
+    two *consecutive* raw phases differ by more than pi -- common for M-th
+    power phases at low Es/N0 (sigma ~ M * noise).  The reference avoids this
+    by unwrapping each raw phase against its *smoothed estimate*
+    (cpp/psk_soft.cpp:477-481).  The feed-forward equivalent: average
+    exp(i*raw) over a short causal window (parallel), unwrap the low-noise
+    trend angles (prefix sum), and re-attach each raw phase as a (-pi, pi]
+    residual about its trend:
+
+        u[t] = unwrap(trend)[t] + wrap_to_pi(raw[t] - trend[t])
+
+    u[t] === raw[t] (mod 2pi) exactly, like any unwrap.
+    """
+    raw = jnp.moveaxis(raw, axis, -1)
+    ang_t = causal_complex_ma(raw, k)
+    unwrapped_t = block_unwrap(ang_t, ang_t[..., 0], axis=-1)
+    u = unwrapped_t + wrap_to_pi(raw - ang_t)
+    return jnp.moveaxis(u, -1, axis)
 
 
 def rewrap_offset(estimate: jnp.ndarray, m: int) -> jnp.ndarray:

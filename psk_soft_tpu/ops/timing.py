@@ -64,6 +64,51 @@ def windowed_bin_sums(e_rows: jnp.ndarray, num_avg: int) -> jnp.ndarray:
     )
 
 
+def select_decision_samples_interp(s_flat: jnp.ndarray, w: jnp.ndarray,
+                                   sps: int):
+    """Early-late refined decision: parabolic vertex of the energy bins
+    around the argmax gives a fractional timing offset tau in [-0.5, 0.5];
+    the decision sample is linearly interpolated between the two nearest
+    samples in *time* (crossing symbol-row boundaries via the flat signal).
+
+    This is the feed-forward recast of a classic early-late gate: the
+    early/late energies are the adjacent window bins, so no feedback loop is
+    needed and the whole block stays parallel.
+
+    Args:
+      s_flat: (..., R*sps) flattened time-contiguous samples; window row o
+        starts at flat index o*sps.
+      w: (..., S, sps) windowed bin sums.
+    Returns (sample_index (..., S) int32, decision (..., S) complex64).
+    """
+    # Circular first-harmonic (centroid) timing estimate: the intra-symbol
+    # energy profile W[j] is periodic in j, so its fundamental's phase gives
+    # the peak position using *all* bins -- far lower variance than a 3-point
+    # parabola around the argmax, and continuous across the bin wrap, so the
+    # symbol framing never slips when the peak straddles bins 0/sps-1 (the
+    # plain argmax pick, like the reference cpp/psk_soft.cpp:462-465, slips
+    # there).  This is the feed-forward equivalent of an early-late gate
+    # driving an NCO (it is exactly the Oerder&Meyr square-law estimator
+    # applied to the already-binned energies).
+    b = jnp.argmax(w, axis=-1).astype(jnp.int32)          # (..., S)
+    ang = 2.0 * jnp.pi * jnp.arange(sps, dtype=jnp.float32) / sps
+    zr = jnp.sum(w * jnp.cos(ang), axis=-1)
+    zi = jnp.sum(w * jnp.sin(ang), axis=-1)
+    p = jnp.arctan2(zi, zr) * (sps / (2.0 * jnp.pi))      # (-sps/2, sps/2]
+    p = jnp.where(p < -0.5, p + sps, p)                   # [-0.5, sps-0.5)
+    p = jnp.where(p > sps - 0.5, p - sps, p)
+    b = jnp.round(p).astype(jnp.int32) % sps              # index actually used
+    i0 = jnp.floor(p)
+    frac = (p - i0).astype(jnp.float32)
+    s = w.shape[-2]
+    base = jnp.arange(s, dtype=jnp.int32) * sps + i0.astype(jnp.int32)
+    base = jnp.clip(base, 0, s_flat.shape[-1] - 2)
+    s0 = jnp.take_along_axis(s_flat, base, axis=-1)
+    s1 = jnp.take_along_axis(s_flat, base + 1, axis=-1)
+    sel = (s0 * (1.0 - frac) + s1 * frac).astype(jnp.complex64)
+    return b, sel
+
+
 def select_decision_samples(s_rows: jnp.ndarray, w: jnp.ndarray):
     """Pick the max-energy intra-symbol index and gather the decision sample.
 

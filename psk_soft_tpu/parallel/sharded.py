@@ -64,6 +64,17 @@ def _sharded_body(cfg: DemodConfig, total_symbols: int, x: jnp.ndarray):
                           cfg.phase_avg)
     c_loc = x.shape[0]
     s_loc = x.shape[1] // sps
+
+    # ---- optional matched filter (left sample halo = overlap-save) ----
+    if cfg.matched_filter != "none":
+        from ..ops import matched_filter as mf
+        taps = jnp.asarray(mf.filter_taps(cfg))
+        ntaps = cfg.mf_ntaps
+        n_sh = jax.lax.psum(1, "time")
+        perm = [(i, i + 1) for i in range(n_sh - 1)]
+        halo = jax.lax.ppermute(x[:, x.shape[1] - (ntaps - 1):], "time", perm)
+        x = mf.apply_fir(jnp.concatenate([halo, x], axis=1), taps)
+
     xs = x.reshape(c_loc, s_loc, sps)
     t_idx = jax.lax.axis_index("time")
     n_time = jax.lax.psum(1, "time")
@@ -82,33 +93,46 @@ def _sharded_body(cfg: DemodConfig, total_symbols: int, x: jnp.ndarray):
         rows = jnp.concatenate([xs, halo], axis=1)       # (C, S+A-1, sps)
         e = timing.symbol_energy_rows(rows)
         w = timing.windowed_bin_sums(e, num_avg)         # (C, S, sps)
-        sample_index, sel = timing.select_decision_samples(xs, w)
+        if cfg.timing_interp:
+            sample_index, sel = timing.select_decision_samples_interp(
+                rows.reshape(c_loc, -1), w, sps)
+        else:
+            sample_index, sel = timing.select_decision_samples(xs, w)
     else:
         sel = xs[..., 0]
         sample_index = jnp.zeros((c_loc, s_loc), jnp.int32)
 
-    # ---- phase: local unwrap + seam prefix combine ----
+    # ---- phase: trend-robust local unwrap over a raw halo + seam combine ----
     raw = phase_ops.mth_power_phase(sel, m)              # (C, S)
-    u_loc = phase_ops.block_unwrap(raw, raw[:, 0], axis=-1)
-    first_raw = raw[:, 0]
-    last_u = u_loc[:, -1]
-    seam = jnp.stack([first_raw, last_u], axis=0)        # (2, C)
-    gathered = jax.lax.all_gather(seam, "time")          # (K, 2, C)
+    halo_len = max(n - 1, phase_ops.UNWRAP_TREND_LEN - 1, 1)
+    if s_loc >= halo_len:
+        halo_raw = _left_shift(raw[:, -halo_len:], "time")  # zeros on shard 0
+    else:  # only legal single-shard (asserted in make_sharded_demod)
+        halo_raw = jnp.zeros((c_loc, halo_len), raw.dtype)
+    ext = jnp.concatenate([halo_raw, raw], axis=1)       # (C, H+S)
+    u_ext = phase_ops.robust_block_unwrap(ext, axis=-1)
+    # Seam combine: my local chain differs from the global unwrap by a
+    # per-shard constant delta (an exact multiple of 2pi).  Each shard
+    # publishes (a) its last owned unwrapped value, (b) that same symbol as
+    # computed by its *right* neighbor inside the halo, and (c) its local
+    # origin correction; deltas are a prefix sum over seam corrections --
+    # the associative-scan recast of cpp/psk_soft.cpp:477-478.
+    own_last = u_ext[:, -1]
+    halo_last = u_ext[:, halo_len - 1]
+    origin_fix = TWO_PI * jnp.round((raw[:, 0] - u_ext[:, halo_len]) / TWO_PI)
+    seam = jnp.stack([own_last, halo_last, origin_fix], axis=0)   # (3, C)
+    gathered = jax.lax.all_gather(seam, "time")          # (K, 3, C)
     c_seam = TWO_PI * jnp.round(
-        (gathered[:-1, 1, :] - gathered[1:, 0, :]) / TWO_PI)   # (K-1, C)
+        (gathered[:-1, 0, :] - gathered[1:, 1, :]) / TWO_PI)   # (K-1, C)
     delta_all = jnp.concatenate(
-        [jnp.zeros((1, c_loc), jnp.float32), jnp.cumsum(c_seam, axis=0)], axis=0)
+        [jnp.zeros((1, c_loc), jnp.float32), jnp.cumsum(c_seam, axis=0)],
+        axis=0) + gathered[0, 2, :][None]
     delta = jnp.take(delta_all, t_idx, axis=0)           # (C,)
-    delta_prev = jnp.take(delta_all, jnp.maximum(t_idx - 1, 0), axis=0)
-    u = u_loc + delta[:, None]
+    u = u_ext[:, halo_len:] + delta[:, None]
 
-    # ---- FIR tracker with left phase halo ----
+    # ---- FIR tracker (the unwrapped halo doubles as the fit lead-in) ----
     if n > 1:
-        if s_loc >= n - 1:
-            halo_u = _left_shift(u_loc[:, -(n - 1):], "time") + delta_prev[:, None]
-        else:  # only legal single-shard; warm-up weights never read these
-            halo_u = jnp.zeros((c_loc, n - 1), u_loc.dtype)
-        cat = jnp.concatenate([halo_u, u], axis=1)       # (C, n-1+S)
+        cat = u_ext[:, halo_len - (n - 1):] + delta[:, None]  # (C, n-1+S)
         wfir = jnp.asarray(linear_fit.endpoint_fir_weights(n))
         est = _conv_valid(cat, wfir)                     # (C, S)
         # Warm-up (growing window) affects global output indices < n, i.e.
@@ -175,10 +199,13 @@ def make_sharded_demod(cfg: DemodConfig, mesh: Mesh, total_symbols: int):
     if total_symbols % n_time:
         raise ValueError(f"{total_symbols} symbols not divisible by time={n_time}")
     s_loc = total_symbols // n_time
-    if n_time > 1 and s_loc < max(cfg.num_avg - 1, cfg.phase_avg - 1):
+    min_syms = max(cfg.num_avg - 1, cfg.phase_avg - 1,
+                   phase_ops.UNWRAP_TREND_LEN - 1,
+                   -(-max(cfg.mf_ntaps - 1, 0) // cfg.sps))
+    if n_time > 1 and s_loc < min_syms:
         raise ValueError(
-            f"symbols per time shard ({s_loc}) must be >= "
-            f"max(num_avg-1, phase_avg-1) = {max(cfg.num_avg - 1, cfg.phase_avg - 1)}")
+            f"symbols per time shard ({s_loc}) must be >= {min_syms} "
+            f"(max of num_avg-1, phase_avg-1, mf halo)")
 
     body = functools.partial(_sharded_body, cfg, total_symbols)
     inner = jax.shard_map(

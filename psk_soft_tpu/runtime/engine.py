@@ -182,6 +182,8 @@ class StreamEngine:
     def _assemble(self, chunks) -> dict[str, Packet]:
         if not chunks:
             return {}
+        from ..utils.transfer import to_host
+        chunks = [to_host(c) for c in chunks]  # complex64-safe on axon TPU
         valid = np.concatenate([np.asarray(c.valid) for c in chunks])
         if not valid.any():
             return {}
@@ -241,6 +243,9 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
     channel_shape = np.shape(state.seen)
     new = blockpsk.ff_init(new_cfg, channel_shape)
     new = new._replace(last_any=jnp.asarray(state.last_any))
+    mf_keys = ("matched_filter", "sps", "rrc_beta", "rrc_span")
+    if all(getattr(old_cfg, k) == getattr(new_cfg, k) for k in mf_keys):
+        new = new._replace(mf_tail=jnp.asarray(state.mf_tail))
 
     if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
         new = new._replace(

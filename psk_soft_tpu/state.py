@@ -50,6 +50,8 @@ class DemodState(NamedTuple):
     # `last` to 0 making its very first differential output NaN (its tests
     # skip symbol 0); we initialize to 1+0j for defined behavior.
     last_any: jnp.ndarray      # () complex64
+    # Matched-filter input tail (ntaps-1 samples; empty when disabled).
+    mf_tail: jnp.ndarray       # (mf_ntaps-1 or 0,) complex64
 
 
 def init_state(cfg: DemodConfig, channel_shape: tuple = ()) -> DemodState:
@@ -64,6 +66,8 @@ def init_state(cfg: DemodConfig, channel_shape: tuple = ()) -> DemodState:
         ring_fill=jnp.zeros(channel_shape, jnp.int32),
         phase_est=jnp.zeros(channel_shape, jnp.float32),
         last_any=jnp.ones(channel_shape, jnp.complex64),
+        mf_tail=jnp.zeros(channel_shape + (max(cfg.mf_ntaps - 1, 0),),
+                          jnp.complex64),
     )
 
 
@@ -92,6 +96,9 @@ def reconfigure(old_cfg: DemodConfig, new_cfg: DemodConfig,
     channel_shape = np.shape(state.seen)
     new = init_state(new_cfg, channel_shape)
     new = new._replace(last_any=jnp.asarray(state.last_any))
+    mf_keys = ("matched_filter", "sps", "rrc_beta", "rrc_span")
+    if all(getattr(old_cfg, k) == getattr(new_cfg, k) for k in mf_keys):
+        new = new._replace(mf_tail=jnp.asarray(state.mf_tail))
 
     # --- timing window ---
     if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
