@@ -45,6 +45,13 @@ def symbol_energy_rows(xs: jnp.ndarray) -> jnp.ndarray:
 def windowed_bin_sums(e_rows: jnp.ndarray, num_avg: int) -> jnp.ndarray:
     """Rolling sum of energy rows over a forward window of num_avg symbols.
 
+    Implemented as cumsum-diff: O(1) per output instead of the O(num_avg)
+    a direct windowed reduction costs -- this is the sample-rate hot loop
+    (the reference's incremental add/subtract with drift resyncs,
+    cpp/psk_soft.cpp:445-452,568-584, has the same O(1) recurrence; exact
+    prefix sums need no resync and stay well inside the 1e-3 tolerance:
+    relative error ~R*eps over a block).
+
     Args:
       e_rows: (..., R, sps) energies for R = S + num_avg - 1 consecutive
         symbols (carry rows prepended to the block's rows).
@@ -52,6 +59,19 @@ def windowed_bin_sums(e_rows: jnp.ndarray, num_avg: int) -> jnp.ndarray:
     Returns:
       (..., S, sps): W[o] = sum(e_rows[o:o+num_avg]).
     """
+    if num_avg == 1:
+        return e_rows
+    s = e_rows.shape[-2] - (num_avg - 1)
+    cs = jnp.cumsum(e_rows, axis=-2)
+    upper = cs[..., num_avg - 1:, :]                     # (..., S, sps)
+    lower = cs[..., : s - 1, :]
+    zero = jnp.zeros_like(upper[..., :1, :])
+    return upper - jnp.concatenate([zero, lower], axis=-2)
+
+
+def windowed_bin_sums_direct(e_rows: jnp.ndarray, num_avg: int) -> jnp.ndarray:
+    """Reference windowed reduction (tree sums); used to cross-check the
+    cumsum-diff fast path in tests."""
     if num_avg == 1:
         return e_rows
     return jax.lax.reduce_window(

@@ -90,13 +90,52 @@ def test_differential_bits(m):
 
 @pytest.mark.parametrize("num_blocks", [2, 5, 10])
 def test_block_split_invariance(num_blocks):
-    """Carry correctness: splitting the stream into blocks changes nothing."""
+    """Carry correctness: splitting the stream into blocks changes nothing.
+
+    On the golden rectangular pulses every intra-symbol sample is an equally
+    valid decision point (bin energies tie up to the 1e-4 noise), and the
+    cumsum-diff windowing's rounding depends on block start, so the argmax
+    may legitimately pick a different sample of the *same* symbol; soft
+    decisions are compared at the noise scale and bits exactly.
+    """
     _, soft1, bits1, phase1, _ = run_golden(4, differential=False, num_blocks=1)
     _, softn, bitsn, phasen, _ = run_golden(4, differential=False,
                                             num_blocks=num_blocks)
-    np.testing.assert_allclose(softn, soft1, atol=1e-6)
+    np.testing.assert_allclose(softn, soft1, atol=3e-4)
     np.testing.assert_array_equal(bitsn, bits1)
-    np.testing.assert_allclose(phasen, phase1, atol=1e-5)
+    np.testing.assert_allclose(phasen, phase1, atol=1e-3)
+
+
+@pytest.mark.parametrize("num_blocks", [2, 5, 10])
+def test_block_split_invariance_decisive_timing(num_blocks):
+    """With real timing structure (energy concentrated on one intra-symbol
+    index) the argmax is decisive and block splits must be exactly
+    invariant, including sample_index."""
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+
+    cfg = DemodConfig(sps=SPS, num_avg=NUM_AVG, constellation_size=4,
+                      phase_avg=50)
+    rng = np.random.default_rng(0)
+    j = rng.integers(0, 4, NSYM)
+    x = np.zeros(NSYM * SPS, np.complex64)
+    x[3::SPS] = np.exp(2j * np.pi * j / 4)  # all energy on intra-index 3
+    x += (0.01 * rng.standard_normal(x.size)).astype(np.complex64)
+    fn = make_demod_fn(cfg)
+
+    def run(nb):
+        st = demod_init(cfg)
+        outs = []
+        for blk in np.split(x, nb):
+            st, out = fn(st, blk)
+            outs.append(out)
+        valid = np.concatenate([np.asarray(o.valid) for o in outs])
+        return (np.concatenate([np.asarray(o.soft) for o in outs])[valid],
+                np.concatenate([np.asarray(o.sample_index) for o in outs])[valid])
+
+    soft1, idx1 = run(1)
+    softn, idxn = run(num_blocks)
+    np.testing.assert_array_equal(idxn, idx1)
+    np.testing.assert_allclose(softn, soft1, atol=1e-6)
 
 
 def test_phase_output_reasonable():

@@ -20,11 +20,23 @@ C, NS = 8, 1600
 
 
 def _signals(cfg, m=4):
-    return np.stack([
-        gen_psk_channel(NS, sps=cfg.sps, m=m, freq_offset=2e-4, snr_db=25,
-                        seed=i, timing_offset=3)[0]
-        for i in range(C)
-    ])
+    """Timing-decisive channels: energy concentrated on intra-symbol index 3
+    (rectangular pulses carry no timing information, so the windowed argmax
+    ties and any FP reordering -- shard-local vs block-local cumsums --
+    legitimately picks a different, equally valid sample)."""
+    out = []
+    for i in range(C):
+        rng = np.random.default_rng(i)
+        j = rng.integers(0, m, NS)
+        pts = np.exp(2j * np.pi * j / m)
+        if cfg.differential:
+            pts = np.cumprod(pts)
+        x = np.zeros(NS * cfg.sps, np.complex64)
+        t = np.arange(NS)
+        x[3::cfg.sps] = pts * np.exp(2j * np.pi * 2e-4 * cfg.sps * t)
+        x += (0.01 * rng.standard_normal(x.size)).astype(np.complex64)
+        out.append(x)
+    return np.stack(out)
 
 
 def _reference_run(cfg, xs):
