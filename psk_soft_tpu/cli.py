@@ -1,0 +1,221 @@
+"""Command-line interface: the framework's launch/deploy surface.
+
+The reference is launched as a CORBA executable by the REDHAWK domain
+(cpp/main.cpp:24-29, deployed per psk_soft.spd.xml:36-48).  Standalone
+TPU-native equivalent: a CLI that demodulates IQ files/streams, generates
+test signals, runs BER sweeps, and reports benchmarks.
+
+  python -m psk_soft_tpu demod --in iq.cf32 --out-prefix out --sps 8 -M 4
+  python -m psk_soft_tpu gen --symbols 1000 -M 4 --out iq.cf32
+  python -m psk_soft_tpu ber --esn0 0,2,4,6,8,10 -M 4
+  python -m psk_soft_tpu selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_demod_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--sps", type=int, default=10,
+                   help="samples per symbol (samplesPerBaud)")
+    p.add_argument("--num-avg", type=int, default=100,
+                   help="timing window in symbols (numAvg)")
+    p.add_argument("-M", "--constellation", type=int, default=4,
+                   choices=(2, 4, 8), help="constellation size")
+    p.add_argument("--phase-avg", type=int, default=50,
+                   help="phase tracker window (phaseAvg)")
+    p.add_argument("--differential", action="store_true")
+    p.add_argument("--matched-filter", choices=("none", "boxcar", "rrc"),
+                   default="none")
+    p.add_argument("--rrc-beta", type=float, default=0.35)
+    p.add_argument("--rrc-span", type=int, default=8)
+    p.add_argument("--timing-interp", action="store_true",
+                   help="fractional early-late timing refinement")
+
+
+def _config_from_args(args):
+    from .config import DemodConfig
+
+    return DemodConfig(
+        sps=args.sps, num_avg=args.num_avg,
+        constellation_size=args.constellation, phase_avg=args.phase_avg,
+        differential=args.differential, matched_filter=args.matched_filter,
+        rrc_beta=args.rrc_beta, rrc_span=args.rrc_span,
+        timing_interp=args.timing_interp)
+
+
+def cmd_demod(args) -> int:
+    from .runtime.engine import StreamEngine
+    from .runtime.streams import (SRI, Packet, PORT_BITS, PORT_PHASE,
+                                  PORT_SAMPLE_INDEX, PORT_SOFT)
+
+    cfg = _config_from_args(args)
+    eng = StreamEngine(cfg, block_symbols=args.block_symbols,
+                       pipeline=args.pipeline)
+    sri = SRI(stream_id=args.stream_id, xdelta=1.0 / args.sample_rate, mode=1)
+
+    src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
+    sinks = {
+        PORT_SOFT: open(f"{args.out_prefix}.soft.cf32", "wb"),
+        PORT_BITS: open(f"{args.out_prefix}.bits.i16", "wb"),
+        PORT_PHASE: open(f"{args.out_prefix}.phase.f32", "wb"),
+        PORT_SAMPLE_INDEX: open(f"{args.out_prefix}.index.i16", "wb"),
+    }
+    chunk_bytes = args.chunk_samples * 8  # complex64
+    total = 0
+    t = 0.0
+    try:
+        while True:
+            raw = src.read(chunk_bytes)
+            eos = len(raw) < chunk_bytes
+            usable = len(raw) - (len(raw) % 4)  # whole float32s only
+            data = np.frombuffer(raw[:usable], np.float32)
+            if data.size % 2:
+                data = data[:-1]
+            cx = data.view(np.complex64) if data.size else np.zeros(
+                0, np.complex64)
+            outs = eng.process(Packet(data=cx, sri=sri, t=t, eos=eos))
+            for port, pkt in outs.items():
+                sinks[port].write(np.ascontiguousarray(pkt.data).tobytes())
+            total += cx.size
+            t += cx.size * sri.xdelta
+            if eos:
+                break
+    finally:
+        for f in sinks.values():
+            f.close()
+        if src is not sys.stdin.buffer:
+            src.close()
+    m = eng.metrics
+    print(json.dumps({
+        "samples_in": m.samples_in, "symbols_out": m.symbols_out,
+        "bits_out": m.bits_out, "packets_in": m.packets_in,
+    }), file=sys.stderr)
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .testing.signals import gen_psk, gen_psk_channel
+
+    if args.golden:
+        x, _ = gen_psk(args.symbols, args.sps, args.constellation,
+                       differential=args.differential)
+    else:
+        x, _ = gen_psk_channel(
+            args.symbols, sps=args.sps, m=args.constellation,
+            differential=args.differential, seed=args.seed,
+            freq_offset=args.freq_offset, snr_db=args.snr,
+            pulse=args.pulse, rrc_beta=args.rrc_beta, rrc_span=args.rrc_span)
+    out = sys.stdout.buffer if args.out == "-" else open(args.out, "wb")
+    out.write(np.ascontiguousarray(x, np.complex64).tobytes())
+    if out is not sys.stdout.buffer:
+        out.close()
+    print(f"wrote {x.size} complex samples", file=sys.stderr)
+    return 0
+
+
+def cmd_ber(args) -> int:
+    from .eval.ber import ber_sweep, theoretical_ber
+
+    cfg = _config_from_args(args)
+    esn0 = [float(v) for v in args.esn0.split(",")]
+    pts = ber_sweep(cfg, esn0, num_symbols=args.symbols,
+                    freq_offset=args.freq_offset, pulse=args.pulse)
+    th = theoretical_ber(cfg.constellation_size, np.array(esn0))
+    for p, t in zip(pts, th):
+        print(json.dumps({
+            "esn0_db": p.esn0_db, "ber": p.ber, "ser": p.ser,
+            "theory_ber": float(t), "n_bits": p.n_bits,
+        }))
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    from .config import DemodConfig
+    from .models.psk import demod_init, make_demod_fn
+    from .testing.signals import gen_psk
+    from .utils.transfer import to_host
+
+    ok = True
+    for m in (2, 4, 8):
+        for diff in (False, True):
+            cfg = DemodConfig(sps=8, num_avg=100, constellation_size=m,
+                              phase_avg=50, differential=diff)
+            x, syms = gen_psk(1000, 8, m, differential=diff)
+            st, out = make_demod_fn(cfg)(demod_init(cfg), x)
+            out = to_host(out)
+            soft = out.soft[out.valid]
+            exp = syms[: soft.size]
+            if diff and m == 4:
+                exp = exp * np.exp(1j * np.pi / 4)
+            if diff:
+                err = np.abs(soft[1:] - exp[1:]).max()
+            else:
+                thetas = [2 * np.pi * k / m for k in range(m)] \
+                    if m != 4 else [np.pi / 4 + np.pi / 2 * k for k in range(4)]
+                err = min(np.abs(soft[1:] * np.exp(1j * t) - exp[1:]).max()
+                          for t in thetas)
+            passed = err < 1e-3
+            ok &= passed
+            print(f"M={m} differential={diff}: max_err={err:.2e} "
+                  f"{'PASS' if passed else 'FAIL'}")
+    print("selftest", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="psk_soft_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demod", help="demodulate an IQ file / stdin stream")
+    _add_demod_config_args(d)
+    d.add_argument("--in", dest="infile", default="-",
+                   help="input .cf32 file (interleaved float32 IQ), - = stdin")
+    d.add_argument("--out-prefix", default="psk_out")
+    d.add_argument("--sample-rate", type=float, default=1.0)
+    d.add_argument("--stream-id", default="cli")
+    d.add_argument("--block-symbols", type=int, default=512)
+    d.add_argument("--chunk-samples", type=int, default=1 << 16)
+    d.add_argument("--pipeline", choices=("ff", "exact"), default="ff")
+    d.set_defaults(fn=cmd_demod)
+
+    g = sub.add_parser("gen", help="generate a PSK test signal")
+    g.add_argument("--symbols", type=int, default=1000)
+    g.add_argument("--sps", type=int, default=8)
+    g.add_argument("-M", "--constellation", type=int, default=4)
+    g.add_argument("--differential", action="store_true")
+    g.add_argument("--golden", action="store_true",
+                   help="reference test fixture (seed 100, py2 RNG)")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--freq-offset", type=float, default=0.0)
+    g.add_argument("--snr", type=float, default=None)
+    g.add_argument("--pulse", choices=("rect", "rrc"), default="rect")
+    g.add_argument("--rrc-beta", type=float, default=0.35)
+    g.add_argument("--rrc-span", type=int, default=8)
+    g.add_argument("--out", default="-")
+    g.set_defaults(fn=cmd_gen)
+
+    b = sub.add_parser("ber", help="Es/N0 BER sweep")
+    _add_demod_config_args(b)
+    b.add_argument("--esn0", default="0,2,4,6,8,10",
+                   help="comma-separated Es/N0 dB points")
+    b.add_argument("--symbols", type=int, default=20000)
+    b.add_argument("--freq-offset", type=float, default=0.0)
+    b.add_argument("--pulse", choices=("rect", "rrc"), default="rect")
+    b.set_defaults(fn=cmd_ber)
+
+    s = sub.add_parser("selftest", help="golden parity quick check")
+    s.set_defaults(fn=cmd_selftest)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

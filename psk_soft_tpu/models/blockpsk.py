@@ -72,7 +72,8 @@ def ff_init(cfg: DemodConfig, channel_shape: tuple = ()) -> FFState:
     )
 
 
-def _fir_phase_track(cfg: DemodConfig, hist, phase_count, unwrapped, valid):
+def _fir_phase_track(cfg: DemodConfig, hist, phase_count, unwrapped, valid,
+                     assume_steady: bool = False):
     """Sliding linear-fit estimates for one block, as convolution + warm-up fix.
 
     Args:
@@ -93,6 +94,10 @@ def _fir_phase_track(cfg: DemodConfig, hist, phase_count, unwrapped, valid):
         est = unwrapped
     else:
         est = jnp.convolve(cat, w[::-1], mode="valid")  # (S,)
+
+    if assume_steady:
+        new_hist = cat[S:] if n > 1 else hist
+        return est, new_hist, phase_count
 
     # Warm-up: outputs whose effective window p < n get the right-aligned
     # p-point weights (exactly matching LinearFit's growing window,
@@ -124,10 +129,95 @@ def _fir_phase_track(cfg: DemodConfig, hist, phase_count, unwrapped, valid):
     return est, new_hist, new_count
 
 
+class SymbolBackendState(NamedTuple):
+    """Symbol-rate carry: everything downstream of timing recovery."""
+
+    phase_hist: jnp.ndarray    # (phase_avg-1,) float32
+    phase_count: jnp.ndarray   # () int32
+    last_phase: jnp.ndarray    # () float32
+    last_any: jnp.ndarray      # () complex64
+
+
+def symbol_backend(cfg: DemodConfig, st: SymbolBackendState,
+                   sel: jnp.ndarray, valid: jnp.ndarray,
+                   prev_exists: jnp.ndarray, assume_steady: bool = False):
+    """Phase recovery + correction + slicing over one block's decision
+    samples (single chain; vmap for channels).
+
+    ``assume_steady=True`` compiles the converged fast path: every output
+    valid and the tracker window full, so all warm-up machinery (first-valid
+    search, growing-window weight fix-up, origin snapping) drops out of the
+    program.  The streaming engines flip to it once warm-up has passed.
+
+    Returns (new SymbolBackendState, (soft, bits, phase_seq)).
+    """
+    m = cfg.constellation_size
+    S = sel.shape[0]
+    n1 = cfg.phase_avg - 1
+
+    # --- phase: trend-robust prefix unwrap + FIR fit ---
+    raw = phase_ops.mth_power_phase(sel, m)
+    if assume_steady:
+        raw_eff = raw
+    else:
+        fv = jnp.argmax(valid)  # index of first valid (0 if none/all)
+        first_raw = raw[jnp.clip(fv, 0, S - 1)]
+        prev_eff = jnp.where(st.phase_count > 0, st.last_phase, first_raw)
+        raw_eff = jnp.where(valid, raw, prev_eff)
+    # Unwrap over [history, block] in one locally-consistent chain (history
+    # values are unwrapped but enter mod 2pi, which is all the trend needs;
+    # hist[-1] is the chronologically newest value just before the block),
+    # then snap the absolute origin back onto the carry with an exact
+    # multiple of 2pi.
+    head = st.phase_hist if n1 > 0 else st.last_phase[None]
+    h = head.shape[0]
+    ext = jnp.concatenate([head, raw_eff])
+    u_ext = phase_ops.robust_block_unwrap(ext)
+    cont_shift = phase_ops.TWO_PI * jnp.round(
+        (st.last_phase - u_ext[h - 1]) / phase_ops.TWO_PI)
+    if assume_steady:
+        shift = cont_shift
+    else:
+        start_shift = phase_ops.TWO_PI * jnp.round(
+            (first_raw - u_ext[h + jnp.clip(fv, 0, S - 1)]) / phase_ops.TWO_PI)
+        shift = jnp.where(st.phase_count > 0, cont_shift, start_shift)
+    unwrapped = u_ext[h:] + shift
+    est, new_hist, new_count = _fir_phase_track(
+        cfg, st.phase_hist, st.phase_count, unwrapped, valid,
+        assume_steady=assume_steady)
+    phase_seq = jnp.where(valid, est, 0.0) if not assume_steady else est
+
+    if assume_steady:
+        new_last_phase = unwrapped[S - 1]
+        last_est = est[S - 1]
+    else:
+        any_valid = jnp.any(valid)
+        last_idx = jnp.where(any_valid, S - 1 - jnp.argmax(valid[::-1]), 0)
+        new_last_phase = jnp.where(any_valid, unwrapped[last_idx],
+                                   st.last_phase)
+        last_est = jnp.where(any_valid, est[last_idx], 0.0)
+
+    # End-of-block re-wrap about M*2pi (cpp/psk_soft.cpp:592-603): keep the
+    # carried history bounded; estimates already emitted are unaffected.
+    off = phase_ops.rewrap_offset(last_est, m)
+    new_hist = new_hist - off
+    new_last_phase = new_last_phase - off
+
+    soft, bits, last_any = correct_and_slice(cfg, sel, prev_exists,
+                                             st.last_any, phase_seq)
+    new_st = SymbolBackendState(
+        phase_hist=new_hist,
+        phase_count=new_count,
+        last_phase=new_last_phase,
+        last_any=last_any,
+    )
+    return new_st, (soft, bits, phase_seq)
+
+
 def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
     """Feed-forward demod of one symbol-aligned block (single chain; vmap for
     channels).  Same outputs as models/psk.demod_block."""
-    sps, m = cfg.sps, cfg.constellation_size
+    sps = cfg.sps
     T = x.shape[0]
     if T % sps != 0:
         raise ValueError(f"block length {T} not a multiple of sps={sps}")
@@ -138,54 +228,19 @@ def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
     fe = timing_frontend(cfg, state.win_samples, state.win_energy, state.seen, xs)
     sel, valid = fe["sel"], fe["valid"]
 
-    # --- phase: trend-robust prefix unwrap + FIR fit ---
-    raw = phase_ops.mth_power_phase(sel, m)
-    fv = jnp.argmax(valid)  # index of first valid (0 if none/all)
-    first_raw = raw[jnp.clip(fv, 0, S - 1)]
-    prev_eff = jnp.where(state.phase_count > 0, state.last_phase, first_raw)
-    raw_eff = jnp.where(valid, raw, prev_eff)
-    # Unwrap over [history, block] in one locally-consistent chain (history
-    # values are unwrapped but enter mod 2pi, which is all the trend needs;
-    # hist[-1] is the chronologically newest value just before the block),
-    # then snap the absolute origin back onto the carry with an exact
-    # multiple of 2pi.
-    n1 = cfg.phase_avg - 1
-    head = state.phase_hist if n1 > 0 else state.last_phase[None]
-    h = head.shape[0]
-    ext = jnp.concatenate([head, raw_eff])
-    u_ext = phase_ops.robust_block_unwrap(ext)
-    cont_shift = phase_ops.TWO_PI * jnp.round(
-        (state.last_phase - u_ext[h - 1]) / phase_ops.TWO_PI)
-    start_shift = phase_ops.TWO_PI * jnp.round(
-        (first_raw - u_ext[h + jnp.clip(fv, 0, S - 1)]) / phase_ops.TWO_PI)
-    shift = jnp.where(state.phase_count > 0, cont_shift, start_shift)
-    unwrapped = u_ext[h:] + shift
-    est, new_hist, new_count = _fir_phase_track(
-        cfg, state.phase_hist, state.phase_count, unwrapped, valid)
-    phase_seq = jnp.where(valid, est, 0.0)
-
-    any_valid = jnp.any(valid)
-    last_idx = jnp.where(any_valid, S - 1 - jnp.argmax(valid[::-1]), 0)
-    new_last_phase = jnp.where(any_valid, unwrapped[last_idx], state.last_phase)
-
-    # End-of-block re-wrap about M*2pi (cpp/psk_soft.cpp:592-603): keep the
-    # carried history bounded; estimates already emitted are unaffected.
-    last_est = jnp.where(any_valid, est[last_idx], 0.0)
-    off = phase_ops.rewrap_offset(last_est, m)
-    new_hist = new_hist - off
-    new_last_phase = new_last_phase - off
-
-    soft, bits, last_any = correct_and_slice(cfg, sel, fe["prev_exists"],
-                                             state.last_any, phase_seq)
+    bst = SymbolBackendState(state.phase_hist, state.phase_count,
+                             state.last_phase, state.last_any)
+    bst2, (soft, bits, phase_seq) = symbol_backend(cfg, bst, sel, valid,
+                                                   fe["prev_exists"])
 
     new_state = FFState(
         win_samples=fe["new_win_samples"],
         win_energy=fe["new_win_energy"],
         seen=fe["seen2"],
-        phase_hist=new_hist,
-        phase_count=new_count,
-        last_phase=new_last_phase,
-        last_any=last_any,
+        phase_hist=bst2.phase_hist,
+        phase_count=bst2.phase_count,
+        last_phase=bst2.last_phase,
+        last_any=bst2.last_any,
         mf_tail=mf_tail,
     )
     outputs = DemodOutputs(

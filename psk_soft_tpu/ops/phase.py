@@ -96,30 +96,42 @@ def wrap_to_pi(x: jnp.ndarray) -> jnp.ndarray:
 UNWRAP_TREND_LEN = 9
 
 
-def causal_complex_ma(phases: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Causal moving average of exp(i*phase) over the last k entries.
+# Trend decimation: one trend reference per D symbols.  The unwrap stays
+# correct as long as the phase moves < pi across a group of D symbols --
+# still far beyond any M-th-power tracker's lock range -- while the prefix
+# sum, the trend conv, and two of the three atan2 passes shrink by D.
+UNWRAP_TREND_STRIDE = 4
 
-    phases: (..., T).  Head entries average over what is available.
-    Returns the trend *angle* (..., T).
+
+def causal_complex_ma(phases: jnp.ndarray, k: int, stride: int = 1,
+                      pad_left: int | None = None) -> jnp.ndarray:
+    """Causal moving average of exp(i*phase) over the last k entries,
+    optionally strided (one output per ``stride`` inputs, anchored at each
+    group's last element).
+
+    phases: (..., T) with T divisible by stride.  Head entries average over
+    what is available.  Returns the trend *angle* (..., T // stride).
     """
     c_re = jnp.cos(phases)
     c_im = jnp.sin(phases)
     ones = jnp.ones((1, 1, k), c_re.dtype)
     lead = phases.shape[:-1]
     t = phases.shape[-1]
+    lpad = k - stride if pad_left is None else pad_left
 
     def conv(v):
         v2 = v.reshape(-1, 1, t)
         out = jax.lax.conv_general_dilated(
-            v2, ones, window_strides=(1,), padding=[(k - 1, 0)],
+            v2, ones, window_strides=(stride,), padding=[(lpad, 0)],
             dimension_numbers=("NCH", "OIH", "NCH"))
-        return out.reshape(lead + (t,))
+        return out.reshape(lead + (-1,))
 
     return jnp.arctan2(conv(c_im), conv(c_re))
 
 
 def robust_block_unwrap(raw: jnp.ndarray, axis: int = -1,
-                        k: int = UNWRAP_TREND_LEN) -> jnp.ndarray:
+                        k: int = UNWRAP_TREND_LEN,
+                        stride: int = UNWRAP_TREND_STRIDE) -> jnp.ndarray:
     """Feed-forward unwrap robust to per-symbol phase noise.
 
     A strict previous-sample prefix unwrap takes a false +-2pi wrap whenever
@@ -127,18 +139,29 @@ def robust_block_unwrap(raw: jnp.ndarray, axis: int = -1,
     power phases at low Es/N0 (sigma ~ M * noise).  The reference avoids this
     by unwrapping each raw phase against its *smoothed estimate*
     (cpp/psk_soft.cpp:477-481).  The feed-forward equivalent: average
-    exp(i*raw) over a short causal window (parallel), unwrap the low-noise
-    trend angles (prefix sum), and re-attach each raw phase as a (-pi, pi]
-    residual about its trend:
+    exp(i*raw) over a short causal window, unwrap the low-noise trend angles
+    (prefix sum), and re-attach each raw phase as a (-pi, pi] residual about
+    its trend:
 
-        u[t] = unwrap(trend)[t] + wrap_to_pi(raw[t] - trend[t])
+        u[t] = unwrap(trend)[g(t)] + wrap_to_pi(raw[t] - trend[g(t)])
 
+    where g(t) is t's trend group (one trend value per ``stride`` symbols).
     u[t] === raw[t] (mod 2pi) exactly, like any unwrap.
     """
     raw = jnp.moveaxis(raw, axis, -1)
-    ang_t = causal_complex_ma(raw, k)
-    unwrapped_t = block_unwrap(ang_t, ang_t[..., 0], axis=-1)
-    u = unwrapped_t + wrap_to_pi(raw - ang_t)
+    t = raw.shape[-1]
+    pad = (-t) % stride
+    rawp = jnp.concatenate(
+        [jnp.broadcast_to(raw[..., :1], raw.shape[:-1] + (pad,)), raw],
+        axis=-1) if pad else raw
+    ang_dec = causal_complex_ma(rawp, k, stride=stride)   # (..., G)
+    unwrapped_dec = block_unwrap(ang_dec, ang_dec[..., 0], axis=-1)
+    g = unwrapped_dec.shape[-1]
+    full = lambda v: jnp.broadcast_to(
+        v[..., :, None], v.shape + (stride,)).reshape(v.shape[:-1]
+                                                      + (g * stride,))
+    u = full(unwrapped_dec) + wrap_to_pi(rawp - full(ang_dec))
+    u = u[..., pad:]
     return jnp.moveaxis(u, -1, axis)
 
 

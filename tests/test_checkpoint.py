@@ -1,0 +1,58 @@
+"""Checkpoint/resume: serialize the carry mid-stream, reload, and the
+continuation must match the uninterrupted run exactly (the reference would
+re-converge only after its numAvg*sps warm-up; SURVEY.md section 5)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from psk_soft_tpu import DemodConfig, demod_init, make_demod_fn
+from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
+from psk_soft_tpu.utils.checkpoint import load_state, save_state
+from psk_soft_tpu.testing.signals import gen_psk_channel
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    x, _ = gen_psk_channel(600, sps=8, m=4, snr_db=25, seed=0,
+                           freq_offset=1e-4)
+    fn = make_ff_demod_fn(cfg)
+
+    st = ff_init(cfg)
+    st, out1 = fn(st, jnp.asarray(x[:2400]))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_state(path, st, cfg, extra={"stream": "s0", "symbols_done": 300})
+
+    st2, cfg2, extra = load_state(path)
+    assert cfg2 == cfg
+    assert extra["symbols_done"] == 300
+    for a, b in zip(st, st2):
+        np.testing.assert_allclose(np.asarray(jnp.real(a)),
+                                   np.asarray(jnp.real(b)), atol=0)
+
+    # Resume == uninterrupted.
+    st_resume, out_resume = fn(st2, jnp.asarray(x[2400:]))
+    st_cont, out_cont = fn(st, jnp.asarray(x[2400:]))
+    v = np.asarray(out_cont.valid)
+    np.testing.assert_array_equal(np.asarray(out_resume.valid), v)
+    np.testing.assert_allclose(np.asarray(out_resume.soft)[v],
+                               np.asarray(out_cont.soft)[v], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_resume.bits)[v],
+                                  np.asarray(out_cont.bits)[v])
+
+
+def test_checkpoint_exact_state(tmp_path):
+    cfg = DemodConfig(sps=8, num_avg=30, constellation_size=8, phase_avg=10,
+                      differential=True)
+    x, _ = gen_psk_channel(200, sps=8, m=8, snr_db=25, seed=1,
+                           differential=True)
+    fn = make_demod_fn(cfg)
+    st = demod_init(cfg)
+    st, _ = fn(st, jnp.asarray(x))
+    path = os.path.join(tmp_path, "exact.npz")
+    save_state(path, st, cfg)
+    st2, cfg2, _ = load_state(path)
+    assert type(st2).__name__ == "DemodState"
+    np.testing.assert_allclose(np.asarray(st.ring), np.asarray(st2.ring))
+    assert int(st2.ring_fill) == int(st.ring_fill)
