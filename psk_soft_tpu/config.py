@@ -81,6 +81,16 @@ class DemodConfig:
         """Timing window length numAvg*sps ("numDataPts", cpp/psk_soft.cpp:377)."""
         return self.sps * self.num_avg
 
+    def to_json(self) -> str:
+        """Serialize (the PRF-file equivalent, psk_soft.prf.xml)."""
+        import json
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "DemodConfig":
+        import json
+        return cls(**json.loads(s))
+
     @property
     def mf_ntaps(self) -> int:
         """Matched-filter length (0 when disabled)."""
