@@ -308,16 +308,20 @@ class BatchEngine:
     """
 
     def __init__(self, cfg: DemodConfig, channels: int,
-                 block_symbols: int = 512, pipeline: str = "ff"):
+                 block_symbols: int = 512, pipeline: str = "ff",
+                 guard_nonfinite: bool = False):
         self.cfg = cfg
         self.channels = channels
         self.block_symbols = int(block_symbols)
+        self.guard_nonfinite = guard_nonfinite
         self._ops = _PipelineOps(pipeline)
         self._state = self._ops.init(cfg, (channels,))
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self.metrics = EngineMetrics()
+        self.channel_resyncs = np.zeros(channels, np.int64)
         import functools
         self._fn = jax.jit(jax.vmap(functools.partial(self._ops.block, cfg)))
+        self._guard_fn = jax.jit(self._guard) if guard_nonfinite else None
 
     def push(self, channel: int, data: np.ndarray) -> None:
         self._staging[channel] = np.concatenate(
@@ -336,10 +340,74 @@ class BatchEngine:
         x = np.stack([s[:need] for s in self._staging])
         self._staging = [s[need:] for s in self._staging]
         self._state, out = self._fn(self._state, jnp.asarray(x))
+        if self._guard_fn is not None:
+            self._state, bad = self._guard_fn(self._state, out)
+            nbad = np.asarray(bad)
+            if nbad.any():
+                # Per-stream drop-and-resync (SURVEY.md section 5): a
+                # poisoned channel (non-finite input burst, NaN propagation)
+                # restarts its own tracking without touching its neighbors --
+                # the reference's accepted-data-loss recovery, per channel.
+                self.channel_resyncs[nbad] += 1
+                self.metrics.resets += int(nbad.sum())
         self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
+
+    def _guard(self, state, out):
+        """Reset carries of channels whose outputs went non-finite."""
+        bad = ~jnp.all(jnp.isfinite(out.soft.real)
+                       & jnp.isfinite(out.soft.imag)
+                       & jnp.isfinite(out.phase), axis=-1)      # (C,)
+        fresh = self._ops.init(self.cfg, (self.channels,))
+
+        def pick(new, old):
+            b = bad.reshape(bad.shape + (1,) * (old.ndim - 1))
+            return jnp.where(b, new, old)
+
+        state2 = jax.tree_util.tree_map(pick, fresh, state)
+        return state2, bad
 
     def reset(self) -> None:
         self._state = self._ops.init(self.cfg, (self.channels,))
         self._staging = [np.zeros(0, np.complex64) for _ in range(self.channels)]
         self.metrics.resets += 1
+
+
+class GroupEngine:
+    """Heterogeneous channel bank: buckets channels by config (notably sps,
+    whose symbol cadence cannot batch) into BatchEngines.
+
+    The reference would run one component process per configuration; here
+    each distinct config gets one compiled batched step, and channels map to
+    (group, slot).
+    """
+
+    def __init__(self, channel_cfgs: list[DemodConfig],
+                 block_symbols: int = 512, pipeline: str = "ff"):
+        groups: dict[DemodConfig, list[int]] = {}
+        for ch, cfg in enumerate(channel_cfgs):
+            groups.setdefault(cfg, []).append(ch)
+        self.groups = []
+        self.slot_of = {}
+        for cfg, members in groups.items():
+            eng = BatchEngine(cfg, channels=len(members),
+                              block_symbols=block_symbols, pipeline=pipeline)
+            gi = len(self.groups)
+            self.groups.append((cfg, members, eng))
+            for slot, ch in enumerate(members):
+                self.slot_of[ch] = (gi, slot)
+
+    def push(self, channel: int, data: np.ndarray) -> None:
+        gi, slot = self.slot_of[channel]
+        self.groups[gi][2].push(slot, data)
+
+    def step_all(self) -> dict[int, object]:
+        """Step every ready group; returns {channel: per-channel outputs}."""
+        results = {}
+        for cfg, members, eng in self.groups:
+            out = eng.step()
+            if out is None:
+                continue
+            for slot, ch in enumerate(members):
+                results[ch] = jax.tree_util.tree_map(lambda a: a[slot], out)
+        return results

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# CI entry point (the reference's .gitlab-ci.yml analog: build + test with
+# static analysis; coverage optional).  Runs on CPU with a virtual 8-device
+# mesh; TPU benches are a separate stage (bench.py).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native build =="
+make -C native
+
+echo "== static checks =="
+python -m compileall -q psk_soft_tpu tests bench.py __graft_entry__.py
+
+echo "== unit + integration tests (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== CLI selftest =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m psk_soft_tpu selftest
+
+echo "== graft entry dry runs =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    python __graft_entry__.py
+
+echo "CI OK"

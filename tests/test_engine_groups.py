@@ -1,0 +1,65 @@
+"""Failure isolation (per-channel drop-and-resync) and heterogeneous-sps
+channel bucketing."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.runtime.engine import BatchEngine, GroupEngine
+from psk_soft_tpu.testing.signals import gen_psk, gen_psk_channel
+
+
+def test_nonfinite_channel_resyncs_alone():
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10)
+    C = 4
+    eng = BatchEngine(cfg, channels=C, block_symbols=64,
+                      guard_nonfinite=True)
+    good = [gen_psk_channel(256, sps=8, m=4, seed=i, snr_db=25)[0]
+            for i in range(C)]
+    # Poison channel 2 with NaNs in its second block.
+    bad = good[2].copy()
+    bad[600:620] = np.nan
+    for c in range(C):
+        eng.push(c, good[c][:512])
+    out1 = eng.step()
+    for c in range(C):
+        eng.push(c, (bad if c == 2 else good[c])[512:1024])
+    out2 = eng.step()
+    assert eng.channel_resyncs.tolist() == [0, 0, 1, 0]
+    # Healthy channels keep converged output next block.
+    for c in range(C):
+        eng.push(c, good[c][1024:1536])
+    out3 = eng.step()
+    v = np.asarray(out3.valid)
+    assert v[0].all() and v[1].all() and v[3].all()
+    # The resynced channel restarted its warm-up (first num_avg-1 window
+    # positions of its new stream are invalid again).
+    assert not v[2][:19].any()
+    assert v[2][19:].all()
+
+
+def test_group_engine_heterogeneous_sps():
+    cfgs = [
+        DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10),
+        DemodConfig(sps=10, num_avg=20, constellation_size=2, phase_avg=10),
+        DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10),
+    ]
+    ge = GroupEngine(cfgs, block_symbols=64)
+    assert len(ge.groups) == 2  # sps-8 pair bucketed together
+    sigs = []
+    for ch, cfg in enumerate(cfgs):
+        x, _ = gen_psk(128, cfg.sps, cfg.constellation_size, seed=100 + ch)
+        sigs.append(x)
+        ge.push(ch, x)
+    collected = {ch: [] for ch in range(3)}
+    while True:
+        results = ge.step_all()
+        if not results:
+            break
+        for ch, out in results.items():
+            collected[ch].append(out)
+    for ch, cfg in enumerate(cfgs):
+        v = np.concatenate([np.asarray(o.valid) for o in collected[ch]])
+        soft = np.concatenate([np.asarray(o.soft) for o in collected[ch]])[v]
+        assert v.sum() == 128 - (cfg.num_avg - 1)
+        assert np.abs(np.abs(soft) - 1).max() < 0.01
