@@ -24,6 +24,77 @@ import numpy as np
 PER_CHIP_BASELINE = 10e9 / 16  # north-star aggregate / v5e-16 chips
 
 
+def emit(C, label, rate):
+    import jax
+    print(json.dumps({
+        "metric": f"{C}-channel QPSK streaming demod throughput "
+                  f"({label}, {jax.devices()[0].device_kind})",
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / PER_CHIP_BASELINE,
+    }))
+    return 0
+
+
+def run_ff(args, cfg, C, T, x_np):
+    """XLA feed-forward pipeline; returns the measured rate."""
+    import functools
+    import jax
+    from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
+    from psk_soft_tpu.utils.transfer import to_device
+
+    state = ff_init(cfg, (C,))
+    x = to_device(x_np)
+    step = jax.jit(jax.vmap(functools.partial(demod_block_ff, cfg)))
+    for _ in range(args.warmup):
+        state, out = step(state, x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, out = step(state, x)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return C * T * args.iters / best
+
+
+def run_full(args, cfg, C, T, x_np, quiet=False):
+    """Flagship: the single fused Pallas kernel (models/full.py), entered
+    after converging through the flexible pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
+    from psk_soft_tpu.models.full import demod_block_full, full_from_ff
+    from psk_soft_tpu.utils.transfer import to_device
+
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x_np))
+    state = full_from_ff(cfg, st_ff)
+    x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
+    x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
+
+    import functools
+    step = jax.jit(functools.partial(demod_block_full, cfg))
+
+    for _ in range(args.warmup):
+        state, out = step(state, x_re, x_im)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, out = step(state, x_re, x_im)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    samples = C * T * args.iters
+    rate = samples / best
+    if quiet:
+        return rate
+    return emit(C, "full-kernel", rate)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=1024)
@@ -31,11 +102,16 @@ def main():
     ap.add_argument("--sps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--reps", type=int, default=3,
+    ap.add_argument("--reps", type=int, default=5,
                     help="timing repetitions; best rep is reported "
                          "(tunneled-device variance is large)")
-    ap.add_argument("--pipeline", choices=["ff", "exact", "fused"],
-                    default="ff")
+    ap.add_argument("--pipeline",
+                    choices=["auto", "ff", "exact", "fused", "full"],
+                    default="auto",
+                    help="auto = measure both the fused-kernel flagship and "
+                         "the XLA feed-forward pipeline, report the faster "
+                         "(the tunneled device's throughput varies widely "
+                         "between windows and the two degrade differently)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +130,22 @@ def main():
                        np.arange(args.symbols)))
     x_np = np.repeat(pts, args.sps, axis=1).astype(np.complex64)
     x_np += (0.01 * rng.standard_normal(x_np.shape)).astype(np.complex64)
+
+    if args.pipeline in ("full", "auto"):
+        rate_full = None
+        try:
+            rate_full = run_full(args, cfg, C, T, x_np, quiet=True)
+        except Exception as e:  # pragma: no cover - platform-specific
+            print(f"full-kernel pipeline failed ({type(e).__name__}); "
+                  f"falling back to ff", file=sys.stderr)
+        if args.pipeline == "full" and rate_full is not None:
+            return emit(C, "full-kernel", rate_full)
+        if args.pipeline == "auto":
+            rate_ff = run_ff(args, cfg, C, T, x_np)
+            if rate_full is not None and rate_full >= rate_ff:
+                return emit(C, "full-kernel", rate_full)
+            return emit(C, "ff", rate_ff)
+        args.pipeline = "ff"
 
     if args.pipeline == "fused":
         from psk_soft_tpu.models.fused import demod_block_fused, fused_init
@@ -93,7 +185,8 @@ def main():
         }))
         return 0
 
-    x = jnp.asarray(x_np)
+    from psk_soft_tpu.utils.transfer import to_device
+    x = to_device(x_np)
     if args.pipeline == "ff":
         state = ff_init(cfg, (C,))
         block = demod_block_ff

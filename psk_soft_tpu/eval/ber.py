@@ -22,7 +22,7 @@ from ..config import DemodConfig
 from ..models.blockpsk import ff_init, make_ff_demod_fn
 from ..ops import slicers
 from ..testing.signals import gen_psk_channel
-from ..utils.transfer import to_host
+from ..utils.transfer import to_device, to_host
 
 
 def qfunc(x: np.ndarray) -> np.ndarray:
@@ -102,7 +102,7 @@ def measure_ber(cfg: DemodConfig, esn0_db: float, num_symbols: int = 20000,
         seed=seed, freq_offset=freq_offset, snr_db=esn0_db, pulse=pulse,
         rrc_beta=cfg.rrc_beta, rrc_span=cfg.rrc_span)
     fn = make_ff_demod_fn(cfg)
-    _, out = fn(ff_init(cfg), jnp.asarray(x))
+    _, out = fn(ff_init(cfg), to_device(x))
     out = to_host(out)
     soft = out.soft[out.valid]
     rx_idx = decide_indices(soft, m)

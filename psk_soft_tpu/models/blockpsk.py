@@ -57,18 +57,18 @@ class FFState(NamedTuple):
 
 
 def ff_init(cfg: DemodConfig, channel_shape: tuple = ()) -> FFState:
+    from ..utils.transfer import complex_ones, complex_zeros
     a1 = max(cfg.num_avg - 1, 0)
     n1 = max(cfg.phase_avg - 1, 0)
     return FFState(
-        win_samples=jnp.zeros(channel_shape + (a1, cfg.sps), jnp.complex64),
+        win_samples=complex_zeros(channel_shape + (a1, cfg.sps)),
         win_energy=jnp.zeros(channel_shape + (a1, cfg.sps), jnp.float32),
         seen=jnp.zeros(channel_shape, jnp.int32),
         phase_hist=jnp.zeros(channel_shape + (n1,), jnp.float32),
         phase_count=jnp.zeros(channel_shape, jnp.int32),
         last_phase=jnp.zeros(channel_shape, jnp.float32),
-        last_any=jnp.ones(channel_shape, jnp.complex64),
-        mf_tail=jnp.zeros(channel_shape + (max(cfg.mf_ntaps - 1, 0),),
-                          jnp.complex64),
+        last_any=complex_ones(channel_shape),
+        mf_tail=complex_zeros(channel_shape + (max(cfg.mf_ntaps - 1, 0),)),
     )
 
 

@@ -1,0 +1,126 @@
+"""Single-kernel steady-state pipeline built on ops/pallas/demod_kernel.
+
+Usage pattern: run the flexible pipeline (models/blockpsk or models/fused)
+through warm-up, convert the converged carry with :func:`full_from_ff`, then
+stream blocks through :func:`demod_block_full` -- the whole demod is one
+Pallas kernel and HBM traffic drops to the input read + symbol-rate outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DemodConfig
+from ..ops.pallas import demod_kernel
+from ..ops.phase import UNWRAP_TREND_LEN
+from .psk import DemodOutputs
+
+
+class FullState(NamedTuple):
+    win_re: jnp.ndarray   # ((num_avg-1)*sps, C) float32
+    win_im: jnp.ndarray   # ((num_avg-1)*sps, C) float32
+    planes: jnp.ndarray   # (state_rows(phase_avg), C) float32
+
+
+class FullOutputs(NamedTuple):
+    """Time-major symbol-rate planes (S, C); bits are packed LSB-first ints."""
+
+    soft_re: jnp.ndarray
+    soft_im: jnp.ndarray
+    phase: jnp.ndarray
+    bits_packed: jnp.ndarray
+    sample_index: jnp.ndarray
+
+
+def full_from_ff(cfg: DemodConfig, ff_state) -> FullState:
+    """Convert a *converged* channel-batched FFState (or FusedState) carry.
+
+    Host-side, called once at the warm-up -> steady transition.
+    """
+    from ..utils.transfer import to_host
+
+    k = UNWRAP_TREND_LEN
+    n1 = cfg.phase_avg - 1
+    if n1 < k:
+        raise ValueError(f"full pipeline requires phase_avg >= {k + 1}")
+    ff_state = to_host(ff_state)                  # complex64-safe on axon
+    hist = np.asarray(ff_state.phase_hist)        # (C, n-1) oldest..newest
+    c = hist.shape[0]
+    if hasattr(ff_state, "win_re"):               # FusedState (time-major)
+        win_re = np.asarray(ff_state.win_re)
+        win_im = np.asarray(ff_state.win_im)
+    else:                                         # FFState (channel-major)
+        win = np.asarray(ff_state.win_samples)    # (C, A-1, sps)
+        flat = win.reshape(c, -1)
+        win_re = np.ascontiguousarray(flat.real.T).astype(np.float32)
+        win_im = np.ascontiguousarray(flat.imag.T).astype(np.float32)
+
+    rs = demod_kernel.state_rows(cfg.phase_avg, k)
+    planes = np.zeros((rs, c), np.float32)
+    planes[:n1] = hist.T
+    tail = hist[:, n1 - (k - 1):]                 # (C, k-1) newest k-1
+    planes[n1:n1 + k - 1] = np.cos(tail).T
+    planes[n1 + k - 1:n1 + 2 * (k - 1)] = np.sin(tail).T
+    misc = n1 + 2 * (k - 1)
+    last_k = hist[:, n1 - k:]                     # (C, k)
+    ang_prev = np.arctan2(np.sin(last_k).sum(-1), np.cos(last_k).sum(-1))
+    last_phase = np.asarray(ff_state.last_phase)
+    planes[misc] = ang_prev
+    planes[misc + 1] = (2 * np.pi) * np.round(
+        (last_phase - ang_prev) / (2 * np.pi))
+    last_any = np.asarray(ff_state.last_any)
+    planes[misc + 2] = last_any.real
+    planes[misc + 3] = last_any.imag
+    return FullState(win_re=jnp.asarray(win_re), win_im=jnp.asarray(win_im),
+                     planes=jnp.asarray(planes))
+
+
+def demod_block_full(cfg: DemodConfig, state: FullState,
+                     x_re: jnp.ndarray, x_im: jnp.ndarray, *,
+                     s_tile: int = 256, interpret: bool = False):
+    """One steady-state block through the fused kernel.
+
+    x_re/x_im: (T, C) float32 time-major planes, T = S * sps.
+    """
+    if cfg.matched_filter != "none" or cfg.sps <= 1 or cfg.timing_interp:
+        raise ValueError("full kernel supports sps>1, no matched filter, "
+                         "argmax timing; use models.blockpsk otherwise")
+    sps, num_avg = cfg.sps, cfg.num_avg
+    soft_re, soft_im, phase, bits, idx, planes = demod_kernel.demod_full_tm(
+        state.win_re, state.win_im, x_re, x_im, state.planes, sps=sps,
+        num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
+        diff=cfg.differential, s_tile=s_tile, interpret=interpret)
+    keep = (num_avg - 1) * sps
+    new_state = FullState(
+        win_re=x_re[x_re.shape[0] - keep:],
+        win_im=x_im[x_im.shape[0] - keep:],
+        planes=planes,
+    )
+    return new_state, FullOutputs(soft_re, soft_im, phase, bits, idx)
+
+
+def make_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
+                       interpret: bool = False):
+    return jax.jit(functools.partial(demod_block_full, cfg, s_tile=s_tile,
+                                     interpret=interpret))
+
+
+def to_demod_outputs(cfg: DemodConfig, out: FullOutputs) -> DemodOutputs:
+    """Adapter to the standard channel-major DemodOutputs (for tests/tools;
+    the packed-bits planes are the production interface)."""
+    soft = jax.lax.complex(out.soft_re.T, out.soft_im.T)
+    packed = out.bits_packed.T
+    bits = jnp.stack([(packed >> i) & 1 for i in range(3)],
+                     axis=-1).astype(jnp.int8)
+    return DemodOutputs(
+        soft=soft,
+        bits=bits,
+        phase=out.phase.T,
+        sample_index=out.sample_index.T,
+        valid=jnp.ones(soft.shape, bool),
+    )

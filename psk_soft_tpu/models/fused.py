@@ -38,6 +38,8 @@ class FusedState(NamedTuple):
 
 
 def fused_init(cfg: DemodConfig, channels: int) -> FusedState:
+    from ..utils.transfer import complex_ones
+
     a1 = max(cfg.num_avg - 1, 0)
     return FusedState(
         win_re=jnp.zeros((a1 * cfg.sps, channels), jnp.float32),
@@ -46,7 +48,7 @@ def fused_init(cfg: DemodConfig, channels: int) -> FusedState:
         phase_hist=jnp.zeros((channels, max(cfg.phase_avg - 1, 0)), jnp.float32),
         phase_count=jnp.zeros((channels,), jnp.int32),
         last_phase=jnp.zeros((channels,), jnp.float32),
-        last_any=jnp.ones((channels,), jnp.complex64),
+        last_any=complex_ones((channels,)),
     )
 
 

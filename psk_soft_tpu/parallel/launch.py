@@ -24,7 +24,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 from .mesh import make_mesh

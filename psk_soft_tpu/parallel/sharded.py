@@ -34,7 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DemodConfig
 from ..models.psk import DemodOutputs
@@ -90,8 +90,13 @@ def _sharded_body(cfg: DemodConfig, total_symbols: int, x: jnp.ndarray):
             halo = _right_halo(xs, num_avg - 1, "time")
         else:  # only legal single-shard (asserted in make_sharded_demod)
             halo = jnp.zeros((c_loc, num_avg - 1, sps), xs.dtype)
+        # Local energies do not depend on the halo: computing them before
+        # touching `halo` lets XLA overlap the ppermute with local compute
+        # (seam exchange off the critical path, SURVEY.md hard part #3).
+        e_local = timing.symbol_energy_rows(xs)
+        e_halo = timing.symbol_energy_rows(halo)
         rows = jnp.concatenate([xs, halo], axis=1)       # (C, S+A-1, sps)
-        e = timing.symbol_energy_rows(rows)
+        e = jnp.concatenate([e_local, e_halo], axis=1)
         w = timing.windowed_bin_sums(e, num_avg)         # (C, S, sps)
         if cfg.timing_interp:
             sample_index, sel = timing.select_decision_samples_interp(

@@ -174,8 +174,9 @@ class StreamEngine:
         return self._assemble(chunks)
 
     def _run_block(self, samples: np.ndarray):
+        from ..utils.transfer import to_device
         fn = self._step_fn()
-        self._state, out = fn(self._state, jnp.asarray(samples))
+        self._state, out = fn(self._state, to_device(samples))
         self._symbols_consumed += samples.size // self.cfg.sps
         return out
 
@@ -242,14 +243,15 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
     state = jax.tree_util.tree_map(np.asarray, state)
     channel_shape = np.shape(state.seen)
     new = blockpsk.ff_init(new_cfg, channel_shape)
-    new = new._replace(last_any=jnp.asarray(state.last_any))
+    from ..utils.transfer import to_device
+    new = new._replace(last_any=to_device(state.last_any))
     mf_keys = ("matched_filter", "sps", "rrc_beta", "rrc_span")
     if all(getattr(old_cfg, k) == getattr(new_cfg, k) for k in mf_keys):
-        new = new._replace(mf_tail=jnp.asarray(state.mf_tail))
+        new = new._replace(mf_tail=to_device(state.mf_tail))
 
     if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
         new = new._replace(
-            win_samples=jnp.asarray(state.win_samples),
+            win_samples=to_device(state.win_samples),
             win_energy=jnp.asarray(state.win_energy),
             seen=jnp.asarray(state.seen),
         )
@@ -268,7 +270,7 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
             ws[..., new_cfg.num_avg - 1 - keep_syms:, :] = rows
             we[..., new_cfg.num_avg - 1 - keep_syms:, :] = e
             new = new._replace(
-                win_samples=jnp.asarray(ws), win_energy=jnp.asarray(we),
+                win_samples=to_device(ws), win_energy=jnp.asarray(we),
                 seen=jnp.full(channel_shape, keep_syms, jnp.int32))
 
     if old_cfg.constellation_size != new_cfg.constellation_size:
@@ -339,7 +341,8 @@ class BatchEngine:
         need = self.block_symbols * self.cfg.sps
         x = np.stack([s[:need] for s in self._staging])
         self._staging = [s[need:] for s in self._staging]
-        self._state, out = self._fn(self._state, jnp.asarray(x))
+        from ..utils.transfer import to_device
+        self._state, out = self._fn(self._state, to_device(x))
         if self._guard_fn is not None:
             self._state, bad = self._guard_fn(self._state, out)
             nbad = np.asarray(bad)

@@ -10,8 +10,6 @@ is a frozen dataclass pytree-side-channel; packets are host numpy arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 from ..config import DemodConfig

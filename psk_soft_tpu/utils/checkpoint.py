@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import DemodConfig
-from ..utils.transfer import to_host
+from ..utils.transfer import to_device, to_host
 
 _STATE_REGISTRY = {}
 
@@ -72,7 +72,7 @@ def load_state(path: str):
                 out = np.empty(re.shape, np.complex64)
                 out.real = re
                 out.imag = im
-                leaves.append(jnp.asarray(out))
+                leaves.append(to_device(out))
             else:
                 leaves.append(jnp.asarray(z[name]))
     cfg = DemodConfig(**header["config"])

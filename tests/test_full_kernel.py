@@ -1,0 +1,97 @@
+"""Fully-fused single-kernel pipeline vs the feed-forward reference
+(interpret mode on CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
+from psk_soft_tpu.models.full import (demod_block_full, full_from_ff,
+                                      make_full_demod_fn, to_demod_outputs)
+from psk_soft_tpu.ops.pallas.demod_kernel import atan2_poly
+
+C, NS = 128, 768
+
+
+def _channels(m=4, diff=False, sps=8):
+    out = []
+    for i in range(C):
+        rng = np.random.default_rng(i)
+        j = rng.integers(0, m, NS)
+        pts = np.exp(2j * np.pi * j / m)
+        if diff:
+            pts = np.cumprod(pts)
+        x = np.zeros(NS * sps, np.complex64)
+        x[2::sps] = pts * np.exp(2j * np.pi * 2e-4 * sps * np.arange(NS))
+        x += (0.01 * rng.standard_normal(x.size)).astype(np.complex64)
+        out.append(x)
+    return np.stack(out)
+
+
+def test_atan2_poly_accuracy():
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(4096).astype(np.float32)
+    x = rng.standard_normal(4096).astype(np.float32)
+    got = np.asarray(atan2_poly(jnp.asarray(y), jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.arctan2(y, x), atol=5e-6)
+
+
+@pytest.mark.parametrize("m,diff", [(4, False), (2, False), (8, False),
+                                    (4, True)])
+def test_full_kernel_matches_blockpsk_steady(m, diff):
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=m, phase_avg=20,
+                      differential=diff)
+    xs = _channels(m=m, diff=diff)
+    warm, run = np.split(xs, [256 * 8], axis=1)
+
+    # Converge the FF pipeline, then hand the carry to the full kernel.
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), jnp.asarray(warm))
+    st_full = full_from_ff(cfg, st_ff)
+    fn_full = make_full_demod_fn(cfg, s_tile=128, interpret=True)
+    st_full, out_full = fn_full(st_full, jnp.asarray(run.real.T),
+                                jnp.asarray(run.imag.T))
+    out_full = to_demod_outputs(cfg, out_full)
+
+    st_ff, out_ff = fn_ff(st_ff, jnp.asarray(run))
+    assert np.asarray(out_ff.valid).all()
+    np.testing.assert_array_equal(np.asarray(out_full.sample_index),
+                                  np.asarray(out_ff.sample_index))
+    np.testing.assert_allclose(np.asarray(out_full.phase),
+                               np.asarray(out_ff.phase), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_full.soft),
+                               np.asarray(out_ff.soft), atol=3e-3)
+    nb = cfg.bits_per_symbol
+    np.testing.assert_array_equal(np.asarray(out_full.bits)[..., :nb],
+                                  np.asarray(out_ff.bits)[..., :nb])
+
+
+def test_full_kernel_multiblock_carry():
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    xs = _channels()
+    warm, run = np.split(xs, [256 * 8], axis=1)
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), jnp.asarray(warm))
+    fn_full = make_full_demod_fn(cfg, s_tile=128, interpret=True)
+
+    st = full_from_ff(cfg, st_ff)
+    st1, one = fn_full(st, jnp.asarray(run.real.T), jnp.asarray(run.imag.T))
+
+    st = full_from_ff(cfg, st_ff)
+    parts = []
+    for blk in np.split(run, 2, axis=1):
+        st, o = fn_full(st, jnp.asarray(blk.real.T), jnp.asarray(blk.imag.T))
+        parts.append(o)
+    soft_parts = np.concatenate([np.asarray(p.soft_re) for p in parts], axis=0)
+    np.testing.assert_allclose(soft_parts, np.asarray(one.soft_re), atol=1e-4)
+    planes_a = np.asarray(st.planes)
+    planes_b = np.asarray(st1.planes)
+    np.testing.assert_allclose(planes_a, planes_b, atol=1e-3)
+
+
+def test_full_kernel_guards():
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=5)
+    with pytest.raises(ValueError, match="phase_avg"):
+        from psk_soft_tpu.models.blockpsk import ff_init as fi
+        full_from_ff(cfg, fi(cfg, (C,)))
