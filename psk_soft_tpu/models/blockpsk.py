@@ -214,9 +214,14 @@ def symbol_backend(cfg: DemodConfig, st: SymbolBackendState,
     return new_st, (soft, bits, phase_seq)
 
 
-def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
+def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray,
+                   assume_steady: bool = False):
     """Feed-forward demod of one symbol-aligned block (single chain; vmap for
-    channels).  Same outputs as models/psk.demod_block."""
+    channels).  Same outputs as models/psk.demod_block.
+
+    ``assume_steady`` compiles the converged fast path (see symbol_backend);
+    only call it once warm-up has passed (engines track this).
+    """
     sps = cfg.sps
     T = x.shape[0]
     if T % sps != 0:
@@ -226,12 +231,17 @@ def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
     xs = x.reshape(S, sps)
 
     fe = timing_frontend(cfg, state.win_samples, state.win_energy, state.seen, xs)
-    sel, valid = fe["sel"], fe["valid"]
+    sel = fe["sel"]
+    if assume_steady:
+        valid = jnp.ones((S,), bool)
+        prev_exists = valid
+    else:
+        valid, prev_exists = fe["valid"], fe["prev_exists"]
 
     bst = SymbolBackendState(state.phase_hist, state.phase_count,
                              state.last_phase, state.last_any)
-    bst2, (soft, bits, phase_seq) = symbol_backend(cfg, bst, sel, valid,
-                                                   fe["prev_exists"])
+    bst2, (soft, bits, phase_seq) = symbol_backend(
+        cfg, bst, sel, valid, prev_exists, assume_steady=assume_steady)
 
     new_state = FFState(
         win_samples=fe["new_win_samples"],
@@ -243,20 +253,26 @@ def demod_block_ff(cfg: DemodConfig, state: FFState, x: jnp.ndarray):
         last_any=bst2.last_any,
         mf_tail=mf_tail,
     )
-    outputs = DemodOutputs(
-        soft=jnp.where(valid, soft, 0),
-        bits=jnp.where(valid[:, None], bits, 0).astype(jnp.int8),
-        phase=phase_seq,
-        sample_index=jnp.where(valid, fe["sample_index"], 0),
-        valid=valid,
-    )
+    if assume_steady:
+        outputs = DemodOutputs(
+            soft=soft, bits=bits.astype(jnp.int8), phase=phase_seq,
+            sample_index=fe["sample_index"], valid=valid,
+        )
+    else:
+        outputs = DemodOutputs(
+            soft=jnp.where(valid, soft, 0),
+            bits=jnp.where(valid[:, None], bits, 0).astype(jnp.int8),
+            phase=phase_seq,
+            sample_index=jnp.where(valid, fe["sample_index"], 0),
+            valid=valid,
+        )
     return new_state, outputs
 
 
 def make_ff_demod_fn(cfg: DemodConfig, channels: int | None = None,
-                     jit: bool = True):
+                     jit: bool = True, assume_steady: bool = False):
     """Build a (optionally channel-batched) jitted feed-forward step."""
-    fn = functools.partial(demod_block_ff, cfg)
+    fn = functools.partial(demod_block_ff, cfg, assume_steady=assume_steady)
     if channels is not None:
         fn = jax.vmap(fn)
     return jax.jit(fn) if jit else fn

@@ -23,11 +23,16 @@ the reference's never-completed last window.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Callable, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Structured logging in place of the reference's log4cxx macros
+# (PREPARE_LOGGING/LOG_WARN/LOG_DEBUG, cpp/psk_soft.cpp:33,355,361,639-650).
+logger = logging.getLogger("psk_soft_tpu.engine")
 
 from ..config import DemodConfig
 from ..models import blockpsk, psk
@@ -93,12 +98,16 @@ class StreamEngine:
         """
         if new_cfg == self.cfg:
             return
+        logger.debug("reconfigure: %s -> %s", self.cfg, new_cfg)
         if self._ops.kind == "exact":
             self._state = state_mod.reconfigure(self.cfg, new_cfg, self._state)
         else:
             self._state = reconfigure_ff(self.cfg, new_cfg, self._state)
         self.cfg = new_cfg
         self._sri_dirty = True
+        # Conservatively drop back to the flexible (warm-up-capable) program:
+        # a resync may leave partially-filled windows.
+        self._symbols_consumed = 0
         self.metrics.reconfigures += 1
 
     def reset(self) -> None:
@@ -121,9 +130,14 @@ class StreamEngine:
         if packet.input_queue_flushed:
             # cpp/psk_soft.cpp:353-357: data was dropped upstream; restart
             # tracking rather than demodulate across the gap.
+            logger.warning("input queue flushed - data has been thrown on "
+                           "the floor; flushing internal buffers (stream %s)",
+                           packet.sri.stream_id)
             self.reset()
         if packet.sri.mode != 1:
             # cpp/psk_soft.cpp:359-363: cannot work with real data.
+            logger.warning("cannot work with real data (stream %s mode=%d)",
+                           packet.sri.stream_id, packet.sri.mode)
             self.metrics.real_mode_drops += 1
             return {}
         if self._sri is None or packet.sri != self._sri or packet.sri_changed:
@@ -148,15 +162,26 @@ class StreamEngine:
 
     # ------------------------------------------------------------- internals
 
-    def _step_fn(self) -> Callable:
-        # One jitted step per config; XLA re-specializes per block shape
-        # (steady state uses a single shape, EOS adds at most one more).
-        fn = self._fns.get(self.cfg)
+    def _step_fn(self, steady: bool) -> Callable:
+        # One jitted step per (config, steadiness); XLA re-specializes per
+        # block shape (steady state uses a single shape, EOS adds one more).
+        key = (self.cfg, steady)
+        fn = self._fns.get(key)
         if fn is None:
             import functools
-            fn = jax.jit(functools.partial(self._ops.block, self.cfg))
-            self._fns[self.cfg] = fn
+            if self._ops.kind == "ff":
+                fn = jax.jit(functools.partial(self._ops.block, self.cfg,
+                                               assume_steady=steady))
+            else:
+                fn = jax.jit(functools.partial(self._ops.block, self.cfg))
+            self._fns[key] = fn
         return fn
+
+    def _is_steady(self) -> bool:
+        """Warm-up fully behind us: timing window full and tracker window
+        full; the compiled steady program then skips all warm-up machinery."""
+        return (self._ops.kind == "ff" and self._symbols_consumed
+                >= self.cfg.num_avg + self.cfg.phase_avg)
 
     def _drain(self, final: bool) -> dict[str, Packet]:
         sps = self.cfg.sps
@@ -175,7 +200,7 @@ class StreamEngine:
 
     def _run_block(self, samples: np.ndarray):
         from ..utils.transfer import to_device
-        fn = self._step_fn()
+        fn = self._step_fn(self._is_steady())
         self._state, out = fn(self._state, to_device(samples))
         self._symbols_consumed += samples.size // self.cfg.sps
         return out

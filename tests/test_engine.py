@@ -160,6 +160,21 @@ def test_timestamps_track_symbols():
     assert pkts[1].t == pytest.approx(5.0 + n0 * 8 * IN_SRI.xdelta)
 
 
+def test_steady_switch_is_transparent():
+    """The engine flips to the assume_steady compiled program mid-stream;
+    outputs must be identical to a small-block (never-steady-at-switch) run."""
+    x, _ = gen_psk(1200, 8, 4)
+    eng = StreamEngine(CFG, block_symbols=64)  # steady after ~150 symbols
+    got = feed(eng, x, chunk=len(x))
+    ref_soft = cat(got, PORT_SOFT)
+    # Force an all-flex run by comparing against the one-shot EOS drain
+    # (single block, never reaches the steady counter before processing).
+    eng2 = StreamEngine(CFG, block_symbols=4096)
+    got2 = feed(eng2, x, chunk=len(x))
+    np.testing.assert_allclose(ref_soft, cat(got2, PORT_SOFT), atol=3e-4)
+    np.testing.assert_array_equal(cat(got, PORT_BITS), cat(got2, PORT_BITS))
+
+
 def test_batch_engine_matches_stream_engines():
     C = 4
     cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
