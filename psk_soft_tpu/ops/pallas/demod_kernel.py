@@ -110,7 +110,7 @@ def _lower_tri(rows: int) -> jnp.ndarray:
 
 
 def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
-            k: int,
+            k: int, n_time_tiles: int,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
             sre, sim, st, sem):
@@ -151,21 +151,22 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
         cx_im.wait()
         cp.wait()
 
-    @pl.when(si != 0)
-    def _():
-        # (si*s_tile*sps - wlen) is 8-aligned (both terms are), but Mosaic's
-        # divisibility prover cannot see through the subtraction.
-        start = pl.multiple_of(si * s_tile * sps - wlen, 8)
-        cp_re = pltpu.make_async_copy(
-            re_hbm.at[pl.ds(start, tile_len), pl.ds(ci * LANES, LANES)],
-            sre, sem.at[0])
-        cp_im = pltpu.make_async_copy(
-            im_hbm.at[pl.ds(start, tile_len), pl.ds(ci * LANES, LANES)],
-            sim, sem.at[1])
-        cp_re.start()
-        cp_im.start()
-        cp_re.wait()
-        cp_im.wait()
+    if n_time_tiles > 1:  # single-tile blocks never take this branch
+        @pl.when(si != 0)
+        def _():
+            # (si*s_tile*sps - wlen) is 8-aligned (both terms are), but
+            # Mosaic's divisibility prover can't see through the subtraction.
+            start = pl.multiple_of(si * s_tile * sps - wlen, 8)
+            cp_re = pltpu.make_async_copy(
+                re_hbm.at[pl.ds(start, tile_len), pl.ds(ci * LANES, LANES)],
+                sre, sem.at[0])
+            cp_im = pltpu.make_async_copy(
+                im_hbm.at[pl.ds(start, tile_len), pl.ds(ci * LANES, LANES)],
+                sim, sem.at[1])
+            cp_re.start()
+            cp_im.start()
+            cp_re.wait()
+            cp_im.wait()
 
     # --- C2: timing frontend ---
     b, sel_re_v, sel_im_v = _frontend(sre[:], sim[:], s_tile, sps, num_avg)
@@ -308,7 +309,7 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     fir_mat = jnp.asarray(fir_np)
 
     kernel = functools.partial(_kernel, s_tile, sps, num_avg, phase_avg, m,
-                               diff, k)
+                               diff, k, s_out // s_tile)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):

@@ -401,6 +401,112 @@ class BatchEngine:
         self.metrics.resets += 1
 
 
+class StreamRegistry:
+    """Route interleaved packets of multiple streams to per-stream engines.
+
+    BulkIO ports multiplex streams by streamID with independent SRI/EOS per
+    stream (SURVEY.md section 1 L2); the reference component implicitly
+    handles one stream at a time.  Here each streamID gets its own
+    StreamEngine (lazily created with the registry's config); EOS retires
+    the stream.
+    """
+
+    def __init__(self, cfg: DemodConfig, block_symbols: int = 512,
+                 pipeline: str = "ff", max_streams: int = 1024):
+        self.cfg = cfg
+        self.block_symbols = block_symbols
+        self.pipeline = pipeline
+        self.max_streams = max_streams
+        self.engines: dict[str, StreamEngine] = {}
+
+    def process(self, packet: Packet) -> dict[str, Packet]:
+        sid = packet.sri.stream_id
+        eng = self.engines.get(sid)
+        if eng is None:
+            if len(self.engines) >= self.max_streams:
+                raise RuntimeError(f"stream limit {self.max_streams} reached")
+            eng = StreamEngine(self.cfg, self.block_symbols, self.pipeline)
+            self.engines[sid] = eng
+        out = eng.process(packet)
+        if packet.eos:
+            del self.engines[sid]
+        return out
+
+    def configure(self, new_cfg: DemodConfig) -> None:
+        self.cfg = new_cfg
+        for eng in self.engines.values():
+            eng.configure(new_cfg)
+
+
+class FullKernelBatchEngine:
+    """BatchEngine for the single-kernel flagship: warms up through the
+    channel-major feed-forward pipeline, then hands the carry to the fused
+    Mosaic kernel (models/full.py) and streams time-major blocks through it.
+    """
+
+    def __init__(self, cfg: DemodConfig, channels: int,
+                 block_symbols: int = 512, s_tile: int = 256,
+                 interpret: bool = False):
+        import functools
+        from ..models import full as full_mod
+
+        if channels % 128:
+            raise ValueError("channels must be a multiple of 128")
+        self.cfg = cfg
+        self.channels = channels
+        self.block_symbols = int(block_symbols)
+        self._warm_ops = _PipelineOps("ff")
+        self._warm_state = self._warm_ops.init(cfg, (channels,))
+        self._warm_fn = jax.jit(jax.vmap(functools.partial(
+            self._warm_ops.block, cfg)))
+        self._full_fn = jax.jit(functools.partial(
+            full_mod.demod_block_full, cfg, s_tile=s_tile,
+            interpret=interpret))
+        self._full_mod = full_mod
+        self._full_state = None
+        self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
+        self._consumed = 0
+        self.metrics = EngineMetrics()
+
+    @property
+    def steady(self) -> bool:
+        return self._full_state is not None
+
+    def push(self, channel: int, data: np.ndarray) -> None:
+        self._staging[channel] = np.concatenate(
+            [self._staging[channel], np.asarray(data, np.complex64).ravel()])
+        self.metrics.samples_in += data.size
+
+    def ready(self) -> bool:
+        need = self.block_symbols * self.cfg.sps
+        return all(s.size >= need for s in self._staging)
+
+    def step(self):
+        """Returns channel-major DemodOutputs (via the adapter) or None."""
+        from ..utils.transfer import to_device
+
+        if not self.ready():
+            return None
+        need = self.block_symbols * self.cfg.sps
+        x = np.stack([s[:need] for s in self._staging])
+        self._staging = [s[need:] for s in self._staging]
+        self._consumed += self.block_symbols
+        if self._full_state is None:
+            self._warm_state, out = self._warm_fn(self._warm_state,
+                                                  to_device(x))
+            if self._consumed >= self.cfg.num_avg + self.cfg.phase_avg:
+                self._full_state = self._full_mod.full_from_ff(
+                    self.cfg, self._warm_state)
+                self._warm_state = None
+        else:
+            x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
+            x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
+            self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
+            out = self._full_mod.to_demod_outputs(self.cfg, fo)
+        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        return out
+
+
 class GroupEngine:
     """Heterogeneous channel bank: buckets channels by config (notably sps,
     whose symbol cadence cannot batch) into BatchEngines.
