@@ -99,6 +99,28 @@ def test_boxcar_mf_gain():
     assert p1.ber < p0.ber / 10   # ~9 dB processing gain
 
 
+def test_config3_8psk_rrc_earlylate_sweep():
+    """BASELINE.json config 3: 8-PSK with RRC matched filter + early-late
+    (fractional) timing, swept over Es/N0.  Checks the measured curve is
+    monotone and lands within a small implementation loss of theory at the
+    top of the range."""
+    from psk_soft_tpu.eval.ber import ber_sweep
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=8, phase_avg=40,
+                      matched_filter="rrc", rrc_beta=0.35, rrc_span=8,
+                      timing_interp=True)
+    # 8th-power carrier recovery amplifies phase noise 8x (squaring loss),
+    # so 8-PSK only locks above ~14 dB Es/N0 -- a property of the
+    # algorithm family, shared with the reference's recovery
+    # (cpp/psk_soft.cpp:474: arg(sample^M)).
+    esn0 = [10.0, 14.0, 18.0]
+    pts = ber_sweep(cfg, esn0, num_symbols=12000, pulse="rrc", seed=9)
+    bers = [p.ber for p in pts]
+    assert bers[0] > bers[-1]                 # improves with SNR
+    assert bers[1] < 0.15                     # acquiring by 14 dB
+    assert bers[-1] < 2e-4, bers              # clean lock at 18 dB
+
+
 def test_ber_with_freq_offset():
     """Carrier recovery holds BER near theory under frequency offset
     (BASELINE.json config 2)."""
