@@ -274,29 +274,19 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
     if all(getattr(old_cfg, k) == getattr(new_cfg, k) for k in mf_keys):
         new = new._replace(mf_tail=to_device(state.mf_tail))
 
-    if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
+    resync = state_mod.resync_window(old_cfg, new_cfg, state.win_samples,
+                                     state.seen)
+    if resync is None:
         new = new._replace(
             win_samples=to_device(state.win_samples),
             win_energy=jnp.asarray(state.win_energy),
             seen=jnp.asarray(state.seen),
         )
     else:
-        old_rows = min(int(np.min(state.seen)) if state.seen.size else 0,
-                       old_cfg.num_avg - 1)
-        flat = np.asarray(state.win_samples).reshape(channel_shape + (-1,))
-        flat = flat[..., (old_cfg.num_avg - 1 - old_rows) * old_cfg.sps:]
-        keep_syms = min(flat.shape[-1] // new_cfg.sps, new_cfg.num_avg - 1)
-        if keep_syms > 0:
-            tail = flat[..., flat.shape[-1] - keep_syms * new_cfg.sps:]
-            rows = tail.reshape(channel_shape + (keep_syms, new_cfg.sps))
-            e = (rows.real ** 2 + rows.imag ** 2).astype(np.float32)
-            ws = np.array(new.win_samples)
-            we = np.array(new.win_energy)
-            ws[..., new_cfg.num_avg - 1 - keep_syms:, :] = rows
-            we[..., new_cfg.num_avg - 1 - keep_syms:, :] = e
-            new = new._replace(
-                win_samples=to_device(ws), win_energy=jnp.asarray(we),
-                seen=jnp.full(channel_shape, keep_syms, jnp.int32))
+        ws, we, seen = resync
+        new = new._replace(win_samples=to_device(ws),
+                           win_energy=jnp.asarray(we),
+                           seen=jnp.asarray(seen))
 
     if old_cfg.constellation_size != new_cfg.constellation_size:
         return new  # phase history force-cleared (cpp/psk_soft.cpp:416-420)

@@ -71,6 +71,35 @@ def init_state(cfg: DemodConfig, channel_shape: tuple = ()) -> DemodState:
     )
 
 
+def resync_window(old_cfg: DemodConfig, new_cfg: DemodConfig,
+                  win_samples: np.ndarray, seen: np.ndarray):
+    """resyncEnergy semantics (cpp/psk_soft.cpp:619-636): keep the most
+    recent whole new-sps symbols that fit the new window, re-bin energies,
+    restart the warm-up count from what was kept.
+
+    Returns (win_samples', win_energy', seen') as numpy arrays shaped for
+    ``new_cfg`` (right-aligned rows), or None when the window is unchanged.
+    """
+    if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
+        return None
+    channel_shape = np.shape(seen)
+    old_rows = min(int(np.min(seen)) if np.size(seen) else 0,
+                   old_cfg.num_avg - 1)
+    flat = np.asarray(win_samples).reshape(channel_shape + (-1,))
+    flat = flat[..., (old_cfg.num_avg - 1 - old_rows) * old_cfg.sps:]
+    keep_syms = min(flat.shape[-1] // new_cfg.sps, new_cfg.num_avg - 1)
+    a1 = max(new_cfg.num_avg - 1, 0)
+    ws = np.zeros(channel_shape + (a1, new_cfg.sps), np.complex64)
+    we = np.zeros(channel_shape + (a1, new_cfg.sps), np.float32)
+    if keep_syms > 0:
+        tail = flat[..., flat.shape[-1] - keep_syms * new_cfg.sps:]
+        rows = tail.reshape(channel_shape + (keep_syms, new_cfg.sps))
+        ws[..., a1 - keep_syms:, :] = rows
+        we[..., a1 - keep_syms:, :] = (rows.real ** 2
+                                       + rows.imag ** 2).astype(np.float32)
+    return ws, we, np.full(channel_shape, keep_syms, np.int32)
+
+
 def reconfigure(old_cfg: DemodConfig, new_cfg: DemodConfig,
                 state: DemodState) -> DemodState:
     """Pure re-derivation of carry state after a property change (C7).
@@ -102,34 +131,18 @@ def reconfigure(old_cfg: DemodConfig, new_cfg: DemodConfig,
         new = new._replace(mf_tail=to_device(state.mf_tail))
 
     # --- timing window ---
-    if (old_cfg.sps, old_cfg.num_avg) == (new_cfg.sps, new_cfg.num_avg):
+    resync = resync_window(old_cfg, new_cfg, state.win_samples, state.seen)
+    if resync is None:
         new = new._replace(
             win_samples=to_device(state.win_samples),
             win_energy=jnp.asarray(state.win_energy),
             seen=jnp.asarray(state.seen),
         )
     else:
-        # Flatten the retained window to a sample stream, keep the most
-        # recent whole new-sps symbols that fit in the new window minus one
-        # row (the carry holds num_avg-1 rows), re-bin.
-        old_rows = min(int(np.min(state.seen)) if state.seen.size else 0,
-                       old_cfg.num_avg - 1)
-        flat = np.asarray(state.win_samples).reshape(
-            channel_shape + (-1,))[..., (old_cfg.num_avg - 1 - old_rows) * old_cfg.sps:]
-        keep_syms = min(flat.shape[-1] // new_cfg.sps, new_cfg.num_avg - 1)
-        if keep_syms > 0:
-            tail = flat[..., flat.shape[-1] - keep_syms * new_cfg.sps:]
-            rows = tail.reshape(channel_shape + (keep_syms, new_cfg.sps))
-            e = (rows.real ** 2 + rows.imag ** 2).astype(np.float32)
-            ws = np.array(new.win_samples)
-            we = np.array(new.win_energy)
-            ws[..., new_cfg.num_avg - 1 - keep_syms:, :] = rows
-            we[..., new_cfg.num_avg - 1 - keep_syms:, :] = e
-            new = new._replace(
-                win_samples=to_device(ws),
-                win_energy=jnp.asarray(we),
-                seen=jnp.full(channel_shape, keep_syms, jnp.int32),
-            )
+        ws, we, seen = resync
+        new = new._replace(win_samples=to_device(ws),
+                           win_energy=jnp.asarray(we),
+                           seen=jnp.asarray(seen))
 
     # --- phase tracker ---
     if old_cfg.constellation_size != new_cfg.constellation_size:

@@ -10,7 +10,6 @@ engines and tools work identically on CPU and TPU.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
