@@ -55,6 +55,7 @@ def run_ff(args, cfg, C, T, x_np):
         for _ in range(args.iters):
             state, out = step(state, x)
         jax.block_until_ready(out)
+        float(out.phase[0, 0])  # host fetch: forces true chain completion
         best = min(best, time.perf_counter() - t0)
     return C * T * args.iters / best
 
@@ -87,6 +88,7 @@ def run_full(args, cfg, C, T, x_np, quiet=False):
         for _ in range(args.iters):
             state, out = step(state, x_re, x_im)
         jax.block_until_ready(out)
+        float(out.phase[0, 0])  # host fetch: forces true chain completion
         best = min(best, time.perf_counter() - t0)
     samples = C * T * args.iters
     rate = samples / best

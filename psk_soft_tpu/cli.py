@@ -21,6 +21,9 @@ import numpy as np
 
 
 def _add_demod_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config-json", default=None,
+                   help="DemodConfig JSON file (the PRF-file equivalent); "
+                        "overrides the individual flags")
     p.add_argument("--sps", type=int, default=10,
                    help="samples per symbol (samplesPerBaud)")
     p.add_argument("--num-avg", type=int, default=100,
@@ -41,6 +44,9 @@ def _add_demod_config_args(p: argparse.ArgumentParser) -> None:
 def _config_from_args(args):
     from .config import DemodConfig
 
+    if getattr(args, "config_json", None):
+        with open(args.config_json) as f:
+            return DemodConfig.from_json(f.read())
     return DemodConfig(
         sps=args.sps, num_avg=args.num_avg,
         constellation_size=args.constellation, phase_avg=args.phase_avg,
