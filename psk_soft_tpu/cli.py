@@ -193,6 +193,15 @@ def cmd_ber(args) -> int:
     return 0
 
 
+def cmd_baseline(args) -> int:
+    """Run one of the BASELINE.json evaluation configs (1-5)."""
+    from .eval.baseline_configs import run_config
+
+    result = run_config(args.config, quick=not args.full)
+    print(json.dumps(result))
+    return 0 if result.get("pass") else 1
+
+
 def cmd_selftest(args) -> int:
     from .config import DemodConfig
     from .models.psk import demod_init, make_demod_fn
@@ -282,6 +291,13 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("selftest", help="golden parity quick check")
     s.set_defaults(fn=cmd_selftest)
+
+    bl = sub.add_parser("baseline",
+                        help="run a BASELINE.json evaluation config (1-5)")
+    bl.add_argument("--config", type=int, required=True, choices=range(1, 6))
+    bl.add_argument("--full", action="store_true",
+                    help="full-size run (default: quick sizes)")
+    bl.set_defaults(fn=cmd_baseline)
 
     args = ap.parse_args(argv)
     return args.fn(args)
