@@ -1,27 +1,37 @@
-"""Multi-chip flagship: the fully-fused kernel sharded over channels.
+"""Multi-chip flagship: the fully-fused kernel sharded over the mesh.
 
-The channel axis is communication-free (SURVEY.md section 2.5), so scaling
-the single-kernel pipeline (models/full.py) across a mesh is a pure
-``shard_map``: each device runs the Mosaic kernel on its channel slice and
-carries its own state planes.  This is the production configuration for
-BASELINE.json config 5's channel dimension; time-axis sharding composes with
-it via parallel/sharded.py (the jnp pipeline) until the seam machinery is
-folded into the kernel.
+Two compositions of models/full.py's single-kernel pipeline:
 
-Expected scaling: linear in devices (no collectives on the data path), so
-the >=85%% 1-chip -> N-host efficiency target reduces to per-host ingest
-bandwidth.
+* **Channel sharding** (:func:`make_sharded_full_demod`): communication-free
+  (SURVEY.md section 2.5) -- each device runs the Mosaic kernel on its
+  channel slice with its own carry planes.  Scaling is linear up to ingest
+  bandwidth.
+* **Time + channel sharding** (:func:`make_time_sharded_full_demod`): one
+  stream's time axis is split across devices too (BASELINE.json config 5).
+  Each shard runs the kernel *statelessly* over [left warm-up halo | own |
+  right lookahead halo] sample planes (two ``ppermute`` exchanges), discards
+  the halo outputs, and the only cross-shard sequential quantity -- the
+  absolute phase origin, a per-(shard, channel) multiple of 2pi -- is
+  recovered afterwards from overlap outputs by an ``all_gather`` + prefix
+  sum, then applied as a constellation-preserving derotation.  The stream's
+  very first warm-up region (first shard's discard margin) is masked
+  invalid: this path is the steady-streaming performance configuration; use
+  parallel/sharded.py for exact head-of-stream warm-up semantics.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DemodConfig
 from ..models.full import FullOutputs, FullState, demod_block_full
+from ..ops.pallas import demod_kernel
+from ..ops.phase import UNWRAP_TREND_LEN, TWO_PI
 
 
 def channel_sharding_tm(mesh: Mesh) -> NamedSharding:
@@ -53,4 +63,112 @@ def make_sharded_full_demod(cfg: DemodConfig, mesh: Mesh, *,
         out_specs=(state_specs, FullOutputs(spec, spec, spec, spec, spec)),
         check_vma=False,
     )
+    return jax.jit(inner)
+
+
+def _shift_rows(v: jnp.ndarray, from_left: bool) -> jnp.ndarray:
+    """ppermute along 'time': receive rows from the left (or right)
+    neighbor; edge shards receive zeros."""
+    n_sh = jax.lax.psum(1, "time")
+    if from_left:
+        perm = [(i, i + 1) for i in range(n_sh - 1)]
+    else:
+        perm = [(i, i - 1) for i in range(1, n_sh)]
+    return jax.lax.ppermute(v, "time", perm)
+
+
+def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
+                                 total_symbols: int, *, s_tile: int = 256,
+                                 interpret: bool = False):
+    """Time+channel-sharded single-kernel demod (see module docstring).
+
+    Returns fn(x_re, x_im) -> (soft_re, soft_im, phase, bits, idx, valid)
+    with (T, C) inputs sharded P('time','chan') and (S, C) outputs likewise.
+    The first ``discard`` symbols of the stream and the final numAvg-1 are
+    masked invalid.
+    """
+    sps, num_avg, m, n = (cfg.sps, cfg.num_avg, cfg.constellation_size,
+                          cfg.phase_avg)
+    if cfg.matched_filter != "none" or cfg.timing_interp or sps <= 1:
+        raise ValueError("time-sharded full kernel supports sps>1, no "
+                         "matched filter, argmax timing")
+    n_time = mesh.shape["time"]
+    s_loc = total_symbols // n_time
+    if total_symbols % n_time:
+        raise ValueError(f"{total_symbols} symbols not divisible by "
+                         f"time={n_time}")
+    a1 = num_avg - 1
+    discard = n + UNWRAP_TREND_LEN + 8        # phase warm-up margin
+    if n_time > 1 and s_loc < a1 + discard:
+        raise ValueError(f"symbols per time shard ({s_loc}) must be >= "
+                         f"{a1 + discard}")
+    s_out = discard + s_loc + a1              # kernel outputs per shard
+    k_tile = min(s_tile, 256)
+    k_tile = max(k_tile, a1 + (-a1) % 8)      # kernel needs s_tile >= A-1
+    s_out_p = -(-s_out // k_tile) * k_tile    # pad to a tile multiple
+    pad_rows = (s_out_p - s_out) * sps
+    rs = demod_kernel.state_rows(n)
+
+    def body(x_re, x_im):                     # (T_loc, C_loc) each
+        c_loc = x_re.shape[1]
+        lh = (a1 + discard) * sps
+        rh = a1 * sps
+
+        def assemble(v):
+            left = _shift_rows(v[v.shape[0] - lh:], from_left=True)
+            right = _shift_rows(v[:rh], from_left=False)
+            pad = jnp.zeros((pad_rows, c_loc), v.dtype)
+            return jnp.concatenate([left, v, right, pad], axis=0)
+
+        ext_re = assemble(x_re)
+        ext_im = assemble(x_im)
+        win_re, xk_re = ext_re[:a1 * sps], ext_re[a1 * sps:]
+        win_im, xk_im = ext_im[:a1 * sps], ext_im[a1 * sps:]
+        planes0 = jnp.zeros((rs, c_loc), jnp.float32)
+        soft_re, soft_im, phase, bits, idx, _ = demod_kernel.demod_full_tm(
+            win_re, win_im, xk_re, xk_im, planes0, sps=sps, num_avg=num_avg,
+            phase_avg=n, m=m, diff=cfg.differential, s_tile=k_tile,
+            interpret=interpret)
+
+        # --- recover the absolute phase origin per shard (multiple of 2pi,
+        # relative to shard 0) from overlap outputs ---
+        # Kernel output row o corresponds to ext symbol o (the window's
+        # OLDEST symbol), so own outputs occupy rows [a1+discard,
+        # a1+discard+s_loc).
+        own0 = a1 + discard
+        t_idx = jax.lax.axis_index("time")
+        own_last = phase[own0 + s_loc - 1]             # (C_loc,)
+        halo_last = phase[own0 - 1]                    # left-neighbor's last
+        seam = jnp.stack([own_last, halo_last], axis=0)
+        gathered = jax.lax.all_gather(seam, "time")    # (K, 2, C_loc)
+        c_seam = TWO_PI * jnp.round(
+            (gathered[:-1, 0] - gathered[1:, 1]) / TWO_PI)  # (K-1, C)
+        delta_all = jnp.concatenate(
+            [jnp.zeros((1, c_loc), jnp.float32),
+             jnp.cumsum(c_seam, axis=0)], axis=0)
+        delta = jnp.take(delta_all, t_idx, axis=0)     # (C_loc,)
+
+        # own region, origin-corrected
+        sl = slice(own0, own0 + s_loc)
+        soft = jax.lax.complex(soft_re[sl], soft_im[sl])
+        phase_own = phase[sl] + delta[None, :]
+        if not cfg.differential:
+            rot = -delta / float(m)
+            soft = soft * jax.lax.complex(jnp.cos(rot), jnp.sin(rot))[None, :]
+            # bits follow the corrected constellation
+            from ..ops import slicers
+            bits3 = slicers.slice_bits(m, soft.T)      # (C, S, 3)
+            packed = (bits3[..., 0] + 2 * bits3[..., 1]
+                      + 4 * bits3[..., 2]).T.astype(jnp.int32)
+        else:
+            packed = bits[sl]
+        gsym = t_idx * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
+        valid = (gsym >= discard) & (gsym < total_symbols - a1)
+        return (soft.real, soft.imag, phase_own, packed, idx[sl],
+                jnp.broadcast_to(valid[:, None], (s_loc, c_loc)))
+
+    spec = P("time", "chan")
+    inner = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec),
+        out_specs=(spec,) * 6, check_vma=False)
     return jax.jit(inner)
