@@ -86,6 +86,8 @@ class StreamEngine:
         self._symbols_emitted = 0    # valid outputs so far (for timestamps)
         self._symbols_consumed = 0   # whole symbols fed to the device
         self.metrics = EngineMetrics()
+        from ..utils.profiling import StepTimer
+        self.step_timer = StepTimer()  # per-device-block wall time
         self._fns: dict = {}
 
     # ------------------------------------------------------------- config
@@ -201,7 +203,8 @@ class StreamEngine:
     def _run_block(self, samples: np.ndarray):
         from ..utils.transfer import to_device
         fn = self._step_fn(self._is_steady())
-        self._state, out = fn(self._state, to_device(samples))
+        with self.step_timer.measure():
+            self._state, out = fn(self._state, to_device(samples))
         self._symbols_consumed += samples.size // self.cfg.sps
         return out
 
@@ -336,6 +339,8 @@ class BatchEngine:
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self.metrics = EngineMetrics()
         self.channel_resyncs = np.zeros(channels, np.int64)
+        from ..utils.profiling import StepTimer
+        self.step_timer = StepTimer()
         import functools
         self._fn = jax.jit(jax.vmap(functools.partial(self._ops.block, cfg)))
         self._guard_fn = jax.jit(self._guard) if guard_nonfinite else None
@@ -357,7 +362,8 @@ class BatchEngine:
         x = np.stack([s[:need] for s in self._staging])
         self._staging = [s[need:] for s in self._staging]
         from ..utils.transfer import to_device
-        self._state, out = self._fn(self._state, to_device(x))
+        with self.step_timer.measure():
+            self._state, out = self._fn(self._state, to_device(x))
         if self._guard_fn is not None:
             self._state, bad = self._guard_fn(self._state, out)
             nbad = np.asarray(bad)

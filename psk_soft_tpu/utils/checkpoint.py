@@ -30,7 +30,9 @@ def _registry():
         from ..state import DemodState
         from ..models.blockpsk import FFState, SymbolBackendState
         from ..models.fused import FusedState
-        for cls in (DemodState, FFState, SymbolBackendState, FusedState):
+        from ..models.full import FullState
+        for cls in (DemodState, FFState, SymbolBackendState, FusedState,
+                    FullState):
             _STATE_REGISTRY[cls.__name__] = cls
     return _STATE_REGISTRY
 

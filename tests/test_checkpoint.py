@@ -42,6 +42,31 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(out_cont.bits)[v])
 
 
+def test_checkpoint_full_kernel_state(tmp_path):
+    """FullState (single-kernel pipeline carry) roundtrips and resumes."""
+    from psk_soft_tpu.models.blockpsk import make_ff_demod_fn as mkff
+    from psk_soft_tpu.models.full import full_from_ff, make_full_demod_fn
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    C = 128
+    xs = np.stack([gen_psk_channel(512, sps=8, m=4, seed=i, snr_db=25)[0]
+                   for i in range(C)])
+    fn_ff = mkff(cfg, channels=C)
+    from psk_soft_tpu.models.blockpsk import ff_init as ffi
+    st_ff, _ = fn_ff(ffi(cfg, (C,)), jnp.asarray(xs))
+    st = full_from_ff(cfg, st_ff)
+    path = os.path.join(tmp_path, "full.npz")
+    save_state(path, st, cfg)
+    st2, cfg2, _ = load_state(path)
+    assert type(st2).__name__ == "FullState"
+    fn = make_full_demod_fn(cfg, s_tile=128, interpret=True)
+    x2 = np.roll(xs, 1, axis=0)
+    _, o1 = fn(st, jnp.asarray(x2.real.T), jnp.asarray(x2.imag.T))
+    _, o2 = fn(st2, jnp.asarray(x2.real.T), jnp.asarray(x2.imag.T))
+    np.testing.assert_allclose(np.asarray(o2.soft_re), np.asarray(o1.soft_re),
+                               atol=1e-6)
+
+
 def test_checkpoint_exact_state(tmp_path):
     cfg = DemodConfig(sps=8, num_avg=30, constellation_size=8, phase_avg=10,
                       differential=True)
