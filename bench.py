@@ -37,25 +37,39 @@ def emit(C, label, rate):
 
 
 def run_ff(args, cfg, C, T, x_np):
-    """XLA feed-forward pipeline; returns the measured rate."""
+    """XLA feed-forward pipeline; returns the measured rate.
+
+    All iters run inside ONE dispatch (lax.scan) and the timed region ends
+    with a host fetch of a checksum that data-depends on every output --
+    per-dispatch relay overhead is amortized and deferred-execution tricks
+    cannot inflate the number.
+    """
     import functools
     import jax
+    import jax.numpy as jnp
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
     from psk_soft_tpu.utils.transfer import to_device
 
     state = ff_init(cfg, (C,))
     x = to_device(x_np)
-    step = jax.jit(jax.vmap(functools.partial(demod_block_ff, cfg)))
-    for _ in range(args.warmup):
-        state, out = step(state, x)
-    jax.block_until_ready(out)
+    step = jax.vmap(functools.partial(demod_block_ff, cfg))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(state, x, k):
+        def body(st, _):
+            st2, out = step(st, x)
+            chk = (jnp.sum(out.phase) + jnp.sum(out.soft.real)
+                   + jnp.sum(out.bits) + jnp.sum(out.sample_index))
+            return st2, chk
+        st, chks = jax.lax.scan(body, state, None, length=k)
+        return st, jnp.sum(chks)
+
+    state, _ = run_k(state, x, args.warmup or 1)
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, out = step(state, x)
-        jax.block_until_ready(out)
-        float(out.phase[0, 0])  # host fetch: forces true chain completion
+        state, chk = run_k(state, x, args.iters)
+        float(chk)  # host fetch: forces true completion of all work
         best = min(best, time.perf_counter() - t0)
     return C * T * args.iters / best
 
@@ -77,18 +91,25 @@ def run_full(args, cfg, C, T, x_np, quiet=False):
     x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
     import functools
-    step = jax.jit(functools.partial(demod_block_full, cfg))
 
-    for _ in range(args.warmup):
-        state, out = step(state, x_re, x_im)
-    jax.block_until_ready(out)
+    step = functools.partial(demod_block_full, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(state, x_re, x_im, k):
+        def body(st, _):
+            st2, out = step(st, x_re, x_im)
+            chk = (jnp.sum(out.phase) + jnp.sum(out.soft_re)
+                   + jnp.sum(out.bits_packed) + jnp.sum(out.sample_index))
+            return st2, chk
+        st, chks = jax.lax.scan(body, state, None, length=k)
+        return st, jnp.sum(chks)
+
+    state, _ = run_k(state, x_re, x_im, args.warmup or 1)
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, out = step(state, x_re, x_im)
-        jax.block_until_ready(out)
-        float(out.phase[0, 0])  # host fetch: forces true chain completion
+        state, chk = run_k(state, x_re, x_im, args.iters)
+        float(chk)  # host fetch: forces true completion of all work
         best = min(best, time.perf_counter() - t0)
     samples = C * T * args.iters
     rate = samples / best

@@ -276,3 +276,22 @@ def make_ff_demod_fn(cfg: DemodConfig, channels: int | None = None,
     if channels is not None:
         fn = jax.vmap(fn)
     return jax.jit(fn) if jit else fn
+
+
+def make_scanned_ff_demod_fn(cfg: DemodConfig, channels: int | None = None,
+                             assume_steady: bool = False):
+    """Many block-steps in ONE dispatch: fn(state, xs) with xs shaped
+    (K, T) (or (K, C, T) with channels), scanning the carried step over the
+    leading axis and returning (state, stacked DemodOutputs).
+
+    One compiled program processes a whole recording -- useful for offline
+    batch work and for amortizing per-dispatch overhead.
+    """
+    step = functools.partial(demod_block_ff, cfg, assume_steady=assume_steady)
+    if channels is not None:
+        step = jax.vmap(step)
+
+    def run(state, xs):
+        return jax.lax.scan(step, state, xs)
+
+    return jax.jit(run)

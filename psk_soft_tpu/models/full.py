@@ -110,6 +110,23 @@ def make_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
                                      interpret=interpret))
 
 
+def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
+                               interpret: bool = False):
+    """Many kernel block-steps in ONE dispatch: fn(state, xs_re, xs_im) with
+    (K, T, C) plane stacks, scanning the fused kernel over the leading axis
+    and returning (state, stacked FullOutputs)."""
+    step = functools.partial(demod_block_full, cfg, s_tile=s_tile,
+                             interpret=interpret)
+
+    def run(state, xs_re, xs_im):
+        def body(st, xy):
+            st2, out = step(st, xy[0], xy[1])
+            return st2, out
+        return jax.lax.scan(body, state, (xs_re, xs_im))
+
+    return jax.jit(run)
+
+
 def to_demod_outputs(cfg: DemodConfig, out: FullOutputs) -> DemodOutputs:
     """Adapter to the standard channel-major DemodOutputs (for tests/tools;
     the packed-bits planes are the production interface)."""

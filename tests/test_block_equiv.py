@@ -95,3 +95,57 @@ def test_ff_phase_avg_one():
     cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=1)
     x, _ = gen_psk(200, 8, 4)
     assert_equiv(run_both(cfg, x))
+
+
+def test_scanned_ff_matches_loop():
+    """make_scanned_ff_demod_fn (one dispatch for K blocks) == the python
+    loop over the carried step."""
+    import jax.numpy as jnp
+    from psk_soft_tpu.models.blockpsk import (ff_init, make_ff_demod_fn,
+                                              make_scanned_ff_demod_fn)
+
+    cfg = DemodConfig(sps=8, num_avg=30, constellation_size=4, phase_avg=10)
+    x, _ = gen_psk(400, 8, 4)
+    blocks = np.stack(np.split(np.asarray(x), 4))
+    fn = make_ff_demod_fn(cfg)
+    st = ff_init(cfg)
+    outs = []
+    for b in blocks:
+        st, o = fn(st, jnp.asarray(b))
+        outs.append(np.asarray(o.soft))
+    st2, so = make_scanned_ff_demod_fn(cfg)(ff_init(cfg), jnp.asarray(blocks))
+    np.testing.assert_allclose(np.asarray(so.soft).reshape(-1),
+                               np.concatenate(outs), atol=1e-6)
+    for a, b in zip(st, st2):
+        np.testing.assert_allclose(np.asarray(jnp.real(a)),
+                                   np.asarray(jnp.real(b)), atol=1e-6)
+
+
+def test_scanned_full_matches_loop():
+    import jax.numpy as jnp
+    from psk_soft_tpu.models.blockpsk import ff_init as ffi
+    from psk_soft_tpu.models.blockpsk import make_ff_demod_fn as mkff
+    from psk_soft_tpu.models.full import (full_from_ff, make_full_demod_fn,
+                                          make_scanned_full_demod_fn)
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+
+    C = 128
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    xs = np.stack([gen_psk_channel(512, sps=8, m=4, seed=i, snr_db=25)[0]
+                   for i in range(C)])
+    st_ff, _ = mkff(cfg, channels=C)(ffi(cfg, (C,)), jnp.asarray(xs))
+    st0 = full_from_ff(cfg, st_ff)
+    xr = np.stack([np.ascontiguousarray(np.roll(xs, k, axis=0).real.T)
+                   for k in range(3)])
+    xi = np.stack([np.ascontiguousarray(np.roll(xs, k, axis=0).imag.T)
+                   for k in range(3)])
+    fn = make_full_demod_fn(cfg, s_tile=128, interpret=True)
+    st = st0
+    parts = []
+    for k in range(3):
+        st, o = fn(st, jnp.asarray(xr[k]), jnp.asarray(xi[k]))
+        parts.append(np.asarray(o.soft_re))
+    st2, so = make_scanned_full_demod_fn(cfg, s_tile=128, interpret=True)(
+        st0, jnp.asarray(xr), jnp.asarray(xi))
+    np.testing.assert_allclose(np.asarray(so.soft_re),
+                               np.stack(parts), atol=1e-6)
