@@ -391,6 +391,27 @@ class BatchEngine:
         state2 = jax.tree_util.tree_map(pick, fresh, state)
         return state2, bad
 
+    def flush(self):
+        """EOS drain: process the remaining staged whole symbols (below the
+        block size) as one final, shape-recompiled step; drops the < sps
+        tail like the reference's never-completed last window."""
+        from ..utils.transfer import to_device
+
+        sps = self.cfg.sps
+        n = (min(s.size for s in self._staging) // sps) * sps
+        self._staging = [s[:n] for s in self._staging]
+        if n == 0:
+            self._staging = [np.zeros(0, np.complex64)
+                             for _ in range(self.channels)]
+            return None
+        x = np.stack(self._staging)
+        self._staging = [np.zeros(0, np.complex64)
+                         for _ in range(self.channels)]
+        with self.step_timer.measure():
+            self._state, out = self._fn(self._state, to_device(x))
+        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        return out
+
     def reset(self) -> None:
         self._state = self._ops.init(self.cfg, (self.channels,))
         self._staging = [np.zeros(0, np.complex64) for _ in range(self.channels)]

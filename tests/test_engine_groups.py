@@ -38,6 +38,22 @@ def test_nonfinite_channel_resyncs_alone():
     assert v[2][19:].all()
 
 
+def test_batch_engine_flush_drains_remainder():
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10)
+    eng = BatchEngine(cfg, channels=2, block_symbols=64)
+    for c in range(2):
+        x, _ = gen_psk(100, 8, 4, seed=300 + c)  # 100 < 2 blocks
+        eng.push(c, x)
+    out1 = eng.step()
+    assert out1 is not None
+    out2 = eng.flush()  # remaining 36 symbols
+    v = np.asarray(out2.valid)
+    assert v.shape[1] == 36
+    total = int(np.asarray(out1.valid).sum() + v.sum())
+    assert total == 2 * (100 - 19)
+    assert eng.flush() is None  # idempotent on empty staging
+
+
 def test_group_engine_heterogeneous_sps():
     cfgs = [
         DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10),

@@ -68,6 +68,45 @@ def test_ff_pipeline_matches_oracle_blocked():
     np.testing.assert_allclose(soft[:n], ref["soft"][:n], atol=5e-3)
 
 
+_FUZZ = []
+_rng = np.random.default_rng(42)
+for _ in range(6):
+    _FUZZ.append(dict(
+        sps=int(_rng.integers(3, 12)),
+        num_avg=int(_rng.integers(5, 40)),
+        m=int(_rng.choice([2, 4, 8])),
+        phase_avg=int(_rng.integers(2, 30)),
+        diff=bool(_rng.integers(0, 2)),
+        nsym=int(_rng.integers(120, 280)),
+    ))
+
+
+@pytest.mark.parametrize("case", _FUZZ,
+                         ids=[f"sps{c['sps']}A{c['num_avg']}M{c['m']}"
+                              f"P{c['phase_avg']}{'d' if c['diff'] else ''}"
+                              for c in _FUZZ])
+def test_oracle_fuzz(case):
+    """Randomized configs against the sequential oracle."""
+    sps = case["sps"]
+    x = _decisive_signal(case["nsym"], sps, case["m"],
+                         peak=sps // 2, seed=case["nsym"], diff=case["diff"])
+    ref = demod_reference(x, sps, case["num_avg"], case["m"],
+                          case["phase_avg"], differential=case["diff"])
+    cfg = DemodConfig(sps=sps, num_avg=case["num_avg"],
+                      constellation_size=case["m"],
+                      phase_avg=case["phase_avg"],
+                      differential=case["diff"])
+    st, out = make_demod_fn(cfg)(demod_init(cfg), jnp.asarray(x))
+    v = np.asarray(out.valid)
+    soft = np.asarray(out.soft)[v]
+    idx = np.asarray(out.sample_index)[v]
+    n = min(soft.size, ref["soft"].size)
+    np.testing.assert_array_equal(idx[:n], ref["sample_index"][:n],
+                                  err_msg=str(case))
+    np.testing.assert_allclose(soft[:n], ref["soft"][:n], atol=5e-3,
+                               err_msg=str(case))
+
+
 def test_oracle_on_golden_vectors():
     """The oracle itself reproduces the reference test assertion on the
     golden fixture (sanity that the oracle is a faithful spec)."""
