@@ -391,6 +391,22 @@ class BatchEngine:
         state2 = jax.tree_util.tree_map(pick, fresh, state)
         return state2, bad
 
+    def configure(self, new_cfg: DemodConfig) -> None:
+        """Live property change for the whole bank (C7 resync semantics,
+        like StreamEngine.configure)."""
+        import functools
+        if new_cfg == self.cfg:
+            return
+        logger.debug("batch reconfigure: %s -> %s", self.cfg, new_cfg)
+        if self._ops.kind == "exact":
+            self._state = state_mod.reconfigure(self.cfg, new_cfg, self._state)
+        else:
+            self._state = reconfigure_ff(self.cfg, new_cfg, self._state)
+        self.cfg = new_cfg
+        self._fn = jax.jit(jax.vmap(functools.partial(self._ops.block,
+                                                      new_cfg)))
+        self.metrics.reconfigures += 1
+
     def flush(self):
         """EOS drain: process the remaining staged whole symbols (below the
         block size) as one final, shape-recompiled step; drops the < sps

@@ -79,3 +79,21 @@ def test_group_engine_heterogeneous_sps():
         soft = np.concatenate([np.asarray(o.soft) for o in collected[ch]])[v]
         assert v.sum() == 128 - (cfg.num_avg - 1)
         assert np.abs(np.abs(soft) - 1).max() < 0.01
+
+
+def test_batch_engine_configure():
+    """Live reconfigure on the batch engine (phaseAvg change keeps lock)."""
+    cfg0 = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=16)
+    cfg1 = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=8)
+    eng = BatchEngine(cfg0, channels=2, block_symbols=64)
+    sigs = [gen_psk(256, 8, 4, seed=500 + c)[0] for c in range(2)]
+    for c in range(2):
+        eng.push(c, sigs[c][: 128 * 8])
+    eng.step()
+    eng.configure(cfg1)
+    assert eng.metrics.reconfigures == 1
+    for c in range(2):
+        eng.push(c, sigs[c][128 * 8:])
+    out = eng.step()
+    soft = np.asarray(out.soft)[np.asarray(out.valid)]
+    assert np.abs(np.abs(soft) - 1).max() < 0.01
