@@ -125,6 +125,16 @@ def cmd_demod_batch(args) -> int:
     bits_out = open(f"{args.out_prefix}.bits.i16", "wb")
     chunk = args.chunk_samples * C * 8
     nb = cfg.bits_per_symbol
+    from .utils.transfer import to_host
+
+    def write(out):
+        out = to_host(out)
+        v = out.valid[0]
+        soft_out.write(np.ascontiguousarray(out.soft[:, v].T).tobytes())
+        bits_out.write(np.ascontiguousarray(
+            out.bits[:, v, :nb].transpose(1, 0, 2)).astype(np.int16)
+            .tobytes())
+
     try:
         while True:
             raw = src.read(chunk)
@@ -136,15 +146,13 @@ def cmd_demod_batch(args) -> int:
                 out = eng.step()
                 if out is None:
                     break
-                from .utils.transfer import to_host
-                out = to_host(out)
-                v = out.valid[0]
-                soft_out.write(np.ascontiguousarray(
-                    out.soft[:, v].T).tobytes())
-                bits_out.write(np.ascontiguousarray(
-                    out.bits[:, v, :nb].transpose(1, 0, 2)
-                ).astype(np.int16).tobytes())
+                write(out)
             if len(raw) < chunk:
+                # EOS: drain the sub-block remainder.
+                if hasattr(eng, "flush"):
+                    out = eng.flush()
+                    if out is not None:
+                        write(out)
                 break
     finally:
         soft_out.close()

@@ -31,7 +31,9 @@ def rrc_taps(sps: int, beta: float = 0.35, span: int = 8,
     if not 0 < beta <= 1:
         raise ValueError(f"beta must be in (0, 1], got {beta}")
     n = span * sps
-    t = (np.arange(-n // 2, n // 2 + 1, dtype=np.float64)) / sps
+    # Symmetric grid for any parity of n (floor-div arange would skew odd
+    # lengths by half a sample and break linear phase).
+    t = (np.arange(n + 1, dtype=np.float64) - n / 2.0) / sps
     taps = np.zeros_like(t)
     for i, ti in enumerate(t):
         if abs(ti) < 1e-12:

@@ -110,7 +110,7 @@ def _lower_tri(rows: int) -> jnp.ndarray:
 
 
 def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
-            k: int, n_time_tiles: int,
+            k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
             sre, sim, st, sem):
@@ -119,49 +119,70 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     n1 = n - 1
     k1 = k - 1
     tile_len = (s_tile + num_avg - 1) * sps
+    dma_len = tile_len + tile_pad  # 8-row-aligned DMA/scratch length
     wlen = (num_avg - 1) * sps
 
-    # --- load carries at the first time tile of this channel group; the
-    # carry window and the block are DMA'd separately (no host-side concat,
-    # which would copy the whole block once more through HBM) ---
+    # --- load carries at the first time tile of this channel group ---
     @pl.when(si == 0)
     def _():
         cp = pltpu.make_async_copy(
             state_in.at[:, pl.ds(ci * LANES, LANES)], st, sem.at[2])
         cp.start()
-        cw_re = pltpu.make_async_copy(
-            win_re_hbm.at[:, pl.ds(ci * LANES, LANES)],
-            sre.at[pl.ds(0, wlen)], sem.at[0])
-        cw_im = pltpu.make_async_copy(
-            win_im_hbm.at[:, pl.ds(ci * LANES, LANES)],
-            sim.at[pl.ds(0, wlen)], sem.at[1])
-        cx_re = pltpu.make_async_copy(
-            re_hbm.at[pl.ds(0, tile_len - wlen), pl.ds(ci * LANES, LANES)],
-            sre.at[pl.ds(wlen, tile_len - wlen)], sem.at[3])
-        cx_im = pltpu.make_async_copy(
-            im_hbm.at[pl.ds(0, tile_len - wlen), pl.ds(ci * LANES, LANES)],
-            sim.at[pl.ds(wlen, tile_len - wlen)], sem.at[4])
-        cw_re.start()
-        cw_im.start()
-        cx_re.start()
-        cx_im.start()
-        cw_re.wait()
-        cw_im.wait()
-        cx_re.wait()
-        cx_im.wait()
+        if split_dma:
+            # Window and block DMA'd separately (no host-side concat).
+            # Only valid when wlen is 8-row aligned (sublane tiling).
+            cw_re = pltpu.make_async_copy(
+                win_re_hbm.at[:, pl.ds(ci * LANES, LANES)],
+                sre.at[pl.ds(0, wlen)], sem.at[0])
+            cw_im = pltpu.make_async_copy(
+                win_im_hbm.at[:, pl.ds(ci * LANES, LANES)],
+                sim.at[pl.ds(0, wlen)], sem.at[1])
+            cx_re = pltpu.make_async_copy(
+                re_hbm.at[pl.ds(0, tile_len - wlen),
+                          pl.ds(ci * LANES, LANES)],
+                sre.at[pl.ds(wlen, tile_len - wlen)], sem.at[3])
+            cx_im = pltpu.make_async_copy(
+                im_hbm.at[pl.ds(0, tile_len - wlen),
+                          pl.ds(ci * LANES, LANES)],
+                sim.at[pl.ds(wlen, tile_len - wlen)], sem.at[4])
+            cw_re.start()
+            cw_im.start()
+            cx_re.start()
+            cx_im.start()
+            cw_re.wait()
+            cw_im.wait()
+            cx_re.wait()
+            cx_im.wait()
+        else:
+            # re_hbm/im_hbm hold the concatenated [window | block] planes
+            # (padded by the caller so dma_len rows always exist).
+            c0_re = pltpu.make_async_copy(
+                re_hbm.at[pl.ds(0, dma_len), pl.ds(ci * LANES, LANES)],
+                sre, sem.at[0])
+            c0_im = pltpu.make_async_copy(
+                im_hbm.at[pl.ds(0, dma_len), pl.ds(ci * LANES, LANES)],
+                sim, sem.at[1])
+            c0_re.start()
+            c0_im.start()
+            c0_re.wait()
+            c0_im.wait()
         cp.wait()
 
     if n_time_tiles > 1:  # single-tile blocks never take this branch
         @pl.when(si != 0)
         def _():
-            # (si*s_tile*sps - wlen) is 8-aligned (both terms are), but
-            # Mosaic's divisibility prover can't see through the subtraction.
-            start = pl.multiple_of(si * s_tile * sps - wlen, 8)
+            if split_dma:
+                # (si*s_tile*sps - wlen) is 8-aligned here: the caller only
+                # selects split_dma when wlen % 8 == 0 (and s_tile % 8 == 0),
+                # but Mosaic's prover can't see through the subtraction.
+                start = pl.multiple_of(si * s_tile * sps - wlen, 8)
+            else:
+                start = pl.multiple_of(si * s_tile * sps, 8)
             cp_re = pltpu.make_async_copy(
-                re_hbm.at[pl.ds(start, tile_len), pl.ds(ci * LANES, LANES)],
+                re_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
                 sre, sem.at[0])
             cp_im = pltpu.make_async_copy(
-                im_hbm.at[pl.ds(start, tile_len), pl.ds(ci * LANES, LANES)],
+                im_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
                 sim, sem.at[1])
             cp_re.start()
             cp_im.start()
@@ -169,7 +190,8 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             cp_im.wait()
 
     # --- C2: timing frontend ---
-    b, sel_re_v, sel_im_v = _frontend(sre[:], sim[:], s_tile, sps, num_avg)
+    b, sel_re_v, sel_im_v = _frontend(sre[: tile_len], sim[: tile_len],
+                                      s_tile, sps, num_avg)
 
     # --- C3: M-th power phase (plane squarings) + poly atan2 ---
     zr, zi = sel_re_v, sel_im_v
@@ -289,17 +311,51 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     if num_avg < 2:
         raise ValueError("full kernel requires num_avg >= 2")
     s_out = T // sps
-    s_tile = min(s_tile, s_out)
-    if s_out % s_tile:
-        raise ValueError(f"S ({s_out}) must divide by s_tile ({s_tile})")
-    if s_tile < num_avg - 1:
-        raise ValueError(f"s_tile ({s_tile}) must be >= num_avg-1 "
-                         f"({num_avg - 1}) for the split window DMA")
+    # VMEM budget: the two tile buffers plus the frontend intermediates all
+    # scale with tile_len = (s_tile + num_avg - 1) * sps; empirically the
+    # compiler's scoped stack fits ~2900 rows at 128 lanes f32 inside the
+    # 16 MB VMEM.  Pick the largest divisor of S that fits.
+    max_rows = 2900
+    cap = max(max_rows // sps - (num_avg - 1), num_avg - 1)
+    want = min(s_tile, s_out, cap)
+    pick = None
+    for cand in range(want, num_avg - 2, -1):
+        if s_out % cand == 0:
+            pick = cand
+            break
+    if pick is None:
+        raise ValueError(
+            f"no viable s_tile for S={s_out}, sps={sps}, num_avg={num_avg} "
+            f"(need a divisor of S in [{num_avg - 1}, {want}])")
+    s_tile = pick
     rs = state_rows(phase_avg, k)
     if state_planes.shape != (rs, C):
         raise ValueError(f"state_planes must be {(rs, C)}, got "
                          f"{state_planes.shape}")
     tile_len = (s_tile + num_avg - 1) * sps
+    wlen = (num_avg - 1) * sps
+    # Split window/block DMA (saves a concat pass through HBM) requires
+    # 8-row-aligned slice starts AND lengths; otherwise fall back to
+    # concatenating on the host side, with the input padded so every tile's
+    # 8-aligned DMA length stays in bounds (e.g. the default sps=10,
+    # num_avg=100 has wlen=990, tile_len 2270 -- neither 8-aligned; an
+    # unaligned DMA faults the TPU worker).
+    split_dma = (wlen % 8 == 0) and (s_tile % 8 == 0) and (tile_len % 8 == 0)
+    tile_pad = 0 if split_dma else (-tile_len) % 8
+    if not split_dma:
+        if (s_tile * sps) % 8:
+            raise ValueError(f"s_tile*sps ({s_tile * sps}) must be a "
+                             f"multiple of 8")
+        parts_re = [win_re, x_re]
+        parts_im = [win_im, x_im]
+        if tile_pad:
+            zpad = jnp.zeros((tile_pad, C), jnp.float32)
+            parts_re.append(zpad)
+            parts_im.append(zpad)
+        x_re = jnp.concatenate(parts_re, axis=0)
+        x_im = jnp.concatenate(parts_im, axis=0)
+        win_re = jnp.zeros((8, C), jnp.float32)  # unused dummy
+        win_im = win_re
     # FIR as a banded matrix (est = F @ ext_u on the MXU): F[o, o+i] = w[i].
     w = endpoint_fir_weights(phase_avg, dtype=np.float64)
     n1 = phase_avg - 1
@@ -309,7 +365,7 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     fir_mat = jnp.asarray(fir_np)
 
     kernel = functools.partial(_kernel, s_tile, sps, num_avg, phase_avg, m,
-                               diff, k, s_out // s_tile)
+                               diff, k, s_out // s_tile, split_dma, tile_pad)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):
@@ -338,8 +394,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                          memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((tile_len, LANES), jnp.float32),
-            pltpu.VMEM((tile_len, LANES), jnp.float32),
+            pltpu.VMEM((tile_len + tile_pad, LANES), jnp.float32),
+            pltpu.VMEM((tile_len + tile_pad, LANES), jnp.float32),
             pltpu.VMEM((rs, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((5,)),
         ],

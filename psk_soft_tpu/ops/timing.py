@@ -86,14 +86,19 @@ def windowed_bin_sums_direct(e_rows: jnp.ndarray, num_avg: int) -> jnp.ndarray:
 
 def select_decision_samples_interp(s_flat: jnp.ndarray, w: jnp.ndarray,
                                    sps: int):
-    """Early-late refined decision: parabolic vertex of the energy bins
-    around the argmax gives a fractional timing offset tau in [-0.5, 0.5];
-    the decision sample is linearly interpolated between the two nearest
-    samples in *time* (crossing symbol-row boundaries via the flat signal).
+    """Fractional-timing refined decision (feed-forward early-late).
 
-    This is the feed-forward recast of a classic early-late gate: the
-    early/late energies are the adjacent window bins, so no feedback loop is
-    needed and the whole block stays parallel.
+    Circular first-harmonic (centroid) timing estimate: the intra-symbol
+    energy profile W[j] is periodic in j, so its fundamental's phase gives
+    the peak position using *all* bins -- far lower variance than a 3-point
+    parabola around the argmax, and continuous across the bin wrap, so the
+    symbol framing never slips when the peak straddles bins 0/sps-1 (the
+    plain argmax pick, like the reference cpp/psk_soft.cpp:462-465, slips
+    there).  This is the Oerder&Meyr square-law estimator applied to the
+    already-binned energies -- the feed-forward equivalent of an early-late
+    gate driving an NCO.  The decision sample is linearly interpolated
+    between the two nearest samples in *time* (crossing symbol-row
+    boundaries via the flat signal).
 
     Args:
       s_flat: (..., R*sps) flattened time-contiguous samples; window row o
@@ -101,16 +106,6 @@ def select_decision_samples_interp(s_flat: jnp.ndarray, w: jnp.ndarray,
       w: (..., S, sps) windowed bin sums.
     Returns (sample_index (..., S) int32, decision (..., S) complex64).
     """
-    # Circular first-harmonic (centroid) timing estimate: the intra-symbol
-    # energy profile W[j] is periodic in j, so its fundamental's phase gives
-    # the peak position using *all* bins -- far lower variance than a 3-point
-    # parabola around the argmax, and continuous across the bin wrap, so the
-    # symbol framing never slips when the peak straddles bins 0/sps-1 (the
-    # plain argmax pick, like the reference cpp/psk_soft.cpp:462-465, slips
-    # there).  This is the feed-forward equivalent of an early-late gate
-    # driving an NCO (it is exactly the Oerder&Meyr square-law estimator
-    # applied to the already-binned energies).
-    b = jnp.argmax(w, axis=-1).astype(jnp.int32)          # (..., S)
     ang = 2.0 * jnp.pi * jnp.arange(sps, dtype=jnp.float32) / sps
     zr = jnp.sum(w * jnp.cos(ang), axis=-1)
     zi = jnp.sum(w * jnp.sin(ang), axis=-1)
@@ -121,8 +116,13 @@ def select_decision_samples_interp(s_flat: jnp.ndarray, w: jnp.ndarray,
     i0 = jnp.floor(p)
     frac = (p - i0).astype(jnp.float32)
     s = w.shape[-2]
-    base = jnp.arange(s, dtype=jnp.int32) * sps + i0.astype(jnp.int32)
-    base = jnp.clip(base, 0, s_flat.shape[-1] - 2)
+    raw_base = jnp.arange(s, dtype=jnp.int32) * sps + i0.astype(jnp.int32)
+    # Row 0 with a negative fractional offset would reach one sample before
+    # the flat buffer; fall back to the on-sample decision there rather than
+    # interpolating with an unrelated sample.
+    oob = raw_base < 0
+    frac = jnp.where(oob, 0.0, frac)
+    base = jnp.clip(raw_base, 0, s_flat.shape[-1] - 2)
     s0 = jnp.take_along_axis(s_flat, base, axis=-1)
     s1 = jnp.take_along_axis(s_flat, base + 1, axis=-1)
     sel = (s0 * (1.0 - frac) + s1 * frac).astype(jnp.complex64)

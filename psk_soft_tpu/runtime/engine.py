@@ -110,6 +110,11 @@ class StreamEngine:
         # Conservatively drop back to the flexible (warm-up-capable) program:
         # a resync may leave partially-filled windows.
         self._symbols_consumed = 0
+        # Re-anchor timestamps: the resync changes the symbol period and may
+        # suppress emission for a re-warm-up, so the old origin/counter pair
+        # no longer maps emitted-symbol index to time.
+        self._symbols_emitted = 0
+        self._time_origin = None
         self.metrics.reconfigures += 1
 
     def reset(self) -> None:
@@ -121,6 +126,20 @@ class StreamEngine:
         self._symbols_consumed = 0
         self._time_origin = None  # re-anchor timestamps at the next packet
         self.metrics.resets += 1
+
+    def _reset_phase_only(self) -> None:
+        """Clear only the phase-fit history (LinearFit::reset with a new
+        sample rate, cpp/psk_soft.cpp:89-102): timing window, warm-up and
+        staging survive."""
+        fresh = self._ops.init(self.cfg)
+        if self._ops.kind == "ff":
+            self._state = self._state._replace(
+                phase_hist=fresh.phase_hist, phase_count=fresh.phase_count,
+                last_phase=fresh.last_phase)
+        else:
+            self._state = self._state._replace(
+                ring=fresh.ring, ring_pos=fresh.ring_pos,
+                ring_fill=fresh.ring_fill, phase_est=fresh.phase_est)
 
     # ------------------------------------------------------------- data
 
@@ -144,9 +163,10 @@ class StreamEngine:
             return {}
         if self._sri is None or packet.sri != self._sri or packet.sri_changed:
             if self._sri is not None and packet.sri.xdelta != self._sri.xdelta:
-                # Rate change invalidates the phase tracker history
-                # (cpp/psk_soft.cpp:394-397 -> LinearFit.reset with new rate).
-                self.reset()
+                # Rate change invalidates only the phase-tracker history
+                # (cpp/psk_soft.cpp:394-397 -> LinearFit.reset with the new
+                # rate clears the fit; the timing deques survive).
+                self._reset_phase_only()
             self._sri = packet.sri
             self._sri_dirty = True
 
@@ -296,7 +316,11 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
 
     n_old, n_new = old_cfg.phase_avg, new_cfg.phase_avg
     hist = np.asarray(state.phase_hist)           # right-aligned (n_old-1,)
-    count = np.minimum(np.asarray(state.phase_count), n_old)
+    # The FF history retains at most n_old-1 live values (the window's
+    # newest n-1; the n-th lives only inside the fit), so cap the carried
+    # count by what actually survives -- otherwise growing phase_avg counts
+    # a zero slot as live history.
+    count = np.minimum(np.asarray(state.phase_count), max(n_old - 1, 1))
     keep = np.minimum(count, max(n_new - 1, 0))
     new_hist = np.zeros(channel_shape + (max(n_new - 1, 0),), np.float32)
     if n_new > 1 and n_old > 1:
@@ -536,6 +560,43 @@ class FullKernelBatchEngine:
             x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
             self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
+        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        return out
+
+    def flush(self):
+        """EOS drain.  Before the steady handoff the flexible path handles
+        any length; afterwards the remainder is zero-padded to a full block
+        through the kernel and outputs whose timing window reaches into the
+        padding are masked invalid (the reference never emits those symbols
+        either, cpp/psk_soft.cpp:457)."""
+        from ..utils.transfer import to_device
+
+        sps, num_avg = self.cfg.sps, self.cfg.num_avg
+        n = (min(s.size for s in self._staging) // sps) * sps
+        x = np.stack([s[:n] for s in self._staging]) if n else None
+        self._staging = [np.zeros(0, np.complex64)
+                         for _ in range(self.channels)]
+        if n == 0:
+            return None
+        if self._full_state is None:
+            self._warm_state, out = self._warm_fn(self._warm_state,
+                                                  to_device(x))
+        else:
+            nsym = n // sps
+            pad = self.block_symbols * sps - n
+            xp = np.pad(x, ((0, 0), (0, pad)))
+            x_re = jnp.asarray(np.ascontiguousarray(xp.real.T))
+            x_im = jnp.asarray(np.ascontiguousarray(xp.imag.T))
+            self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
+            out = self._full_mod.to_demod_outputs(self.cfg, fo)
+            # Output o's window covers carry rows [o, o+numAvg-1]; with a
+            # full carry (steady) plus nsym real new rows, windows are fully
+            # real for o < nsym -- exactly the outputs the reference would
+            # still emit before the stream ends.
+            mask = np.zeros(self.block_symbols, bool)
+            mask[:nsym] = True
+            out = out._replace(
+                valid=out.valid & jnp.asarray(mask)[None, :])
         self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
 

@@ -46,8 +46,19 @@ def to_device(x):
     return jnp.asarray(x)
 
 
+class _PlanePair:
+    """Sentinel wrapper marking a (real, imag) plane split (a plain tuple
+    would collide with legitimate 2-tuples in user pytrees)."""
+
+    __slots__ = ("re", "im")
+
+    def __init__(self, re, im):
+        self.re = re
+        self.im = im
+
+
 def _is_plane_pair(x) -> bool:
-    return isinstance(x, tuple) and len(x) == 2
+    return isinstance(x, _PlanePair)
 
 
 def to_host(tree):
@@ -55,13 +66,13 @@ def to_host(tree):
 
     def split(leaf):
         if jnp.iscomplexobj(leaf):
-            return (leaf.real, leaf.imag)
+            return _PlanePair(leaf.real, leaf.imag)
         return leaf
 
     def recombine(leaf):
         if _is_plane_pair(leaf):
-            re = np.asarray(leaf[0], np.float32)
-            im = np.asarray(leaf[1], np.float32)
+            re = np.asarray(leaf.re, np.float32)
+            im = np.asarray(leaf.im, np.float32)
             out = np.empty(re.shape, np.complex64)
             out.real = re
             out.imag = im
