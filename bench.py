@@ -74,7 +74,7 @@ def run_ff(args, cfg, C, T, x_np):
     return C * T * args.iters / best
 
 
-def run_full(args, cfg, C, T, x_np, quiet=False):
+def run_full(args, cfg, C, T, x_np):
     """Flagship: the single fused Pallas kernel (models/full.py), entered
     after converging through the flexible pipeline."""
     import jax
@@ -111,11 +111,7 @@ def run_full(args, cfg, C, T, x_np, quiet=False):
         state, chk = run_k(state, x_re, x_im, args.iters)
         float(chk)  # host fetch: forces true completion of all work
         best = min(best, time.perf_counter() - t0)
-    samples = C * T * args.iters
-    rate = samples / best
-    if quiet:
-        return rate
-    return emit(C, "full-kernel", rate)
+    return C * T * args.iters / best
 
 
 def main():
@@ -157,7 +153,7 @@ def main():
     if args.pipeline in ("full", "auto"):
         rate_full = None
         try:
-            rate_full = run_full(args, cfg, C, T, x_np, quiet=True)
+            rate_full = run_full(args, cfg, C, T, x_np)
         except Exception as e:  # pragma: no cover - platform-specific
             print(f"full-kernel pipeline failed ({type(e).__name__}); "
                   f"falling back to ff", file=sys.stderr)
@@ -198,16 +194,7 @@ def main():
             jax.block_until_ready(out)
             float(out.phase[0, 0])  # force true completion
             best = min(best, time.perf_counter() - t0)
-        samples = C * T * args.iters
-        rate = samples / best
-        print(json.dumps({
-            "metric": f"{C}-channel QPSK streaming demod throughput "
-                      f"(fused, {jax.devices()[0].device_kind})",
-            "value": rate,
-            "unit": "samples/s",
-            "vs_baseline": rate / PER_CHIP_BASELINE,
-        }))
-        return 0
+        return emit(C, "fused", C * T * args.iters / best)
 
     from psk_soft_tpu.utils.transfer import to_device
     x = to_device(x_np)
@@ -223,7 +210,7 @@ def main():
         return jax.vmap(lambda s, b: block(cfg, s, b))(state, x)
 
     # Warm-up (compile included here, excluded from timing).
-    for _ in range(args.warmup):
+    for _ in range(max(args.warmup, 1)):
         state, out = step(state, x)
     jax.block_until_ready(out)
 
@@ -236,16 +223,7 @@ def main():
         float(out.phase[0, 0])  # force true completion
         best = min(best, time.perf_counter() - t0)
 
-    samples = C * T * args.iters
-    rate = samples / best
-    print(json.dumps({
-        "metric": f"{C}-channel QPSK streaming demod throughput "
-                  f"({args.pipeline}, {jax.devices()[0].device_kind})",
-        "value": rate,
-        "unit": "samples/s",
-        "vs_baseline": rate / PER_CHIP_BASELINE,
-    }))
-    return 0
+    return emit(C, args.pipeline, C * T * args.iters / best)
 
 
 if __name__ == "__main__":

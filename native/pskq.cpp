@@ -66,7 +66,6 @@ class PacketQueue {
       stats_.dropped_packets += q_.size();
       q_.clear();
       bytes_queued_ = 0;
-      pending_flush_ = true;
       stats_.flushes++;
       flushed = 1;
     }
@@ -78,8 +77,7 @@ class PacketQueue {
     p.xdelta = xdelta;
     p.mode = mode;
     p.stream_id = stream_id ? stream_id : "";
-    p.flushed = pending_flush_ ? 1 : 0;
-    pending_flush_ = false;
+    p.flushed = flushed;
     bytes_queued_ += bytes;
     stats_.pushed++;
     stats_.bytes_in += bytes;
@@ -103,14 +101,18 @@ class PacketQueue {
     return static_cast<int64_t>(q_.front().data.size());
   }
 
-  // Copies the head packet out.  Returns 0 on success, -1 if empty.
+  // Copies the head packet out.  Returns 0 on success, -1 if empty, -2 if
+  // the caller's buffer is too small (the packet stays queued so the caller
+  // can re-peek and retry -- the head may have changed between peek and
+  // pop under concurrent producers/flushes).
   int pop_into(float* out, size_t out_floats, double* t, int32_t* eos,
                int32_t* sri_changed, double* xdelta, int32_t* mode,
                int32_t* flushed, char* stream_id, size_t stream_id_cap) {
     std::unique_lock<std::mutex> lk(mu_);
     if (q_.empty()) return -1;
     Packet& p = q_.front();
-    const size_t n = p.data.size() < out_floats ? p.data.size() : out_floats;
+    if (p.data.size() > out_floats) return -2;
+    const size_t n = p.data.size();
     std::memcpy(out, p.data.data(), n * sizeof(float));
     if (t) *t = p.t;
     if (eos) *eos = p.eos;
@@ -156,7 +158,6 @@ class PacketQueue {
   size_t bytes_queued_ = 0;
   size_t capacity_bytes_;
   size_t max_packets_;
-  bool pending_flush_ = false;
   bool closed_ = false;
   Stats stats_;
 };

@@ -99,9 +99,17 @@ class NativePacketQueue:
         """Blocking pop; returns None on timeout.  Complex-mode packets come
         back as complex64."""
         timeout_ms = -1 if timeout is None else int(timeout * 1000)
-        n = self._lib.pskq_peek(self._h, timeout_ms)
-        if n < 0:
-            return None
+        while True:
+            n = self._lib.pskq_peek(self._h, timeout_ms)
+            if n < 0:
+                return None
+            pkt = self._pop_exact(int(n))
+            if pkt is not None:
+                return pkt
+            # Head changed between peek and pop (concurrent producer or
+            # flush); re-peek with the new size.
+
+    def _pop_exact(self, n: int):
         buf = np.empty(n, np.float32)
         t = ctypes.c_double()
         eos = ctypes.c_int32()
@@ -115,8 +123,12 @@ class NativePacketQueue:
             buf.size, ctypes.byref(t), ctypes.byref(eos), ctypes.byref(sric),
             ctypes.byref(xdelta), ctypes.byref(mode), ctypes.byref(flushed),
             sid, len(sid))
-        if rc != 0:
+        if rc in (-1, -2):
+            # Head consumed by another consumer (-1) or replaced by a larger
+            # packet (-2) between peek and pop; caller re-peeks.
             return None
+        if rc != 0:
+            raise RuntimeError(f"pskq_pop_into failed: {rc}")
         data = buf.view(np.complex64) if mode.value == 1 else buf
         return Packet(
             data=data,

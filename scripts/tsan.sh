@@ -6,6 +6,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 g++ -O1 -std=c++17 -fPIC -fsanitize=thread -g -shared -pthread \
     -o native/libpskq_tsan.so native/pskq.cpp
-LD_PRELOAD="$(g++ -print-file-name=libtsan.so.2)" TSAN_OPTIONS="exitcode=66" \
+TSAN_LIB=""
+for so in libtsan.so.2 libtsan.so.1 libtsan.so.0 libtsan.so; do
+  p="$(g++ -print-file-name="$so")"
+  if [ "$p" != "$so" ] && [ -e "$p" ]; then TSAN_LIB="$p"; break; fi
+done
+[ -n "$TSAN_LIB" ] || { echo "no libtsan runtime found" >&2; exit 1; }
+LD_PRELOAD="$TSAN_LIB" TSAN_OPTIONS="exitcode=66" \
     python scripts/tsan_hammer.py
 echo "TSAN OK"
