@@ -119,7 +119,10 @@ def main():
     ap.add_argument("--channels", type=int, default=1024)
     ap.add_argument("--symbols", type=int, default=512, help="symbols per block")
     ap.add_argument("--sps", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=200,
+                    help="block steps per timed dispatch; large enough to "
+                         "amortize the ~tens-of-ms fixed dispatch cost of "
+                         "the tunneled device")
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--reps", type=int, default=5,
                     help="timing repetitions; best rep is reported "
