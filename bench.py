@@ -119,7 +119,7 @@ def main():
     ap.add_argument("--channels", type=int, default=1024)
     ap.add_argument("--symbols", type=int, default=512, help="symbols per block")
     ap.add_argument("--sps", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=200,
+    ap.add_argument("--iters", type=int, default=500,
                     help="block steps per timed dispatch; large enough to "
                          "amortize the ~tens-of-ms fixed dispatch cost of "
                          "the tunneled device")
