@@ -1,0 +1,147 @@
+"""End-to-end CLI tests: drive ``python -m psk_soft_tpu`` as a subprocess
+through real files, the way a user would (reference analogue: the component
+is driven through its deployed entry point, cpp/main.cpp:24-29).
+
+These cover the CLI layer itself -- argparse wiring, chunked file ingest,
+EOS flush, output-port file plumbing, channel interleaving -- by comparing
+against the in-process engines the rest of the suite already gates.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # force the CPU backend (conftest
+    env["JAX_PLATFORMS"] = "cpu"           # does this in-process; subprocesses
+    return env                             # need it via the environment)
+
+
+def _run(args):
+    proc = subprocess.run(
+        [sys.executable, "-m", "psk_soft_tpu", *args],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    return proc
+
+
+def _cfg():
+    from psk_soft_tpu import DemodConfig
+    return DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10)
+
+
+def _signal(channels=1, symbols=384, seed=0):
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+    out = []
+    for c in range(channels):
+        x, _ = gen_psk_channel(symbols, 8, 4, snr_db=25.0,
+                               freq_offset=1e-4, seed=seed + c)
+        out.append(x.astype(np.complex64))
+    return np.stack(out)
+
+
+def test_cli_demod_matches_in_process_engine(tmp_path):
+    """demod: file in -> four port files out, chunked reads + EOS, identical
+    to one in-process StreamEngine pass over the same samples."""
+    x = _signal()[0]
+    infile = tmp_path / "iq.cf32"
+    infile.write_bytes(x.tobytes())
+    prefix = tmp_path / "out"
+
+    proc = _run(["demod", "--in", str(infile), "--out-prefix", str(prefix),
+                 "--sps", "8", "-M", "4", "--num-avg", "20",
+                 "--phase-avg", "10", "--block-symbols", "64",
+                 "--chunk-samples", "1000"])  # non-block-multiple chunks
+    metrics = json.loads(proc.stderr.strip().splitlines()[-1])
+    assert metrics["samples_in"] == x.size
+
+    soft = np.fromfile(prefix.with_suffix(".soft.cf32"), np.complex64)
+    bits = np.fromfile(prefix.with_suffix(".bits.i16"), np.int16)
+    phase = np.fromfile(prefix.with_suffix(".phase.f32"), np.float32)
+    idx = np.fromfile(prefix.with_suffix(".index.i16"), np.int16)
+
+    # In-process reference: same engine, same config, one packet.
+    from psk_soft_tpu.runtime.engine import StreamEngine
+    from psk_soft_tpu.runtime.streams import (Packet, SRI, PORT_BITS,
+                                              PORT_PHASE, PORT_SAMPLE_INDEX,
+                                              PORT_SOFT)
+    eng = StreamEngine(_cfg(), block_symbols=64)
+    outs = eng.process(Packet(data=x, sri=SRI(stream_id="t", xdelta=1.0,
+                                              mode=1), t=0.0, eos=True))
+    ref_soft = np.asarray(outs[PORT_SOFT].data)
+    ref_bits = np.asarray(outs[PORT_BITS].data)
+    ref_phase = np.asarray(outs[PORT_PHASE].data)
+    ref_idx = np.asarray(outs[PORT_SAMPLE_INDEX].data)
+
+    assert soft.shape == ref_soft.shape
+    np.testing.assert_allclose(soft, ref_soft, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(bits, ref_bits)
+    np.testing.assert_allclose(phase, ref_phase, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(idx, ref_idx)
+    assert metrics["symbols_out"] == soft.size
+    assert metrics["bits_out"] == bits.size
+
+
+def test_cli_demod_batch_interleaved_channels(tmp_path):
+    """demod-batch: sample-interleaved multichannel ingest de-interleaves
+    correctly -- each channel's soft stream matches a single-channel CLI run
+    on that channel alone."""
+    C = 2
+    xs = _signal(channels=C, symbols=320, seed=7)
+    interleaved = np.ascontiguousarray(xs.T)  # (samples, C) row-major
+    infile = tmp_path / "batch.cf32"
+    infile.write_bytes(interleaved.tobytes())
+    prefix = tmp_path / "batch_out"
+
+    proc = _run(["demod-batch", "--in", str(infile), "--channels", str(C),
+                 "--out-prefix", str(prefix), "--sps", "8", "-M", "4",
+                 "--num-avg", "20", "--phase-avg", "10",
+                 "--block-symbols", "64", "--chunk-samples", "512"])
+    metrics = json.loads(proc.stderr.strip().splitlines()[-1])
+    assert metrics["samples_in"] == xs.size
+
+    soft = np.fromfile(prefix.with_suffix(".soft.cf32"),
+                       np.complex64).reshape(-1, C)
+    bits = np.fromfile(prefix.with_suffix(".bits.i16"),
+                       np.int16).reshape(-1, C, 2)
+    assert soft.shape[0] == bits.shape[0] > 0
+    assert np.all(np.isfinite(soft))
+    assert np.all((bits == 0) | (bits == 1))
+
+    # Per-channel single-stream reference through the same batch engine
+    # semantics (BatchEngine vs StreamEngine equivalence is gated in
+    # test_engine_groups.py; here we check the file interleave specifically).
+    from psk_soft_tpu.runtime.engine import BatchEngine
+    from psk_soft_tpu.utils.transfer import to_host
+    eng = BatchEngine(_cfg(), channels=C, block_symbols=64)
+    for c in range(C):
+        eng.push(c, xs[c])
+    ref_soft = []
+    while True:
+        out = eng.step()
+        if out is None:
+            break
+        out = to_host(out)
+        ref_soft.append(out.soft[:, out.valid[0]])
+    ref_soft = np.concatenate(ref_soft, axis=1)  # (C, symbols)
+    n = min(soft.shape[0], ref_soft.shape[1])
+    assert n > 100
+    np.testing.assert_allclose(soft[:n], ref_soft[:, :n].T, rtol=0,
+                               atol=1e-5)
+
+
+def test_cli_gen_writes_expected_sample_count(tmp_path):
+    out = tmp_path / "gen.cf32"
+    _run(["gen", "--symbols", "100", "--sps", "8", "-M", "4",
+          "--seed", "3", "--out", str(out)])
+    x = np.fromfile(out, np.complex64)
+    assert x.size == 100 * 8
+    assert np.all(np.isfinite(x))
