@@ -82,7 +82,8 @@ def full_from_ff(cfg: DemodConfig, ff_state) -> FullState:
 
 def demod_block_full(cfg: DemodConfig, state: FullState,
                      x_re: jnp.ndarray, x_im: jnp.ndarray, *,
-                     s_tile: int = 256, interpret: bool = False):
+                     s_tile: int = 256, double_buffer: bool | None = None,
+                     interpret: bool = False):
     """One steady-state block through the fused kernel.
 
     x_re/x_im: (T, C) float32 time-major planes, T = S * sps.
@@ -94,7 +95,8 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
     soft_re, soft_im, phase, bits, idx, planes = demod_kernel.demod_full_tm(
         state.win_re, state.win_im, x_re, x_im, state.planes, sps=sps,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
-        diff=cfg.differential, s_tile=s_tile, interpret=interpret)
+        diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
+        interpret=interpret)
     keep = (num_avg - 1) * sps
     new_state = FullState(
         win_re=x_re[x_re.shape[0] - keep:],

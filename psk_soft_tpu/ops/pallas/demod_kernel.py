@@ -111,6 +111,7 @@ def _lower_tri(rows: int) -> jnp.ndarray:
 
 def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
+            double_buffer: bool,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
             sre, sim, st, sem):
@@ -121,6 +122,27 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     tile_len = (s_tile + num_avg - 1) * sps
     dma_len = tile_len + tile_pad  # 8-row-aligned DMA/scratch length
     wlen = (num_avg - 1) * sps
+
+    def tile_copies(tile, slot):
+        """Input DMA descriptors for time tile `tile` into scratch slot
+        `slot` (slot is a static 0/1; tile may be a traced index >= 1).
+        Re-creating the same descriptor later is the Pallas pattern for
+        waiting on a copy issued in an earlier (sequential) grid step."""
+        if split_dma:
+            # (tile*s_tile*sps - wlen) is 8-aligned here: the caller only
+            # selects split_dma when wlen % 8 == 0 (and s_tile % 8 == 0),
+            # but Mosaic's prover can't see through the subtraction.
+            start = pl.multiple_of(tile * s_tile * sps - wlen, 8)
+        else:
+            start = pl.multiple_of(tile * s_tile * sps, 8)
+        off = slot * dma_len
+        c_re = pltpu.make_async_copy(
+            re_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
+            sre.at[pl.ds(off, dma_len)], sem.at[5 if slot else 0])
+        c_im = pltpu.make_async_copy(
+            im_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
+            sim.at[pl.ds(off, dma_len)], sem.at[6 if slot else 1])
+        return c_re, c_im
 
     # --- load carries at the first time tile of this channel group ---
     @pl.when(si == 0)
@@ -149,6 +171,10 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             cw_im.start()
             cx_re.start()
             cx_im.start()
+            if double_buffer and n_time_tiles > 1:
+                p_re, p_im = tile_copies(1, 1)  # prefetch tile 1 -> slot 1
+                p_re.start()
+                p_im.start()
             cw_re.wait()
             cw_im.wait()
             cx_re.wait()
@@ -158,12 +184,16 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             # (padded by the caller so dma_len rows always exist).
             c0_re = pltpu.make_async_copy(
                 re_hbm.at[pl.ds(0, dma_len), pl.ds(ci * LANES, LANES)],
-                sre, sem.at[0])
+                sre.at[pl.ds(0, dma_len)], sem.at[0])
             c0_im = pltpu.make_async_copy(
                 im_hbm.at[pl.ds(0, dma_len), pl.ds(ci * LANES, LANES)],
-                sim, sem.at[1])
+                sim.at[pl.ds(0, dma_len)], sem.at[1])
             c0_re.start()
             c0_im.start()
+            if double_buffer and n_time_tiles > 1:
+                p_re, p_im = tile_copies(1, 1)  # prefetch tile 1 -> slot 1
+                p_re.start()
+                p_im.start()
             c0_re.wait()
             c0_im.wait()
         cp.wait()
@@ -171,27 +201,51 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     if n_time_tiles > 1:  # single-tile blocks never take this branch
         @pl.when(si != 0)
         def _():
-            if split_dma:
-                # (si*s_tile*sps - wlen) is 8-aligned here: the caller only
-                # selects split_dma when wlen % 8 == 0 (and s_tile % 8 == 0),
-                # but Mosaic's prover can't see through the subtraction.
-                start = pl.multiple_of(si * s_tile * sps - wlen, 8)
+            if double_buffer:
+                # Prefetch tile si+1 into the opposite slot (owned by tile
+                # si-1, whose compute finished last grid step), then wait the
+                # copy issued for THIS tile one step ago.  Slot parity ==
+                # tile parity, kept static via two pl.when branches.
+                nxt = si + 1
+                @pl.when((nxt < n_time_tiles) & (nxt % 2 == 0))
+                def _():
+                    a, b_ = tile_copies(nxt, 0)
+                    a.start()
+                    b_.start()
+                @pl.when((nxt < n_time_tiles) & (nxt % 2 == 1))
+                def _():
+                    a, b_ = tile_copies(nxt, 1)
+                    a.start()
+                    b_.start()
+                @pl.when(si % 2 == 0)
+                def _():
+                    a, b_ = tile_copies(si, 0)
+                    a.wait()
+                    b_.wait()
+                @pl.when(si % 2 == 1)
+                def _():
+                    a, b_ = tile_copies(si, 1)
+                    a.wait()
+                    b_.wait()
             else:
-                start = pl.multiple_of(si * s_tile * sps, 8)
-            cp_re = pltpu.make_async_copy(
-                re_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
-                sre, sem.at[0])
-            cp_im = pltpu.make_async_copy(
-                im_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
-                sim, sem.at[1])
-            cp_re.start()
-            cp_im.start()
-            cp_re.wait()
-            cp_im.wait()
+                cp_re, cp_im = tile_copies(si, 0)
+                cp_re.start()
+                cp_im.start()
+                cp_re.wait()
+                cp_im.wait()
 
     # --- C2: timing frontend ---
-    b, sel_re_v, sel_im_v = _frontend(sre[: tile_len], sim[: tile_len],
-                                      s_tile, sps, num_avg)
+    if double_buffer:
+        # Select this tile's slot with static slices + an elementwise pick
+        # (dynamic-start sublane reads can lower as relayouts; reading both
+        # slots from VMEM is cheap).
+        even = (si % 2 == 0)
+        re_t = jnp.where(even, sre[0:tile_len], sre[dma_len:dma_len + tile_len])
+        im_t = jnp.where(even, sim[0:tile_len], sim[dma_len:dma_len + tile_len])
+    else:
+        re_t = sre[0:tile_len]
+        im_t = sim[0:tile_len]
+    b, sel_re_v, sel_im_v = _frontend(re_t, im_t, s_tile, sps, num_avg)
 
     # --- C3: M-th power phase (plane squarings) + poly atan2 ---
     zr, zi = sel_re_v, sel_im_v
@@ -283,10 +337,11 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
 
 @functools.partial(jax.jit, static_argnames=("sps", "num_avg", "phase_avg",
                                              "m", "diff", "s_tile",
-                                             "interpret"))
+                                             "double_buffer", "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   num_avg: int, phase_avg: int, m: int, diff: bool,
-                  s_tile: int = 256, interpret: bool = False):
+                  s_tile: int = 256, double_buffer: bool | None = None,
+                  interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
 
     Args:
@@ -311,22 +366,35 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     if num_avg < 2:
         raise ValueError("full kernel requires num_avg >= 2")
     s_out = T // sps
-    # VMEM budget: the two tile buffers plus the frontend intermediates all
+    # VMEM budget: the tile buffers plus the frontend intermediates all
     # scale with tile_len = (s_tile + num_avg - 1) * sps; empirically the
     # compiler's scoped stack fits ~2900 rows at 128 lanes f32 inside the
-    # 16 MB VMEM.  Pick the largest divisor of S that fits.
-    max_rows = 2900
-    cap = max(max_rows // sps - (num_avg - 1), num_avg - 1)
-    want = min(s_tile, s_out, cap)
-    pick = None
-    for cand in range(want, num_avg - 2, -1):
-        if s_out % cand == 0:
-            pick = cand
-            break
+    # 16 MB VMEM (single-buffered).  Pick the largest divisor of S that fits.
+    def pick_tile(max_rows):
+        cap = max(max_rows // sps - (num_avg - 1), num_avg - 1)
+        want = min(s_tile, s_out, cap)
+        for cand in range(want, num_avg - 2, -1):
+            if s_out % cand == 0:
+                return cand
+        return None
+
+    pick = pick_tile(2900)
     if pick is None:
         raise ValueError(
             f"no viable s_tile for S={s_out}, sps={sps}, num_avg={num_avg} "
-            f"(need a divisor of S in [{num_avg - 1}, {want}])")
+            f"(need a divisor of S)")
+    if double_buffer is None:
+        double_buffer = s_out // pick > 1
+    if double_buffer:
+        # Two input slots double the scratch; shrink the tile so the total
+        # stays inside VMEM.  Prefetching tile si+1 while computing tile si
+        # overlaps the input DMA with compute (the output side is already
+        # pipelined by the BlockSpec machinery).
+        pick_db = pick_tile(2100)
+        if pick_db is not None and s_out // pick_db > 1:
+            pick = pick_db
+        else:
+            double_buffer = False
     s_tile = pick
     rs = state_rows(phase_avg, k)
     if state_planes.shape != (rs, C):
@@ -365,7 +433,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     fir_mat = jnp.asarray(fir_np)
 
     kernel = functools.partial(_kernel, s_tile, sps, num_avg, phase_avg, m,
-                               diff, k, s_out // s_tile, split_dma, tile_pad)
+                               diff, k, s_out // s_tile, split_dma, tile_pad,
+                               double_buffer)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):
@@ -394,10 +463,12 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                          memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((tile_len + tile_pad, LANES), jnp.float32),
-            pltpu.VMEM((tile_len + tile_pad, LANES), jnp.float32),
+            pltpu.VMEM(((2 if double_buffer else 1) * (tile_len + tile_pad),
+                        LANES), jnp.float32),
+            pltpu.VMEM(((2 if double_buffer else 1) * (tile_len + tile_pad),
+                        LANES), jnp.float32),
             pltpu.VMEM((rs, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
     )(win_re, win_im, x_re, x_im, state_planes, fir_mat))
