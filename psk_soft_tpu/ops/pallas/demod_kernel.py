@@ -370,11 +370,19 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     # scale with tile_len = (s_tile + num_avg - 1) * sps; empirically the
     # compiler's scoped stack fits ~2900 rows at 128 lanes f32 inside the
     # 16 MB VMEM (single-buffered).  Pick the largest divisor of S that fits.
+    # Tile floor: s_tile >= num_avg-1 keeps the split-DMA tile start
+    # (si*s_tile*sps - wlen) non-negative.  When wlen is not 8-row aligned
+    # the kernel always takes the concat path, whose tile start is
+    # si*s_tile*sps -- any s_tile with (s_tile*sps) % 8 == 0 is valid, so
+    # the floor drops (this is what lets the sps=10 default config
+    # double-buffer).
+    wlen_aligned = ((num_avg - 1) * sps) % 8 == 0
     def pick_tile(max_rows):
         cap = max(max_rows // sps - (num_avg - 1), num_avg - 1)
         want = min(s_tile, s_out, cap)
-        for cand in range(want, num_avg - 2, -1):
-            if s_out % cand == 0:
+        lo = num_avg - 2 if wlen_aligned else 0
+        for cand in range(want, lo, -1):
+            if s_out % cand == 0 and (wlen_aligned or (cand * sps) % 8 == 0):
                 return cand
         return None
 

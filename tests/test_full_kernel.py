@@ -91,19 +91,22 @@ def test_full_kernel_multiblock_carry():
     np.testing.assert_allclose(planes_a, planes_b, atol=1e-3)
 
 
-def test_full_kernel_double_buffer_bitexact():
+@pytest.mark.parametrize("sps,s_tile", [(8, 128), (10, 64)])
+def test_full_kernel_double_buffer_bitexact(sps, s_tile):
     """Double-buffered input DMA must be bit-exact vs single-buffered at the
-    same tile size (verified on hardware too; this locks the interpret path)."""
-    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
-    xs = _channels()
-    warm, run = np.split(xs, [256 * 8], axis=1)
+    same tile size (verified on hardware too; this locks the interpret path).
+    sps=10 exercises the concat/tile_pad path with a tile below num_avg-1
+    (allowed there: the concat tile start needs no window subtraction)."""
+    cfg = DemodConfig(sps=sps, num_avg=50, constellation_size=4, phase_avg=20)
+    xs = _channels(sps=sps)
+    warm, run = np.split(xs, [256 * sps], axis=1)
     fn_ff = make_ff_demod_fn(cfg, channels=C)
     st_ff, _ = fn_ff(ff_init(cfg, (C,)), jnp.asarray(warm))
     st0 = full_from_ff(cfg, st_ff)
     xr, xi = jnp.asarray(run.real.T), jnp.asarray(run.imag.T)
     outs = []
     for db in (False, True):
-        st, out = demod_block_full(cfg, st0, xr, xi, s_tile=128,
+        st, out = demod_block_full(cfg, st0, xr, xi, s_tile=s_tile,
                                    double_buffer=db, interpret=True)
         outs.append([np.asarray(l) for l in jax.tree.leaves((st, out))])
     for u, v in zip(*outs):
