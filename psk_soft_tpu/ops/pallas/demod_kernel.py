@@ -391,7 +391,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         raise ValueError(
             f"no viable s_tile for S={s_out}, sps={sps}, num_avg={num_avg} "
             f"(need a divisor of S)")
-    if double_buffer is None:
+    auto = double_buffer is None
+    if auto:
         double_buffer = s_out // pick > 1
     if double_buffer:
         # Two input slots double the scratch; shrink the tile so the total
@@ -399,7 +400,13 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         # overlaps the input DMA with compute (the output side is already
         # pipelined by the BlockSpec machinery).
         pick_db = pick_tile(2100)
-        if pick_db is not None and s_out // pick_db > 1:
+        if pick_db is not None and s_out // pick_db > 1 and not (
+                auto and pick_db < min(96, pick)):
+            # Auto mode declines tiles under 96 symbols: per-grid-step
+            # overheads (carry load/store, FIR matmul ramp) then outweigh
+            # the DMA overlap (measured: sps=10 tile 64 was ~17% slower
+            # than single-buffered tile 128; sps=8 tile 128 ~16% faster
+            # than single-buffered tile 256).
             pick = pick_db
         else:
             double_buffer = False
