@@ -101,13 +101,15 @@ class PacketQueue {
     return static_cast<int64_t>(q_.front().data.size());
   }
 
-  // Copies the head packet out.  Returns 0 on success, -1 if empty, -2 if
-  // the caller's buffer is too small (the packet stays queued so the caller
-  // can re-peek and retry -- the head may have changed between peek and
-  // pop under concurrent producers/flushes).
-  int pop_into(float* out, size_t out_floats, double* t, int32_t* eos,
-               int32_t* sri_changed, double* xdelta, int32_t* mode,
-               int32_t* flushed, char* stream_id, size_t stream_id_cap) {
+  // Copies the head packet out.  Returns the number of floats copied
+  // (>= 0) on success, -1 if empty, -2 if the caller's buffer is too small
+  // (the packet stays queued so the caller can re-peek and retry -- the
+  // head may have changed between peek and pop under concurrent producers
+  // or an overflow flush, and may be SMALLER than the peeked size, which
+  // is why the actual count is returned rather than assumed).
+  int64_t pop_into(float* out, size_t out_floats, double* t, int32_t* eos,
+                   int32_t* sri_changed, double* xdelta, int32_t* mode,
+                   int32_t* flushed, char* stream_id, size_t stream_id_cap) {
     std::unique_lock<std::mutex> lk(mu_);
     if (q_.empty()) return -1;
     Packet& p = q_.front();
@@ -127,7 +129,7 @@ class PacketQueue {
     stats_.popped++;
     stats_.bytes_out += n * sizeof(float);
     q_.pop_front();
-    return 0;
+    return static_cast<int64_t>(n);
   }
 
   void close() {
@@ -184,10 +186,10 @@ int64_t pskq_peek(void* h, int64_t timeout_ms) {
   return static_cast<PacketQueue*>(h)->peek(timeout_ms);
 }
 
-int pskq_pop_into(void* h, float* out, uint64_t out_floats, double* t,
-                  int32_t* eos, int32_t* sri_changed, double* xdelta,
-                  int32_t* mode, int32_t* flushed, char* stream_id,
-                  uint64_t stream_id_cap) {
+int64_t pskq_pop_into(void* h, float* out, uint64_t out_floats, double* t,
+                      int32_t* eos, int32_t* sri_changed, double* xdelta,
+                      int32_t* mode, int32_t* flushed, char* stream_id,
+                      uint64_t stream_id_cap) {
   return static_cast<PacketQueue*>(h)->pop_into(out, out_floats, t, eos,
                                                 sri_changed, xdelta, mode,
                                                 flushed, stream_id,

@@ -112,6 +112,8 @@ def cmd_demod_batch(args) -> int:
     same way; bits as int16 (bits_per_symbol per channel per symbol)."""
     import numpy as np
     from .runtime.engine import BatchEngine, FullKernelBatchEngine
+    from .runtime.streams import (SRI, PORT_BITS, PORT_PHASE,
+                                  PORT_SAMPLE_INDEX, PORT_SOFT)
 
     cfg = _config_from_args(args)
     C = args.channels
@@ -120,20 +122,30 @@ def cmd_demod_batch(args) -> int:
                                     block_symbols=args.block_symbols)
     else:
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols)
+    eng.set_input_sri(SRI(stream_id=args.stream_id,
+                          xdelta=1.0 / args.sample_rate, mode=1))
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
-    soft_out = open(f"{args.out_prefix}.soft.cf32", "wb")
-    bits_out = open(f"{args.out_prefix}.bits.i16", "wb")
+    # All four SCD ports (psk_soft.scd.xml:32-73), symbol-interleaved across
+    # channels like the input sample order.
+    sinks = {
+        PORT_SOFT: open(f"{args.out_prefix}.soft.cf32", "wb"),
+        PORT_BITS: open(f"{args.out_prefix}.bits.i16", "wb"),
+        PORT_PHASE: open(f"{args.out_prefix}.phase.f32", "wb"),
+        PORT_SAMPLE_INDEX: open(f"{args.out_prefix}.index.i16", "wb"),
+    }
     chunk = args.chunk_samples * C * 8
     nb = cfg.bits_per_symbol
-    from .utils.transfer import to_host
 
-    def write(out):
-        out = to_host(out)
-        v = out.valid[0]
-        soft_out.write(np.ascontiguousarray(out.soft[:, v].T).tobytes())
-        bits_out.write(np.ascontiguousarray(
-            out.bits[:, v, :nb].transpose(1, 0, 2)).astype(np.int16)
-            .tobytes())
+    def write(pkts):
+        for port, pkt in pkts.items():
+            d = pkt.data
+            if d.size == 0:
+                continue
+            if port == PORT_BITS:    # (C, Sv*nb) -> (Sv, C, nb) interleaved
+                d = d.reshape(C, -1, nb).transpose(1, 0, 2)
+            else:                    # (C, Sv) -> (Sv, C)
+                d = d.T
+            sinks[port].write(np.ascontiguousarray(d).tobytes())
 
     try:
         while True:
@@ -143,20 +155,17 @@ def cmd_demod_batch(args) -> int:
             for c in range(C):
                 eng.push(c, np.ascontiguousarray(data[:, c]))
             while True:
-                out = eng.step()
-                if out is None:
+                pkts = eng.step_packets()
+                if pkts is None:
                     break
-                write(out)
+                write(pkts)
             if len(raw) < chunk:
                 # EOS: drain the sub-block remainder.
-                if hasattr(eng, "flush"):
-                    out = eng.flush()
-                    if out is not None:
-                        write(out)
+                write(eng.flush_packets())
                 break
     finally:
-        soft_out.close()
-        bits_out.close()
+        for f in sinks.values():
+            f.close()
         if src is not sys.stdin.buffer:
             src.close()
     print(json.dumps({"samples_in": eng.metrics.samples_in,
@@ -266,6 +275,8 @@ def main(argv=None) -> int:
     db.add_argument("--in", dest="infile", default="-")
     db.add_argument("--out-prefix", default="psk_batch")
     db.add_argument("--channels", type=int, required=True)
+    db.add_argument("--sample-rate", type=float, default=1.0)
+    db.add_argument("--stream-id", default="cli-batch")
     db.add_argument("--block-symbols", type=int, default=512)
     db.add_argument("--chunk-samples", type=int, default=1 << 14,
                     help="samples per channel per read")

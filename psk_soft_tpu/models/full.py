@@ -80,6 +80,48 @@ def full_from_ff(cfg: DemodConfig, ff_state) -> FullState:
                      planes=jnp.asarray(planes))
 
 
+def ff_from_full(cfg: DemodConfig, state: FullState):
+    """Convert the fused-kernel carry back to a (converged) FFState.
+
+    The inverse of :func:`full_from_ff`, used for live reconfigure on the
+    flagship engine (C7 semantics, cpp/psk_soft.cpp:638-651): the kernel's
+    state planes ARE the feed-forward carry in another layout --
+    ``planes[:n-1]`` is the unwrapped-phase history (newest == last_phase
+    after the end-of-tile re-wrap, exactly like blockpsk's
+    ``new_hist = cat[S:] - off``), ``planes[misc+2/3]`` the previous
+    decision sample.  Host-side, called once per property change.
+    """
+    from ..models.blockpsk import FFState
+    from ..utils.transfer import to_device, to_host
+
+    k = UNWRAP_TREND_LEN
+    n1 = cfg.phase_avg - 1
+    state = to_host(state)
+    planes = np.asarray(state.planes)
+    win_re = np.asarray(state.win_re)             # ((A-1)*sps, C)
+    win_im = np.asarray(state.win_im)
+    c = planes.shape[1]
+    misc = n1 + 2 * (k - 1)
+
+    win = (win_re.T + 1j * win_im.T).astype(np.complex64)
+    win = win.reshape(c, cfg.num_avg - 1, cfg.sps)
+    hist = np.ascontiguousarray(planes[:n1].T)    # (C, n-1) oldest..newest
+    last_any = (planes[misc + 2] + 1j * planes[misc + 3]).astype(np.complex64)
+    return FFState(
+        win_samples=to_device(win),
+        win_energy=jnp.asarray((win.real ** 2 + win.imag ** 2)
+                               .astype(np.float32)),
+        seen=jnp.full((c,), cfg.num_avg, jnp.int32),
+        phase_hist=jnp.asarray(hist.astype(np.float32)),
+        phase_count=jnp.full((c,), cfg.phase_avg, jnp.int32),
+        last_phase=jnp.asarray(hist[:, -1].astype(np.float32) if n1 > 0
+                               else np.zeros(c, np.float32)),
+        last_any=to_device(last_any),
+        mf_tail=to_device(np.zeros((c, max(cfg.mf_ntaps - 1, 0)),
+                                   np.complex64)),
+    )
+
+
 def demod_block_full(cfg: DemodConfig, state: FullState,
                      x_re: jnp.ndarray, x_im: jnp.ndarray, *,
                      s_tile: int = 256, double_buffer: bool | None = None,
@@ -92,6 +134,15 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
         raise ValueError("full kernel supports sps>1, no matched filter, "
                          "argmax timing; use models.blockpsk otherwise")
     sps, num_avg = cfg.sps, cfg.num_avg
+    keep_rows = (num_avg - 1) * sps
+    if x_re.shape[0] < keep_rows:
+        # The carry-window update below slices the last keep_rows input rows;
+        # a shorter block would silently wrap the slice.  Engines pad EOS
+        # remainders to a full block instead.
+        raise ValueError(
+            f"block must be >= (num_avg-1)*sps = {keep_rows} samples, got "
+            f"{x_re.shape[0]}; pad the final block (see "
+            f"FullKernelBatchEngine.flush)")
     soft_re, soft_im, phase, bits, idx, planes = demod_kernel.demod_full_tm(
         state.win_re, state.win_im, x_re, x_im, state.planes, sps=sps,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,

@@ -167,6 +167,16 @@ class StreamEngine:
                 # (cpp/psk_soft.cpp:394-397 -> LinearFit.reset with the new
                 # rate clears the fit; the timing deques survive).
                 self._reset_phase_only()
+                # Re-anchor the timestamp base: output times are computed as
+                # origin + new_xdelta*sps*k, so the old (origin, k) pair would
+                # misdate every packet after the rate change.  Symbols emitted
+                # from this packet on are timed from this packet's T; staged
+                # old-rate samples ahead of it are nudged to the new clock
+                # (bounded by one block -- acceptable, like the reference's
+                # input-packet-T stamping).
+                self._time_origin = packet.t - \
+                    packet.sri.xdelta * float(self._staging.size)
+                self._symbols_emitted = 0
             self._sri = packet.sri
             self._sri_dirty = True
 
@@ -341,6 +351,88 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
     )
 
 
+class BankAssembler:
+    """SRI/timestamp packet assembly for the batch engines.
+
+    The reference pushes SRI + timestamped packets on all four output ports
+    (cpp/psk_soft.cpp:392-405, 605-615); StreamEngine._assemble provides that
+    L2 metadata layer for one stream, this provides it for a channel bank
+    (one SRI governs the aligned bank; packet data carries the leading
+    channel axis).  Timestamps follow the StreamEngine convention: symbol
+    k0's first-sample time from the bank time origin.
+    """
+
+    def __init__(self, cfg: DemodConfig):
+        self.cfg = cfg
+        self.sri: Optional[SRI] = None
+        self._dirty = True
+        self._t0: Optional[float] = None
+        self._k0 = 0
+
+    def set_sri(self, sri: SRI, t: float = 0.0) -> None:
+        """Declare the bank's input SRI (call before/whenever it changes)."""
+        if self.sri is None or sri != self.sri:
+            if self.sri is not None and sri.xdelta != self.sri.xdelta:
+                self._t0 = t          # rate change: re-anchor the clock
+                self._k0 = 0
+            self.sri = sri
+            self._dirty = True
+        if self._t0 is None:
+            self._t0 = t
+
+    def reconfigure(self, cfg: DemodConfig) -> None:
+        self.cfg = cfg
+        self._dirty = True
+        self._k0 = 0
+        self._t0 = None
+
+    def reset(self) -> None:
+        self._k0 = 0
+        self._t0 = None
+
+    def assemble(self, out, eos: bool = False) -> dict[str, Packet]:
+        """Channel-major DemodOutputs -> {port: Packet} with propagated SRI,
+        symbol-accurate timestamps, and EOS marking."""
+        from ..utils.transfer import to_host
+
+        sri = self.sri or SRI(stream_id="bank")
+        out_sri = propagate_sri(self.cfg, sri)
+        if out is None:
+            if not eos:
+                return {}
+            pkts = {p: Packet(data=np.zeros(0, np.float32), sri=s,
+                              t=(self._t0 or 0.0), eos=True)
+                    for p, s in out_sri.items()}
+            return pkts
+        out = to_host(out)
+        valid = np.asarray(out.valid)
+        v = valid[0] if valid.ndim > 1 else valid   # lockstep bank
+        if not v.any():
+            return self.assemble(None, eos=eos)
+        soft = np.asarray(out.soft)[:, v]
+        bits3 = np.asarray(out.bits)[:, v]
+        phase = np.asarray(out.phase)[:, v].astype(np.float32)
+        sidx = np.asarray(out.sample_index)[:, v].astype(np.int16)
+        nb = self.cfg.bits_per_symbol
+        bits = bits3[:, :, :nb].reshape(bits3.shape[0], -1).astype(np.int16)
+
+        t_out = (self._t0 or 0.0) + sri.xdelta * self.cfg.sps * self._k0
+        self._k0 += int(v.sum())
+        sric = self._dirty
+        self._dirty = False
+
+        def pkt(data, port):
+            return Packet(data=data, sri=out_sri[port], t=t_out,
+                          sri_changed=sric, eos=eos)
+
+        return {
+            PORT_SOFT: pkt(soft, PORT_SOFT),
+            PORT_BITS: pkt(bits, PORT_BITS),
+            PORT_PHASE: pkt(phase, PORT_PHASE),
+            PORT_SAMPLE_INDEX: pkt(sidx, PORT_SAMPLE_INDEX),
+        }
+
+
 class BatchEngine:
     """C aligned streams demodulated as one vmapped device step.
 
@@ -363,11 +455,30 @@ class BatchEngine:
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self.metrics = EngineMetrics()
         self.channel_resyncs = np.zeros(channels, np.int64)
+        self.assembler = BankAssembler(cfg)
         from ..utils.profiling import StepTimer
         self.step_timer = StepTimer()
         import functools
         self._fn = jax.jit(jax.vmap(functools.partial(self._ops.block, cfg)))
         self._guard_fn = jax.jit(self._guard) if guard_nonfinite else None
+
+    def set_input_sri(self, sri: SRI, t: float = 0.0) -> None:
+        """Bank input SRI for packet assembly (step_packets/flush_packets)."""
+        self.assembler.set_sri(sri, t)
+
+    def step_packets(self) -> Optional[dict[str, Packet]]:
+        """step() + L2 packet assembly: {port: Packet} with SRI/timestamps
+        (the four conditional pushPackets, cpp/psk_soft.cpp:605-615).
+        Returns None when no block is ready (distinct from {} = a block ran
+        but emitted nothing, e.g. still warming up)."""
+        out = self.step()
+        if out is None:
+            return None
+        return self.assembler.assemble(out)
+
+    def flush_packets(self) -> dict[str, Packet]:
+        """flush() + assembly, EOS-marked on every port."""
+        return self.assembler.assemble(self.flush(), eos=True)
 
     def push(self, channel: int, data: np.ndarray) -> None:
         self._staging[channel] = np.concatenate(
@@ -429,6 +540,10 @@ class BatchEngine:
         self.cfg = new_cfg
         self._fn = jax.jit(jax.vmap(functools.partial(self._ops.block,
                                                       new_cfg)))
+        # The guard closure captures self.cfg via _ops.init at trace time;
+        # rebuild so a post-reconfigure channel reset uses the new config.
+        self._guard_fn = jax.jit(self._guard) if self.guard_nonfinite else None
+        self.assembler.reconfigure(new_cfg)
         self.metrics.reconfigures += 1
 
     def flush(self):
@@ -455,6 +570,7 @@ class BatchEngine:
     def reset(self) -> None:
         self._state = self._ops.init(self.cfg, (self.channels,))
         self._staging = [np.zeros(0, np.complex64) for _ in range(self.channels)]
+        self.assembler.reset()
         self.metrics.resets += 1
 
 
@@ -512,6 +628,8 @@ class FullKernelBatchEngine:
         self.cfg = cfg
         self.channels = channels
         self.block_symbols = int(block_symbols)
+        self._s_tile = s_tile
+        self._interpret = interpret
         self._warm_ops = _PipelineOps("ff")
         self._warm_state = self._warm_ops.init(cfg, (channels,))
         self._warm_fn = jax.jit(jax.vmap(functools.partial(
@@ -523,11 +641,69 @@ class FullKernelBatchEngine:
         self._full_state = None
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self._consumed = 0
+        self.assembler = BankAssembler(cfg)
         self.metrics = EngineMetrics()
 
     @property
     def steady(self) -> bool:
         return self._full_state is not None
+
+    def configure(self, new_cfg: DemodConfig) -> None:
+        """Live property change on the flagship engine (C7 resync semantics,
+        cpp/psk_soft.cpp:638-651).
+
+        The fused-kernel carry is converted back to the feed-forward layout
+        (models/full.ff_from_full), resynced with the standard C7 rules
+        (reconfigure_ff: timing window re-binned/truncated, phase history
+        carried or cleared), and the engine re-warms on the flexible path
+        before handing back to the kernel -- tracking survives compatible
+        changes, exactly like StreamEngine.configure.
+        """
+        import functools
+
+        if new_cfg == self.cfg:
+            return
+        logger.debug("full-kernel reconfigure: %s -> %s", self.cfg, new_cfg)
+        if self._full_state is not None:
+            ff = self._full_mod.ff_from_full(self.cfg, self._full_state)
+            self._full_state = None
+        else:
+            ff = self._warm_state
+        self._warm_state = reconfigure_ff(self.cfg, new_cfg, ff)
+        self.cfg = new_cfg
+        self._warm_fn = jax.jit(jax.vmap(functools.partial(
+            self._warm_ops.block, new_cfg)))
+        self._full_fn = jax.jit(functools.partial(
+            self._full_mod.demod_block_full, new_cfg, s_tile=self._s_tile,
+            interpret=self._interpret))
+        # Conservatively re-run the warm-up gate: a resync may leave
+        # partially-filled windows that the steady kernel cannot represent.
+        self._consumed = 0
+        self.assembler.reconfigure(new_cfg)
+        self.metrics.reconfigures += 1
+
+    def reset(self) -> None:
+        """Full state reset (the resetState property / queue-flush answer)."""
+        self._warm_state = self._warm_ops.init(self.cfg, (self.channels,))
+        self._full_state = None
+        self._staging = [np.zeros(0, np.complex64)
+                         for _ in range(self.channels)]
+        self._consumed = 0
+        self.assembler.reset()
+        self.metrics.resets += 1
+
+    def set_input_sri(self, sri: SRI, t: float = 0.0) -> None:
+        self.assembler.set_sri(sri, t)
+
+    def step_packets(self) -> Optional[dict[str, Packet]]:
+        """See BatchEngine.step_packets (None = no block ready)."""
+        out = self.step()
+        if out is None:
+            return None
+        return self.assembler.assemble(out)
+
+    def flush_packets(self) -> dict[str, Packet]:
+        return self.assembler.assemble(self.flush(), eos=True)
 
     def push(self, channel: int, data: np.ndarray) -> None:
         self._staging[channel] = np.concatenate(
@@ -639,3 +815,43 @@ class GroupEngine:
             for slot, ch in enumerate(members):
                 results[ch] = jax.tree_util.tree_map(lambda a: a[slot], out)
         return results
+
+    def configure(self, channel_cfgs: list[DemodConfig]) -> None:
+        """Live property change across the bank (C7 passthrough).
+
+        The channel->group partition must be preserved: every channel of a
+        group must move to the same new config (each group is one compiled
+        batched step).  A partition-changing reconfigure needs a rebuilt
+        GroupEngine -- raised explicitly rather than silently rebucketing,
+        which would discard converged per-channel carries.
+        """
+        if len(channel_cfgs) != len(self.slot_of):
+            raise ValueError(f"expected {len(self.slot_of)} configs, got "
+                             f"{len(channel_cfgs)}")
+        new_groups = []
+        for gi, (cfg, members, eng) in enumerate(self.groups):
+            cfgs = {channel_cfgs[ch] for ch in members}
+            if len(cfgs) != 1:
+                raise ValueError(
+                    f"reconfigure splits group {gi} (channels {members}); "
+                    f"rebuild the GroupEngine for partition changes")
+            (new_cfg,) = cfgs
+            eng.configure(new_cfg)
+            new_groups.append((new_cfg, members, eng))
+        self.groups = new_groups
+
+    def flush_all(self) -> dict[int, object]:
+        """EOS drain of every group (BatchEngine.flush passthrough)."""
+        results = {}
+        for cfg, members, eng in self.groups:
+            out = eng.flush()
+            if out is None:
+                continue
+            for slot, ch in enumerate(members):
+                results[ch] = jax.tree_util.tree_map(lambda a: a[slot], out)
+        return results
+
+    def reset(self) -> None:
+        """Full state reset of every group (resetState semantics)."""
+        for _, _, eng in self.groups:
+            eng.reset()

@@ -15,6 +15,7 @@ import dataclasses
 import os
 import subprocess
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -47,7 +48,7 @@ def _load_lib():
             ctypes.c_int32, ctypes.c_char_p]
         lib.pskq_peek.restype = ctypes.c_int64
         lib.pskq_peek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.pskq_pop_into.restype = ctypes.c_int
+        lib.pskq_pop_into.restype = ctypes.c_int64
         lib.pskq_pop_into.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
@@ -97,9 +98,18 @@ class NativePacketQueue:
 
     def pop(self, timeout: Optional[float] = None) -> Optional[Packet]:
         """Blocking pop; returns None on timeout.  Complex-mode packets come
-        back as complex64."""
-        timeout_ms = -1 if timeout is None else int(timeout * 1000)
+        back as complex64.
+
+        A finite timeout is a deadline for the WHOLE call: re-peeks after a
+        peek/pop race (head replaced by a concurrent producer or flush) wait
+        only for the remaining time, so the caller's bound holds under
+        producer churn."""
+        deadline = None if timeout is None else time.monotonic() + timeout
         while True:
+            if deadline is None:
+                timeout_ms = -1
+            else:
+                timeout_ms = max(0, int((deadline - time.monotonic()) * 1000))
             n = self._lib.pskq_peek(self._h, timeout_ms)
             if n < 0:
                 return None
@@ -107,7 +117,7 @@ class NativePacketQueue:
             if pkt is not None:
                 return pkt
             # Head changed between peek and pop (concurrent producer or
-            # flush); re-peek with the new size.
+            # flush); re-peek with the remaining deadline.
 
     def _pop_exact(self, n: int):
         buf = np.empty(n, np.float32)
@@ -127,8 +137,12 @@ class NativePacketQueue:
             # Head consumed by another consumer (-1) or replaced by a larger
             # packet (-2) between peek and pop; caller re-peeks.
             return None
-        if rc != 0:
+        if rc < 0:
             raise RuntimeError(f"pskq_pop_into failed: {rc}")
+        # rc is the ACTUAL float count copied; if the head shrank between
+        # peek and pop (producer overflow-flush then push), trim — never
+        # deliver uninitialized tail floats into the demod.
+        buf = buf[: int(rc)]
         data = buf.view(np.complex64) if mode.value == 1 else buf
         return Packet(
             data=data,
