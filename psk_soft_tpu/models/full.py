@@ -37,10 +37,22 @@ class FullOutputs(NamedTuple):
     sample_index: jnp.ndarray
 
 
-def full_from_ff(cfg: DemodConfig, ff_state) -> FullState:
+def full_from_ff(cfg: DemodConfig, ff_state, raw_win=None,
+                 mixed_params=None) -> FullState:
     """Convert a *converged* channel-batched FFState (or FusedState) carry.
 
     Host-side, called once at the warm-up -> steady transition.
+
+    Args:
+      raw_win: required when ``cfg.matched_filter != "none"`` -- the last
+        ``(num_avg-1)*sps + mf_ntaps-1`` RAW input samples per channel,
+        shape (C, that) complex.  The kernel filters in-kernel, so its
+        window carry holds raw samples (the FF carry only keeps filtered
+        ones); the engine tracks this tail itself (FullKernelBatchEngine).
+      mixed_params: models/mixed.MixedParams (per-channel M + differential)
+        for a mixed-mode bank; written into the carry's mode rows so the
+        kernel runs branch-free per-lane selects (pass mixed=True to
+        demod_block_full).
     """
     from ..utils.transfer import to_host
 
@@ -51,7 +63,16 @@ def full_from_ff(cfg: DemodConfig, ff_state) -> FullState:
     ff_state = to_host(ff_state)                  # complex64-safe on axon
     hist = np.asarray(ff_state.phase_hist)        # (C, n-1) oldest..newest
     c = hist.shape[0]
-    if hasattr(ff_state, "win_re"):               # FusedState (time-major)
+    if cfg.matched_filter != "none":
+        keep = (cfg.num_avg - 1) * cfg.sps + cfg.mf_ntaps - 1
+        if raw_win is None or np.shape(raw_win) != (c, keep):
+            raise ValueError(
+                f"matched-filter configs need raw_win of shape {(c, keep)} "
+                f"(raw input tail; the FF carry only holds filtered samples)")
+        raw = np.asarray(raw_win)
+        win_re = np.ascontiguousarray(raw.real.T).astype(np.float32)
+        win_im = np.ascontiguousarray(raw.imag.T).astype(np.float32)
+    elif hasattr(ff_state, "win_re"):             # FusedState (time-major)
         win_re = np.asarray(ff_state.win_re)
         win_im = np.asarray(ff_state.win_im)
     else:                                         # FFState (channel-major)
@@ -76,6 +97,9 @@ def full_from_ff(cfg: DemodConfig, ff_state) -> FullState:
     last_any = np.asarray(ff_state.last_any)
     planes[misc + 2] = last_any.real
     planes[misc + 3] = last_any.imag
+    if mixed_params is not None:
+        planes[misc + 6] = np.asarray(mixed_params.m, np.float32)
+        planes[misc + 7] = np.asarray(mixed_params.diff, np.float32)
     return FullState(win_re=jnp.asarray(win_re), win_im=jnp.asarray(win_im),
                      planes=jnp.asarray(planes))
 
@@ -103,8 +127,22 @@ def ff_from_full(cfg: DemodConfig, state: FullState):
     c = planes.shape[1]
     misc = n1 + 2 * (k - 1)
 
-    win = (win_re.T + 1j * win_im.T).astype(np.complex64)
-    win = win.reshape(c, cfg.num_avg - 1, cfg.sps)
+    raw = (win_re.T + 1j * win_im.T).astype(np.complex64)   # (C, rows)
+    if cfg.matched_filter != "none":
+        # Kernel window rows are RAW; the FF carry wants the FILTERED window
+        # plus the raw (ntaps-1) tail.  Filter host-side (valid alignment,
+        # ops/matched_filter.apply_fir convention y[t] = sum taps[k] x[t+k]).
+        from ..ops.matched_filter import filter_taps
+
+        taps = np.asarray(filter_taps(cfg), np.float64)
+        L = taps.size
+        sw = np.lib.stride_tricks.sliding_window_view(raw, L, axis=-1)
+        filt = (sw @ taps).astype(np.complex64)             # (C, wlen)
+        mf_tail = raw[:, raw.shape[1] - (L - 1):]
+        win = filt.reshape(c, cfg.num_avg - 1, cfg.sps)
+    else:
+        mf_tail = np.zeros((c, 0), np.complex64)
+        win = raw.reshape(c, cfg.num_avg - 1, cfg.sps)
     hist = np.ascontiguousarray(planes[:n1].T)    # (C, n-1) oldest..newest
     last_any = (planes[misc + 2] + 1j * planes[misc + 3]).astype(np.complex64)
     return FFState(
@@ -117,38 +155,41 @@ def ff_from_full(cfg: DemodConfig, state: FullState):
         last_phase=jnp.asarray(hist[:, -1].astype(np.float32) if n1 > 0
                                else np.zeros(c, np.float32)),
         last_any=to_device(last_any),
-        mf_tail=to_device(np.zeros((c, max(cfg.mf_ntaps - 1, 0)),
-                                   np.complex64)),
+        mf_tail=to_device(mf_tail),
     )
 
 
 def demod_block_full(cfg: DemodConfig, state: FullState,
                      x_re: jnp.ndarray, x_im: jnp.ndarray, *,
                      s_tile: int = 256, double_buffer: bool | None = None,
-                     interpret: bool = False):
+                     mixed: bool = False, interpret: bool = False):
     """One steady-state block through the fused kernel.
 
-    x_re/x_im: (T, C) float32 time-major planes, T = S * sps.
+    x_re/x_im: (T, C) float32 time-major planes, T = S * sps.  Always raw
+    input; the matched filter (when configured) runs inside the kernel as
+    chunked banded matmuls, and the window carry then holds raw samples.
     """
-    if cfg.matched_filter != "none" or cfg.sps <= 1 or cfg.timing_interp:
-        raise ValueError("full kernel supports sps>1, no matched filter, "
-                         "argmax timing; use models.blockpsk otherwise")
+    if cfg.sps <= 1:
+        raise ValueError("full kernel supports sps > 1; use models.blockpsk "
+                         "for the sps=1 passthrough")
     sps, num_avg = cfg.sps, cfg.num_avg
-    keep_rows = (num_avg - 1) * sps
-    if x_re.shape[0] < keep_rows:
-        # The carry-window update below slices the last keep_rows input rows;
+    taps = _static_taps(cfg)
+    extra = (len(taps) - 1) if taps else 0
+    keep = (num_avg - 1) * sps + extra
+    if x_re.shape[0] < keep:
+        # The carry-window update below slices the last keep input rows;
         # a shorter block would silently wrap the slice.  Engines pad EOS
         # remainders to a full block instead.
         raise ValueError(
-            f"block must be >= (num_avg-1)*sps = {keep_rows} samples, got "
-            f"{x_re.shape[0]}; pad the final block (see "
+            f"block must be >= (num_avg-1)*sps + mf_ntaps-1 = {keep} "
+            f"samples, got {x_re.shape[0]}; pad the final block (see "
             f"FullKernelBatchEngine.flush)")
     soft_re, soft_im, phase, bits, idx, planes = demod_kernel.demod_full_tm(
         state.win_re, state.win_im, x_re, x_im, state.planes, sps=sps,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
+        mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
         interpret=interpret)
-    keep = (num_avg - 1) * sps
     new_state = FullState(
         win_re=x_re[x_re.shape[0] - keep:],
         win_im=x_im[x_im.shape[0] - keep:],
@@ -157,10 +198,29 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
     return new_state, FullOutputs(soft_re, soft_im, phase, bits, idx)
 
 
+def _static_taps(cfg: DemodConfig):
+    """Matched-filter taps as a hashable static tuple (None when disabled)."""
+    if cfg.matched_filter == "none":
+        return None
+    from ..ops.matched_filter import filter_taps
+
+    return tuple(float(t) for t in filter_taps(cfg))
+
+
 def make_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
                        interpret: bool = False):
     return jax.jit(functools.partial(demod_block_full, cfg, s_tile=s_tile,
                                      interpret=interpret))
+
+
+def make_mixed_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
+                             interpret: bool = False):
+    """Mixed-mode flagship step: per-channel (M, differential) read from the
+    carry's mode rows (convert with full_from_ff(..., mixed_params=params);
+    XLA equivalent: models/mixed.make_mixed_demod_fn).  cfg's
+    constellation_size/differential are ignored."""
+    return jax.jit(functools.partial(demod_block_full, cfg, s_tile=s_tile,
+                                     mixed=True, interpret=interpret))
 
 
 def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,

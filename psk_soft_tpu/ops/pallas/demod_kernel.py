@@ -39,10 +39,15 @@ TWO_PI = 6.2831853071795865
 
 
 def state_rows(phase_avg: int, k: int = UNWRAP_TREND_LEN) -> int:
-    """Rows of the carry plane: u_hist | c_re hist | c_im hist | misc(4),
+    """Rows of the carry plane: u_hist | c_re hist | c_im hist | misc(8),
     padded up to a multiple of 8 (float32 sublane tiling -- Mosaic requires
-    aligned block shapes)."""
-    raw = (phase_avg - 1) + 2 * (k - 1) + 4
+    aligned block shapes).  misc = [ang_prev, unwrap_acc, last_any_re,
+    last_any_im, interp_prev_re, interp_prev_im, mixed_m, mixed_diff]:
+    rows 4-5 are intra-call scratch for the fractional-timing path (the
+    previous tile's final sample, never meaningful across calls); rows 6-7
+    hold the per-channel constellation size and differential flag for
+    mixed-mode banks (constant, carried through)."""
+    raw = (phase_avg - 1) + 2 * (k - 1) + 8
     return -(-raw // 8) * 8
 
 
@@ -72,15 +77,20 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _frontend(re, im, s_tile: int, sps: int, num_avg: int):
-    """Energy window + argmax + gather on VMEM values (time-major planes)."""
+def _window_sums(re, im, s_tile: int, sps: int, num_avg: int):
+    """Windowed per-bin energy sums W[o, j] on VMEM values."""
     e = re * re + im * im
     e3 = e.reshape(s_tile + num_avg - 1, sps, LANES)
     cs = _cumsum0(e3)
     upper = cs[num_avg - 1:]
     lower = jnp.concatenate(
         [jnp.zeros((1, sps, LANES), jnp.float32), cs[:s_tile - 1]], axis=0)
-    w = upper - lower
+    return upper - lower
+
+
+def _frontend(re, im, s_tile: int, sps: int, num_avg: int):
+    """Energy window + argmax + gather on VMEM values (time-major planes)."""
+    w = _window_sums(re, im, s_tile, sps, num_avg)
     b = jnp.argmax(w, axis=1).astype(jnp.int32)             # (s_tile, 128)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (s_tile, sps, LANES), 1)
               == b[:, None, :])
@@ -89,6 +99,75 @@ def _frontend(re, im, s_tile: int, sps: int, num_avg: int):
     sel_re = jnp.sum(jnp.where(onehot, x3r, 0.0), axis=1)
     sel_im = jnp.sum(jnp.where(onehot, x3i, 0.0), axis=1)
     return b, sel_re, sel_im
+
+
+def _frontend_interp(re, im, s_tile: int, sps: int, num_avg: int,
+                     prev_re, prev_im, first_tile):
+    """Fractional-timing frontend: circular-centroid estimate over the bin
+    energies, decision linearly interpolated between the two nearest samples
+    in time (ops/timing.select_decision_samples_interp semantics, including
+    the block-head fallback -- here applied only on the first tile, because
+    interior tiles see their predecessor's final sample via the
+    ``prev_re/prev_im`` carry).
+
+    Returns (b, sel_re, sel_im, carry_re, carry_im) where carry_* is this
+    tile's final decision-region sample for the next tile.
+    """
+    w = _window_sums(re, im, s_tile, sps, num_avg)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s_tile, sps, LANES), 1)
+    angj = jj.astype(jnp.float32) * (TWO_PI / sps)
+    zr = jnp.sum(w * jnp.cos(angj), axis=1)                 # (s_tile, 128)
+    zi = jnp.sum(w * jnp.sin(angj), axis=1)
+    p = atan2_poly(zi, zr) * (sps / TWO_PI)
+    p = jnp.where(p < -0.5, p + sps, p)                     # [-0.5, sps-0.5)
+    p = jnp.where(p > sps - 0.5, p - sps, p)
+    b = jnp.round(p).astype(jnp.int32) % sps
+    i0f = jnp.floor(p)
+    frac = p - i0f
+    # Block-head fallback: row 0 of the whole call has no predecessor
+    # sample; pin to the on-sample decision (frac=0, index 0) exactly like
+    # the XLA path's raw_base<0 clamp.
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, LANES), 0) == 0
+    oob = (i0f < 0) & row0 & first_tile
+    i0f = jnp.where(oob, 0.0, i0f)
+    frac = jnp.where(oob, 0.0, frac)
+    i0 = i0f.astype(jnp.int32)
+
+    x3f_r = re[: (s_tile + 1) * sps].reshape(s_tile + 1, sps, LANES)
+    x3f_i = im[: (s_tile + 1) * sps].reshape(s_tile + 1, sps, LANES)
+    x3r, x3i = x3f_r[:s_tile], x3f_i[:s_tile]
+    on0 = jj == i0[:, None, :]
+    s0r_in = jnp.sum(jnp.where(on0, x3r, 0.0), axis=1)
+    s0i_in = jnp.sum(jnp.where(on0, x3i, 0.0), axis=1)
+    # Row o's own last sample; shifted down one symbol it is row o-1's.
+    lastj = jj == sps - 1
+    own_last_r = jnp.sum(jnp.where(lastj, x3r, 0.0), axis=1)
+    own_last_i = jnp.sum(jnp.where(lastj, x3i, 0.0), axis=1)
+    prev_last_r = jnp.concatenate([prev_re[None], own_last_r[:-1]], axis=0)
+    prev_last_i = jnp.concatenate([prev_im[None], own_last_i[:-1]], axis=0)
+    inb0 = i0 >= 0
+    s0r = jnp.where(inb0, s0r_in, prev_last_r)
+    s0i = jnp.where(inb0, s0i_in, prev_last_i)
+
+    i1 = i0 + 1
+    on1 = jj == i1[:, None, :]
+    s1r_in = jnp.sum(jnp.where(on1, x3r, 0.0), axis=1)
+    s1i_in = jnp.sum(jnp.where(on1, x3i, 0.0), axis=1)
+    # Row o+1's first sample (row s_tile exists: num_avg >= 2).
+    firstj = jj == 0
+    next_first_r = jnp.sum(jnp.where(firstj, x3f_r[1:], 0.0), axis=1)
+    next_first_i = jnp.sum(jnp.where(firstj, x3f_i[1:], 0.0), axis=1)
+    inb1 = i1 <= sps - 1
+    s1r = jnp.where(inb1, s1r_in, next_first_r)
+    s1i = jnp.where(inb1, s1i_in, next_first_i)
+
+    sel_re = s0r * (1.0 - frac) + s1r * frac
+    sel_im = s0i * (1.0 - frac) + s1i * frac
+    rowlast = (jax.lax.broadcasted_iota(jnp.int32, (s_tile, LANES), 0)
+               == s_tile - 1)
+    carry_re = jnp.sum(jnp.where(rowlast, own_last_r, 0.0), axis=0)
+    carry_im = jnp.sum(jnp.where(rowlast, own_last_i, 0.0), axis=0)
+    return b, sel_re, sel_im, carry_re, carry_im
 
 
 def _band_ones(rows: int, cols: int, width: int) -> jnp.ndarray:
@@ -111,14 +190,17 @@ def _lower_tri(rows: int) -> jnp.ndarray:
 
 def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
-            double_buffer: bool,
+            double_buffer: bool, mf_extra: int, mf_chunk: int,
+            timing_interp: bool, mixed: bool,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
+            band_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
             sre, sim, st, sem):
     ci = pl.program_id(0)
     si = pl.program_id(1)
     n1 = n - 1
     k1 = k - 1
+    misc = n1 + 2 * k1
     tile_len = (s_tile + num_avg - 1) * sps
     dma_len = tile_len + tile_pad  # 8-row-aligned DMA/scratch length
     wlen = (num_avg - 1) * sps
@@ -234,23 +316,65 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
                 cp_re.wait()
                 cp_im.wait()
 
-    # --- C2: timing frontend ---
+    # --- slot select (raw rows incl. the matched-filter halo, if any) ---
+    sel_len = tile_len if not mf_extra else dma_len
     if double_buffer:
         # Select this tile's slot with static slices + an elementwise pick
         # (dynamic-start sublane reads can lower as relayouts; reading both
         # slots from VMEM is cheap).
         even = (si % 2 == 0)
-        re_t = jnp.where(even, sre[0:tile_len], sre[dma_len:dma_len + tile_len])
-        im_t = jnp.where(even, sim[0:tile_len], sim[dma_len:dma_len + tile_len])
+        re_t = jnp.where(even, sre[0:sel_len], sre[dma_len:dma_len + sel_len])
+        im_t = jnp.where(even, sim[0:sel_len], sim[dma_len:dma_len + sel_len])
     else:
-        re_t = sre[0:tile_len]
-        im_t = sim[0:tile_len]
-    b, sel_re_v, sel_im_v = _frontend(re_t, im_t, s_tile, sps, num_avg)
+        re_t = sre[0:sel_len]
+        im_t = sim[0:sel_len]
+
+    # --- matched filter: chunked banded matmuls on the MXU ---
+    # f[r] = sum_j taps[j] * raw[r + j]; the band matrix B[r, r+j] = taps[j]
+    # turns the FIR into (chunk x chunk+L-1) @ (chunk+L-1 x 128) products --
+    # the same trick as the FIR phase tracker (sublane shift-adds would
+    # lower as relayout copies).  Chunking keeps the zero fraction of the
+    # band small (L / (chunk + L - 1)).
+    if mf_extra:
+        flen = -(-tile_len // mf_chunk) * mf_chunk
+        fr, fi = [], []
+        for c0 in range(0, flen, mf_chunk):
+            seg_r = re_t[c0:c0 + mf_chunk + mf_extra]
+            seg_i = im_t[c0:c0 + mf_chunk + mf_extra]
+            fr.append(jnp.dot(band_mat[:], seg_r,
+                              preferred_element_type=jnp.float32))
+            fi.append(jnp.dot(band_mat[:], seg_i,
+                              preferred_element_type=jnp.float32))
+        re_t = jnp.concatenate(fr, axis=0)[:tile_len]
+        im_t = jnp.concatenate(fi, axis=0)[:tile_len]
+
+    # --- C2: timing frontend ---
+    if timing_interp:
+        b, sel_re_v, sel_im_v, car_r, car_i = _frontend_interp(
+            re_t, im_t, s_tile, sps, num_avg,
+            st[misc + 4], st[misc + 5], si == 0)
+    else:
+        b, sel_re_v, sel_im_v = _frontend(re_t, im_t, s_tile, sps, num_avg)
 
     # --- C3: M-th power phase (plane squarings) + poly atan2 ---
-    zr, zi = sel_re_v, sel_im_v
-    for _ in range(m.bit_length() - 1):                      # log2(m) squarings
-        zr, zi = zr * zr - zi * zi, 2.0 * zr * zi
+    if mixed:
+        # Per-lane constellation: compute all three powers (two extra
+        # squarings on VMEM values) and select branch-free (the same
+        # recipe as models/mixed.py, at kernel speed).
+        mvec = st[misc + 6]                                  # (128,) float
+        dvec = st[misc + 7]                                  # (128,) 0/1
+        is2 = (mvec == 2.0)[None]
+        is4 = (mvec == 4.0)[None]
+        z2r = sel_re_v * sel_re_v - sel_im_v * sel_im_v
+        z2i = 2.0 * sel_re_v * sel_im_v
+        z4r, z4i = z2r * z2r - z2i * z2i, 2.0 * z2r * z2i
+        z8r, z8i = z4r * z4r - z4i * z4i, 2.0 * z4r * z4i
+        zr = jnp.where(is2, z2r, jnp.where(is4, z4r, z8r))
+        zi = jnp.where(is2, z2i, jnp.where(is4, z4i, z8i))
+    else:
+        zr, zi = sel_re_v, sel_im_v
+        for _ in range(m.bit_length() - 1):                  # log2(m) squarings
+            zr, zi = zr * zr - zi * zi, 2.0 * zr * zi
     raw = atan2_poly(zi, zr)                                 # (s_tile, 128)
 
     # --- trend MA over the last k raw phases (carry: c hists) ---
@@ -267,7 +391,6 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     ang_t = atan2_poly(t_im, t_re)
 
     # --- prefix unwrap of the trend + residual re-attachment ---
-    misc = n1 + 2 * k1
     ang_prev = st[misc]                                      # (128,)
     acc = st[misc + 1]
     ang_shift = jnp.concatenate([ang_prev[None], ang_t[:-1]], axis=0)
@@ -283,26 +406,45 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     est = jnp.dot(fir_mat[:], ext_u, preferred_element_type=jnp.float32)
 
     # --- C5: correction / differential decode ---
-    if diff:
+    if mixed or diff:
         pr = jnp.concatenate([st[misc + 2][None], sel_re_v[:-1]], axis=0)
         pi_ = jnp.concatenate([st[misc + 3][None], sel_im_v[:-1]], axis=0)
         pp = pr * pr + pi_ * pi_
         inv = 1.0 / jnp.where(pp == 0, 1.0, pp)
-        base_r = (sel_re_v * pr + sel_im_v * pi_) * inv
-        base_i = (sel_im_v * pr - sel_re_v * pi_) * inv
-        corr = jnp.zeros_like(est)
+        base_r_d = (sel_re_v * pr + sel_im_v * pi_) * inv
+        base_i_d = (sel_im_v * pr - sel_re_v * pi_) * inv
+    if mixed:
+        dsel = (dvec > 0.5)[None]
+        base_r = jnp.where(dsel, base_r_d, sel_re_v)
+        base_i = jnp.where(dsel, base_i_d, sel_im_v)
+        corr = jnp.where(dsel, 0.0, -est / mvec[None])
+        corr = corr + jnp.where(is4, 0.7853981633974483, 0.0)
     else:
-        base_r, base_i = sel_re_v, sel_im_v
-        corr = -est / float(m)
-    if m == 4:
-        corr = corr + 0.7853981633974483                     # +pi/4
+        if diff:
+            base_r, base_i = base_r_d, base_i_d
+            corr = jnp.zeros_like(est)
+        else:
+            base_r, base_i = sel_re_v, sel_im_v
+            corr = -est / float(m)
+        if m == 4:
+            corr = corr + 0.7853981633974483                 # +pi/4
     cph_r = jnp.cos(corr)
     cph_i = jnp.sin(corr)
     s_r = base_r * cph_r - base_i * cph_i
     s_i = base_r * cph_i + base_i * cph_r
 
     # --- C6: slicing (documented mapping), packed LSB-first ---
-    if m == 2:
+    if mixed:
+        bits2 = (s_r < 0).astype(jnp.int32)
+        sgn_r = (s_r < 0).astype(jnp.int32)
+        sgn_i = (s_i < 0).astype(jnp.int32)
+        bits4 = (sgn_r ^ sgn_i) + 2 * sgn_i
+        th = atan2_poly(s_i, s_r)
+        ss = th * (4.0 / jnp.pi)
+        ss = jnp.where(ss < -0.5, ss + 8.0, ss)
+        bits8 = jnp.floor(ss + 0.5).astype(jnp.int32) & 7
+        bits = jnp.where(is2, bits2, jnp.where(is4, bits4, bits8))
+    elif m == 2:
         bits = (s_r < 0).astype(jnp.int32)
     elif m == 4:
         sgn_r = (s_r < 0).astype(jnp.int32)
@@ -321,7 +463,7 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     idx_out[:] = b
 
     # --- carry updates (+ end-of-tile M*2pi re-wrap, cpp/psk_soft.cpp:592) ---
-    wrapv = TWO_PI * m
+    wrapv = TWO_PI * mvec if mixed else TWO_PI * m           # per-lane / scalar
     u_last = u[s_tile - 1]
     wraps = jnp.round(u_last / wrapv)
     off = jnp.where(jnp.abs(u_last) > wrapv, wraps * wrapv, 0.0)  # (128,)
@@ -332,22 +474,39 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     st[misc + 1] = acc - TWO_PI * cum[s_tile - 1] - off
     st[misc + 2] = sel_re_v[s_tile - 1]
     st[misc + 3] = sel_im_v[s_tile - 1]
+    if timing_interp:
+        st[misc + 4] = car_r
+        st[misc + 5] = car_i
     state_out[:] = st[:]
+
+
+MF_CHUNK = 128  # FIR band-matmul chunk rows (multiple of 8)
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "num_avg", "phase_avg",
                                              "m", "diff", "s_tile",
-                                             "double_buffer", "interpret"))
+                                             "double_buffer", "mf_taps",
+                                             "timing_interp", "mixed",
+                                             "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   num_avg: int, phase_avg: int, m: int, diff: bool,
                   s_tile: int = 256, double_buffer: bool | None = None,
-                  interpret: bool = False):
+                  mf_taps: tuple | None = None, timing_interp: bool = False,
+                  mixed: bool = False, interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
 
     Args:
-      win_re/win_im: ((num_avg-1)*sps, C) float32 carry window planes.
-      x_re/x_im: (S*sps, C) float32 block planes.
+      win_re/win_im: ((num_avg-1)*sps + mf_ntaps-1, C) float32 carry window
+        planes -- RAW samples when ``mf_taps`` is set (the kernel filters
+        them itself), filtered/plain samples otherwise.
+      x_re/x_im: (S*sps, C) float32 block planes (always raw input).
       state_planes: (state_rows(phase_avg), C) float32 carry.
+      mf_taps: matched-filter taps as a static tuple (None = no filter);
+        the FIR runs inside the kernel as chunked banded matmuls.
+      timing_interp: fractional (circular-centroid) timing refinement.
+      mixed: per-channel (M, differential) bank -- modes are read from
+        state rows misc+6/7 (see state_rows) and the static m/diff are
+        ignored; all mode-dependent stages become branch-free selects.
     Returns:
       (soft_re, soft_im, phase, bits_packed, sample_index, new_state_planes)
       -- symbol-rate planes are (S, C).
@@ -355,11 +514,13 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     import numpy as np
     from ...ops.linear_fit import endpoint_fir_weights
 
+    extra = (len(mf_taps) - 1) if mf_taps else 0
     T, C = x_re.shape
     if C % LANES:
         raise ValueError(f"channels ({C}) must be a multiple of {LANES}")
-    if win_re.shape != ((num_avg - 1) * sps, C):
-        raise ValueError(f"win planes must be {((num_avg - 1) * sps, C)}")
+    wrows = (num_avg - 1) * sps + extra
+    if win_re.shape != (wrows, C):
+        raise ValueError(f"win planes must be {(wrows, C)}")
     k = UNWRAP_TREND_LEN
     if phase_avg < k + 1:
         raise ValueError(f"full kernel requires phase_avg >= {k + 1}")
@@ -369,16 +530,17 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     # VMEM budget: the tile buffers plus the frontend intermediates all
     # scale with tile_len = (s_tile + num_avg - 1) * sps; empirically the
     # compiler's scoped stack fits ~2900 rows at 128 lanes f32 inside the
-    # 16 MB VMEM (single-buffered).  Pick the largest divisor of S that fits.
+    # 16 MB VMEM (single-buffered); the matched filter adds a raw + filtered
+    # copy, so its caps are lower.  Pick the largest divisor of S that fits.
     # Tile floor: s_tile >= num_avg-1 keeps the split-DMA tile start
     # (si*s_tile*sps - wlen) non-negative.  When wlen is not 8-row aligned
     # the kernel always takes the concat path, whose tile start is
     # si*s_tile*sps -- any s_tile with (s_tile*sps) % 8 == 0 is valid, so
     # the floor drops (this is what lets the sps=10 default config
     # double-buffer).
-    wlen_aligned = ((num_avg - 1) * sps) % 8 == 0
+    wlen_aligned = ((num_avg - 1) * sps) % 8 == 0 and not extra
     def pick_tile(max_rows):
-        cap = max(max_rows // sps - (num_avg - 1), num_avg - 1)
+        cap = max((max_rows - extra) // sps - (num_avg - 1), num_avg - 1)
         want = min(s_tile, s_out, cap)
         lo = num_avg - 2 if wlen_aligned else 0
         for cand in range(want, lo, -1):
@@ -386,7 +548,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                 return cand
         return None
 
-    pick = pick_tile(2900)
+    cap_single, cap_db = (2100, 1500) if extra else (2900, 2100)
+    pick = pick_tile(cap_single)
     if pick is None:
         raise ValueError(
             f"no viable s_tile for S={s_out}, sps={sps}, num_avg={num_avg} "
@@ -399,7 +562,7 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         # stays inside VMEM.  Prefetching tile si+1 while computing tile si
         # overlaps the input DMA with compute (the output side is already
         # pipelined by the BlockSpec machinery).
-        pick_db = pick_tile(2100)
+        pick_db = pick_tile(cap_db)
         if pick_db is not None and s_out // pick_db > 1 and not (
                 auto and pick_db < min(96, pick)):
             # Auto mode declines tiles under 96 symbols: per-grid-step
@@ -422,17 +585,32 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     # concatenating on the host side, with the input padded so every tile's
     # 8-aligned DMA length stays in bounds (e.g. the default sps=10,
     # num_avg=100 has wlen=990, tile_len 2270 -- neither 8-aligned; an
-    # unaligned DMA faults the TPU worker).
-    split_dma = (wlen % 8 == 0) and (s_tile % 8 == 0) and (tile_len % 8 == 0)
-    tile_pad = 0 if split_dma else (-tile_len) % 8
+    # unaligned DMA faults the TPU worker).  The matched filter always takes
+    # the concat path (its halo changes every tile's span).
+    split_dma = (not extra and wlen % 8 == 0 and s_tile % 8 == 0
+                 and tile_len % 8 == 0)
+    if extra:
+        # Raw rows a tile needs: ceil(tile_len/chunk) whole FIR chunks plus
+        # the L-1 halo, rounded up to the 8-row DMA granule.
+        flen = -(-tile_len // MF_CHUNK) * MF_CHUNK
+        dma_len = -(-(flen + extra) // 8) * 8
+        tile_pad = dma_len - tile_len
+    else:
+        tile_pad = 0 if split_dma else (-tile_len) % 8
+        dma_len = tile_len + tile_pad
     if not split_dma:
         if (s_tile * sps) % 8:
             raise ValueError(f"s_tile*sps ({s_tile * sps}) must be a "
                              f"multiple of 8")
+        # Host-side pad so the last tile's [start, start+dma_len) DMA span
+        # stays in bounds of the concatenated [window | block] planes.
+        n_tiles = s_out // s_tile
+        pad_rows = max(0, (n_tiles - 1) * s_tile * sps + dma_len
+                       - (wrows + T))
         parts_re = [win_re, x_re]
         parts_im = [win_im, x_im]
-        if tile_pad:
-            zpad = jnp.zeros((tile_pad, C), jnp.float32)
+        if pad_rows:
+            zpad = jnp.zeros((pad_rows, C), jnp.float32)
             parts_re.append(zpad)
             parts_im.append(zpad)
         x_re = jnp.concatenate(parts_re, axis=0)
@@ -446,10 +624,22 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     for o in range(s_tile):
         fir_np[o, o:o + phase_avg] = w
     fir_mat = jnp.asarray(fir_np)
+    # Matched-filter band: B[r, r+j] = taps[j] (dummy when disabled).
+    if extra:
+        band_np = np.zeros((MF_CHUNK, MF_CHUNK + extra), np.float32)
+        taps_np = np.asarray(mf_taps, np.float32)
+        for r in range(MF_CHUNK):
+            band_np[r, r:r + extra + 1] = taps_np
+        band_shape = band_np.shape
+    else:
+        band_np = np.zeros((8, 8), np.float32)
+        band_shape = (8, 8)
+    band_mat = jnp.asarray(band_np)
 
     kernel = functools.partial(_kernel, s_tile, sps, num_avg, phase_avg, m,
                                diff, k, s_out // s_tile, split_dma, tile_pad,
-                               double_buffer)
+                               double_buffer, extra, MF_CHUNK, timing_interp,
+                               mixed)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):
@@ -475,15 +665,17 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
             pl.BlockSpec((s_tile, s_tile + n1), lambda ci, si: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(band_shape, lambda ci, si: (0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM(((2 if double_buffer else 1) * (tile_len + tile_pad),
+            pltpu.VMEM(((2 if double_buffer else 1) * dma_len,
                         LANES), jnp.float32),
-            pltpu.VMEM(((2 if double_buffer else 1) * (tile_len + tile_pad),
+            pltpu.VMEM(((2 if double_buffer else 1) * dma_len,
                         LANES), jnp.float32),
             pltpu.VMEM((rs, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
-    )(win_re, win_im, x_re, x_im, state_planes, fir_mat))
+    )(win_re, win_im, x_re, x_im, state_planes, fir_mat, band_mat))

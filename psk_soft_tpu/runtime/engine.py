@@ -641,8 +641,26 @@ class FullKernelBatchEngine:
         self._full_state = None
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self._consumed = 0
+        # Raw-input tail for the kernel handoff under a matched filter: the
+        # kernel filters in-kernel, so its window carry holds RAW samples,
+        # which the FF warm-up carry does not keep (it stores the filtered
+        # window).  Tracked host-side from the staged blocks.
+        self._raw_tail = np.zeros((channels, 0), np.complex64)
         self.assembler = BankAssembler(cfg)
         self.metrics = EngineMetrics()
+
+    @property
+    def _raw_keep(self) -> int:
+        if self.cfg.matched_filter == "none":
+            return 0
+        return (self.cfg.num_avg - 1) * self.cfg.sps + self.cfg.mf_ntaps - 1
+
+    def _track_raw(self, x: np.ndarray) -> None:
+        keep = self._raw_keep
+        if not keep:
+            return
+        cat = np.concatenate([self._raw_tail, x], axis=1)
+        self._raw_tail = cat[:, max(0, cat.shape[1] - keep):]
 
     @property
     def steady(self) -> bool:
@@ -665,6 +683,13 @@ class FullKernelBatchEngine:
             return
         logger.debug("full-kernel reconfigure: %s -> %s", self.cfg, new_cfg)
         if self._full_state is not None:
+            if self.cfg.matched_filter != "none":
+                # Kernel window rows are raw input: seed the raw tail so the
+                # next steady handoff has its history.
+                wr = np.asarray(self._full_state.win_re)
+                wi = np.asarray(self._full_state.win_im)
+                self._raw_tail = np.ascontiguousarray(
+                    (wr + 1j * wi).T.astype(np.complex64))
             ff = self._full_mod.ff_from_full(self.cfg, self._full_state)
             self._full_state = None
         else:
@@ -689,6 +714,7 @@ class FullKernelBatchEngine:
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
         self._consumed = 0
+        self._raw_tail = np.zeros((self.channels, 0), np.complex64)
         self.assembler.reset()
         self.metrics.resets += 1
 
@@ -725,12 +751,16 @@ class FullKernelBatchEngine:
         self._staging = [s[need:] for s in self._staging]
         self._consumed += self.block_symbols
         if self._full_state is None:
+            self._track_raw(x)
             self._warm_state, out = self._warm_fn(self._warm_state,
                                                   to_device(x))
-            if self._consumed >= self.cfg.num_avg + self.cfg.phase_avg:
+            if (self._consumed >= self.cfg.num_avg + self.cfg.phase_avg
+                    and self._raw_tail.shape[1] >= self._raw_keep):
+                raw = (self._raw_tail if self._raw_keep else None)
                 self._full_state = self._full_mod.full_from_ff(
-                    self.cfg, self._warm_state)
+                    self.cfg, self._warm_state, raw_win=raw)
                 self._warm_state = None
+                self._raw_tail = np.zeros((self.channels, 0), np.complex64)
         else:
             x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
             x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
@@ -768,9 +798,15 @@ class FullKernelBatchEngine:
             # Output o's window covers carry rows [o, o+numAvg-1]; with a
             # full carry (steady) plus nsym real new rows, windows are fully
             # real for o < nsym -- exactly the outputs the reference would
-            # still emit before the stream ends.
+            # still emit before the stream ends.  A matched filter looks
+            # mf_ntaps-1 raw samples ahead, so its last ceil((L-1)/sps)
+            # symbols also touch the padding and are masked.
+            nvalid = nsym
+            if self.cfg.matched_filter != "none":
+                nvalid = max(0, nsym - (-(-(self.cfg.mf_ntaps - 1)
+                                          // self.cfg.sps)))
             mask = np.zeros(self.block_symbols, bool)
-            mask[:nsym] = True
+            mask[:nvalid] = True
             out = out._replace(
                 valid=out.valid & jnp.asarray(mask)[None, :])
         self.metrics.symbols_out += int(np.asarray(out.valid).sum())
