@@ -74,25 +74,42 @@ def run_ff(args, cfg, C, T, x_np):
     return C * T * args.iters / best
 
 
-def run_full(args, cfg, C, T, x_np):
+def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
     """Flagship: the single fused Pallas kernel (models/full.py), entered
-    after converging through the flexible pipeline."""
+    after converging through the flexible pipeline.
+
+    raw_tail: pass the raw input tail to the handoff (matched-filter
+    configs).  mixed: (ms, diffs) per-channel mode arrays (BASELINE
+    config 4 on the kernel's mode planes).
+    """
     import jax
     import jax.numpy as jnp
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
     from psk_soft_tpu.models.full import demod_block_full, full_from_ff
     from psk_soft_tpu.utils.transfer import to_device
 
+    import functools
+
     st_ff = ff_init(cfg, (C,))
-    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
-    st_ff, _ = warm(st_ff, to_device(x_np))
-    state = full_from_ff(cfg, st_ff)
+    mixed_params = None
+    if mixed is not None:
+        from psk_soft_tpu.models.mixed import MixedParams, make_mixed_demod_fn
+        mixed_params = MixedParams.make(*mixed)
+        warm_fn = make_mixed_demod_fn(cfg)
+        st_ff, _ = warm_fn(mixed_params, st_ff, to_device(x_np))
+    else:
+        warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+        st_ff, _ = warm(st_ff, to_device(x_np))
+    raw = None
+    if raw_tail:
+        keep = (cfg.num_avg - 1) * cfg.sps + max(cfg.mf_ntaps - 1, 0)
+        raw = x_np[:, x_np.shape[1] - keep:]
+    state = full_from_ff(cfg, st_ff, raw_win=raw, mixed_params=mixed_params)
     x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
     x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
-    import functools
-
-    step = functools.partial(demod_block_full, cfg)
+    step = functools.partial(demod_block_full, cfg,
+                             mixed=mixed is not None)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(state, x_re, x_im, k):
@@ -112,6 +129,80 @@ def run_full(args, cfg, C, T, x_np):
         float(chk)  # host fetch: forces true completion of all work
         best = min(best, time.perf_counter() - t0)
     return C * T * args.iters / best
+
+
+def run_mesh(args):
+    """Scaling-efficiency reports (eval/scaling.py), one JSON line each."""
+    import jax
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.eval.scaling import (channel_scaling_report,
+                                           time_shard_report)
+
+    cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    rep = channel_scaling_report(
+        cfg, channels_per_device=min(args.channels, 256),
+        symbols=min(args.symbols, 256), iters=max(2, args.iters // 50),
+        reps=args.reps, pipeline="ff" if on_cpu else "full",
+        interpret=False)
+    print(json.dumps(rep))
+    if len(jax.devices()) > 1:
+        rep_t = time_shard_report(
+            cfg, channels=128, total_symbols=4096,
+            iters=max(2, args.iters // 100), reps=args.reps,
+            interpret=on_cpu)
+        print(json.dumps(rep_t))
+    return 0
+
+
+def run_profile(args):
+    """Non-default BASELINE configs on the flagship kernel."""
+    import jax
+    import jax.numpy as jnp
+    from psk_soft_tpu import DemodConfig
+
+    C = args.channels
+    if args.profile == "config3":
+        cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=8,
+                          phase_avg=50, matched_filter="rrc", rrc_beta=0.35,
+                          rrc_span=8, timing_interp=True)
+        rng = np.random.default_rng(0)
+        sym = rng.integers(0, 8, size=(C, args.symbols))
+        pts = np.exp(1j * (2 * np.pi * sym / 8 + 2 * np.pi * 1e-4
+                           * np.arange(args.symbols)))
+        up = np.zeros((C, args.symbols * args.sps), np.complex64)
+        up[:, :: args.sps] = pts
+        from psk_soft_tpu.ops.matched_filter import rrc_taps
+        taps = rrc_taps(args.sps, 0.35, 8)
+        x_np = np.stack([np.convolve(u, taps, mode="same") for u in up])
+        x_np = x_np.astype(np.complex64)
+        x_np += (0.01 * rng.standard_normal(x_np.shape)).astype(np.complex64)
+        rate = run_full(args, cfg, C, x_np.shape[1], x_np,
+                        raw_tail=True)
+        return emit(C, "config3 8PSK+RRC+interp full-kernel", rate)
+    # mixed: per-channel constellations/diff on the kernel's mode planes
+    cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    rng = np.random.default_rng(0)
+    ms = rng.choice([2, 4, 8], C)
+    diffs = rng.random(C) < 0.5
+    xs = []
+    for i in range(C):
+        r = np.random.default_rng(i)
+        m = int(ms[i])
+        j = r.integers(0, m, args.symbols)
+        pts = np.exp(2j * np.pi * j / m)
+        if diffs[i]:
+            pts = np.cumprod(pts)
+        x = np.repeat(pts * np.exp(2j * np.pi * 1e-4
+                                   * np.arange(args.symbols)),
+                      args.sps).astype(np.complex64)
+        x += (0.01 * r.standard_normal(x.size)).astype(np.complex64)
+        xs.append(x)
+    x_np = np.stack(xs)
+    rate = run_full(args, cfg, C, x_np.shape[1], x_np, mixed=(ms, diffs))
+    return emit(C, "mixed-mode full-kernel", rate)
 
 
 def main():
@@ -134,7 +225,23 @@ def main():
                          "the XLA feed-forward pipeline, report the faster "
                          "(the tunneled device's throughput varies widely "
                          "between windows and the two degrade differently)")
+    ap.add_argument("--profile", choices=["default", "config3", "mixed"],
+                    default="default",
+                    help="config3 = 8-PSK + RRC + fractional timing "
+                         "(BASELINE config 3) on the fused kernel; mixed = "
+                         "per-channel modes (BASELINE config 4)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="scaling-efficiency report over the device mesh "
+                         "(eval/scaling.py): one JSON line per report; on a "
+                         "1-chip host this is a single point, on the "
+                         "virtual CPU mesh (xla_force_host_platform_"
+                         "device_count) the full curve")
     args = ap.parse_args()
+
+    if args.mesh:
+        return run_mesh(args)
+    if args.profile != "default":
+        return run_profile(args)
 
     import jax
     import jax.numpy as jnp

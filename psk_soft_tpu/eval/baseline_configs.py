@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ..config import DemodConfig
 

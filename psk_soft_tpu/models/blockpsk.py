@@ -33,7 +33,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import DemodConfig
 from ..ops import linear_fit, phase as phase_ops

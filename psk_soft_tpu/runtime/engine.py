@@ -332,18 +332,20 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
     # a zero slot as live history.
     count = np.minimum(np.asarray(state.phase_count), max(n_old - 1, 1))
     keep = np.minimum(count, max(n_new - 1, 0))
-    new_hist = np.zeros(channel_shape + (max(n_new - 1, 0),), np.float32)
-    if n_new > 1 and n_old > 1:
-        for ch in (np.ndindex(*channel_shape) if channel_shape else [()]):
-            k = int(keep[ch]) if channel_shape else int(keep)
-            if k > 0:
-                src = (hist[ch] if channel_shape else hist)
-                live = src[src.shape[-1] - min(int(count[ch] if channel_shape else count), src.shape[-1]):]
-                new_hist_ch = live[max(live.size - k, 0):]
-                if channel_shape:
-                    new_hist[ch][new_hist[ch].size - new_hist_ch.size:] = new_hist_ch
-                else:
-                    new_hist[new_hist.size - new_hist_ch.size:] = new_hist_ch
+    m = max(n_new - 1, 0)
+    L = max(n_old - 1, 0)
+    # Right-align the newest keep values: new[..., s] = hist[..., L-m+s]
+    # masked to s >= m-keep -- one vectorized gather, no per-channel host
+    # loop (a 4096-channel property change is milliseconds, not seconds).
+    if m > 0 and L > 0:
+        s = np.arange(m)
+        src_idx = np.clip(L - m + s, 0, L - 1)
+        idx = np.broadcast_to(src_idx, channel_shape + (m,))
+        gathered = np.take_along_axis(hist, idx, axis=-1)
+        mask = s >= (m - np.asarray(keep)[..., None])
+        new_hist = np.where(mask, gathered, 0.0).astype(np.float32)
+    else:
+        new_hist = np.zeros(channel_shape + (m,), np.float32)
     return new._replace(
         phase_hist=jnp.asarray(new_hist),
         phase_count=jnp.asarray(np.minimum(count, n_new).astype(np.int32)),

@@ -155,16 +155,15 @@ def reconfigure(old_cfg: DemodConfig, new_cfg: DemodConfig,
     idx = (np.arange(n_old) + np.where(fill == n_old, pos, 0)[..., None]) % n_old
     chrono = np.take_along_axis(ring, idx, axis=-1)  # oldest..newest
     keep = np.minimum(fill, n_new)
-    new_ring = np.zeros(channel_shape + (n_new,), np.float32)
-    # Right-aligned in chronological order -> write sequentially from slot 0.
-    for ch in np.ndindex(*channel_shape) if channel_shape else [()]:
-        k = int(keep[ch]) if channel_shape else int(keep)
-        f = int(fill[ch]) if channel_shape else int(fill)
-        src = chrono[ch][f - k:f] if channel_shape else chrono[f - k:f]
-        if channel_shape:
-            new_ring[ch][:k] = src
-        else:
-            new_ring[:k] = src
+    # Newest keep chronological values, written from slot 0:
+    # new[..., j] = chrono[..., fill-keep+j] for j < keep -- one vectorized
+    # gather, no per-channel host loop (milliseconds at 4096 channels).
+    j = np.arange(n_new)
+    src_idx = np.clip(np.asarray(fill)[..., None]
+                      - np.asarray(keep)[..., None] + j, 0, n_old - 1)
+    gathered = np.take_along_axis(chrono, src_idx, axis=-1)
+    new_ring = np.where(j < np.asarray(keep)[..., None], gathered,
+                        0.0).astype(np.float32)
     new_fill = keep.astype(np.int32)
     new_pos = (new_fill % n_new).astype(np.int32)
     phase_est = np.asarray(state.phase_est, np.float32)

@@ -8,11 +8,18 @@ cd "$(dirname "$0")/.."
 echo "== native build =="
 make -C native
 
+echo "== native static analysis (gcc -fanalyzer; cppcheck-stage analog) =="
+make -C native analyze
+
 echo "== static checks =="
 python -m compileall -q psk_soft_tpu tests bench.py __graft_entry__.py
+python scripts/pylint_lite.py
 
-echo "== unit + integration tests (virtual 8-device CPU mesh) =="
-python -m pytest tests/ -q
+echo "== unit + integration tests (virtual 8-device CPU mesh, coverage) =="
+# pycov (sys.monitoring) gates line coverage of psk_soft_tpu/ -- the
+# reference CI's gcov/gcovr stage analog.  Subprocess (CLI) tests are not
+# traced, so the floor is conservative.
+python scripts/pycov.py --min 70 -m pytest tests/ -q
 
 echo "== CLI selftest =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m psk_soft_tpu selftest

@@ -1,0 +1,88 @@
+"""Hardware check: MF+interp and mixed kernel paths on the real chip."""
+# Run from the repo root with plain python (axon TPU default):
+#   python scripts/hw_mf_check.py
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np, jax.numpy as jnp, time
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
+from psk_soft_tpu.models.full import (full_from_ff, make_full_demod_fn,
+                                      make_mixed_full_demod_fn, to_demod_outputs)
+from psk_soft_tpu.testing.signals import gen_psk_channel
+from psk_soft_tpu.utils.transfer import to_device, to_host
+
+C = 128
+def bank(cfg, S, seed0=0, m=None, pulse="rrc"):
+    m = m or cfg.constellation_size
+    return np.stack([
+        gen_psk_channel(S, sps=cfg.sps, m=m, seed=seed0+i, snr_db=25,
+                        freq_offset=1e-4, pulse=pulse,
+                        rrc_beta=cfg.rrc_beta, rrc_span=cfg.rrc_span)[0]
+        for i in range(C)])
+
+def check(name, cfg, xs, s_tile=128):
+    t0 = time.time()
+    warm, run = np.split(xs, [256 * cfg.sps], axis=1)
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), to_device(warm))
+    raw_win = None
+    if cfg.matched_filter != "none":
+        keep = (cfg.num_avg - 1) * cfg.sps + cfg.mf_ntaps - 1
+        raw_win = warm[:, warm.shape[1] - keep:]
+    st = full_from_ff(cfg, st_ff, raw_win=raw_win)
+    fn = make_full_demod_fn(cfg, s_tile=s_tile)
+    st, out = fn(st, jnp.asarray(np.ascontiguousarray(run.real.T)),
+                 jnp.asarray(np.ascontiguousarray(run.imag.T)))
+    d = to_host(to_demod_outputs(cfg, out))
+    _, out_ff = fn_ff(st_ff, to_device(run))
+    out_ff = to_host(out_ff)
+    mis = int((np.asarray(d.sample_index) != np.asarray(out_ff.sample_index)).sum())
+    err = float(np.abs(np.asarray(d.soft) - np.asarray(out_ff.soft)).max())
+    ph = float(np.abs(np.asarray(d.phase) - np.asarray(out_ff.phase)).max())
+    print(f"{name}: idx_mis={mis} soft_err={err:.2e} phase_err={ph:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return mis == 0 and err < 3e-3
+
+ok = True
+cfg3 = DemodConfig(sps=8, num_avg=50, constellation_size=8, phase_avg=20,
+                   matched_filter="rrc", rrc_beta=0.35, rrc_span=8,
+                   timing_interp=True)
+ok &= check("config3 rrc+interp 8psk", cfg3, bank(cfg3, 768))
+
+cfgb = DemodConfig(sps=10, num_avg=50, constellation_size=4, phase_avg=20,
+                   matched_filter="boxcar")
+ok &= check("boxcar sps10", cfgb, bank(cfgb, 640, seed0=300, pulse="rect"))
+
+# mixed
+from psk_soft_tpu.models.mixed import MixedParams, make_mixed_demod_fn, mixed_init
+cfgm = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+rng = np.random.default_rng(0)
+ms = rng.choice([2, 4, 8], C); diffs = rng.random(C) < 0.5
+xs = []
+for i in range(C):
+    r = np.random.default_rng(700 + i)
+    m = int(ms[i]); j = r.integers(0, m, 768)
+    pts = np.exp(2j*np.pi*j/m)
+    if diffs[i]: pts = np.cumprod(pts)
+    x = np.zeros(768*8, np.complex64)
+    x[3::8] = pts * np.exp(2j*np.pi*1e-4*8*np.arange(768))
+    x += (0.01*r.standard_normal(x.size)).astype(np.complex64)
+    xs.append(x)
+xs = np.stack(xs)
+params = MixedParams.make(ms, diffs)
+warm, run = np.split(xs, [256*8], axis=1)
+fn_mx = make_mixed_demod_fn(cfgm)
+st_mx, _ = fn_mx(params, mixed_init(cfgm, C), to_device(warm))
+st = full_from_ff(cfgm, st_mx, mixed_params=params)
+fn = make_mixed_full_demod_fn(cfgm, s_tile=128)
+st, out = fn(st, jnp.asarray(np.ascontiguousarray(run.real.T)),
+             jnp.asarray(np.ascontiguousarray(run.imag.T)))
+d = to_host(to_demod_outputs(cfgm, out))
+_, out_mx = fn_mx(params, st_mx, to_device(run))
+out_mx = to_host(out_mx)
+mis = int((np.asarray(d.sample_index) != np.asarray(out_mx.sample_index)).sum())
+err = float(np.abs(np.asarray(d.soft) - np.asarray(out_mx.soft)).max())
+bits_mis = int((np.asarray(d.bits) != np.asarray(out_mx.bits)).sum())
+print(f"mixed: idx_mis={mis} soft_err={err:.2e} bits_mis={bits_mis}", flush=True)
+ok &= mis == 0 and err < 3e-3 and bits_mis == 0
+print("HW CHECK", "PASS" if ok else "FAIL")

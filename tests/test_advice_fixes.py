@@ -10,7 +10,6 @@
 import time
 
 import numpy as np
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.runtime.engine import BatchEngine, StreamEngine

@@ -2,7 +2,6 @@
 channel bucketing."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.runtime.engine import BatchEngine, GroupEngine

@@ -10,7 +10,6 @@ estimate on the already-resident bin energies.  Parity gate: the kernel
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn

@@ -10,7 +10,6 @@ from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
 from psk_soft_tpu.models.fused import fused_init, make_fused_demod_fn
 from psk_soft_tpu.ops.pallas.frontend import timing_frontend_tm
 from psk_soft_tpu.ops import timing
-from psk_soft_tpu.testing.signals import gen_psk_channel
 
 C, NS = 128, 512
 

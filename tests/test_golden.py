@@ -111,7 +111,6 @@ def test_block_split_invariance_decisive_timing(num_blocks):
     """With real timing structure (energy concentrated on one intra-symbol
     index) the argmax is decisive and block splits must be exactly
     invariant, including sample_index."""
-    from psk_soft_tpu.testing.signals import gen_psk_channel
 
     cfg = DemodConfig(sps=SPS, num_avg=NUM_AVG, constellation_size=4,
                       phase_avg=50)

@@ -7,10 +7,7 @@ import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.eval.ber import measure_ber, theoretical_ber
-from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
-from psk_soft_tpu.ops.matched_filter import (apply_fir, boxcar_taps, rrc_taps,
-                                             streaming_filter)
-from psk_soft_tpu.testing.signals import gen_psk_channel
+from psk_soft_tpu.ops.matched_filter import rrc_taps, streaming_filter
 
 
 def test_rrc_taps_properties():

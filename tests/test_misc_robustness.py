@@ -4,7 +4,6 @@ of the filter), native queue under concurrent producers, config JSON."""
 import threading
 
 import numpy as np
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.runtime.engine import StreamEngine
@@ -85,7 +84,6 @@ def test_config_json_roundtrip(tmp_path):
     s = cfg.to_json()
     assert DemodConfig.from_json(s) == cfg
     # CLI --config-json path
-    import json
     p = tmp_path / "cfg.json"
     p.write_text(s)
     from psk_soft_tpu.cli import _config_from_args

@@ -3,7 +3,6 @@ constellation + differential flag in one compiled batch."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn

@@ -5,7 +5,6 @@ import threading
 import time
 
 import numpy as np
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.runtime.engine import StreamEngine

@@ -4,7 +4,6 @@ unwrap primitives, and timing recovery under an injected timing offset.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

@@ -1,13 +1,12 @@
 """Multi-stream registry routing and the full-kernel batch engine."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.runtime.engine import (BatchEngine, FullKernelBatchEngine,
                                          StreamRegistry)
 from psk_soft_tpu.runtime.streams import SRI, Packet, PORT_SOFT
-from psk_soft_tpu.testing.signals import gen_psk, gen_psk_channel
+from psk_soft_tpu.testing.signals import gen_psk
 
 CFG = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
 

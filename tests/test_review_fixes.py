@@ -5,7 +5,6 @@ odd-length RRC symmetry, to_host tuple safety."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn

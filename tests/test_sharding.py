@@ -14,7 +14,6 @@ from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
 from psk_soft_tpu.parallel.mesh import make_mesh, chan_time_sharding
 from psk_soft_tpu.parallel.sharded import make_sharded_demod
-from psk_soft_tpu.testing.signals import gen_psk_channel
 
 C, NS = 8, 1600
 
