@@ -206,6 +206,7 @@ def cmd_ber(args) -> int:
         print(json.dumps({
             "esn0_db": p.esn0_db, "ber": p.ber, "ser": p.ser,
             "theory_ber": float(t), "n_bits": p.n_bits,
+            "slips": p.slips,
         }))
     return 0
 

@@ -77,6 +77,7 @@ class BerPoint:
     bit_errors: int
     rotation: int
     delay: int
+    slips: int = 0
 
     @property
     def ser(self) -> float:
@@ -90,12 +91,25 @@ class BerPoint:
 def measure_ber(cfg: DemodConfig, esn0_db: float, num_symbols: int = 20000,
                 seed: int = 0, freq_offset: float = 0.0,
                 pulse: str = "rect", skip: int = 500,
-                max_delay: int = 8) -> BerPoint:
+                max_delay: int | None = None) -> BerPoint:
     """Demodulate one AWGN channel realization and count errors.
 
     skip: symbols discarded at the head (tracker convergence + filter
-    transients) before counting.
+    transients) before counting.  max_delay (probe search width, symbols):
+    defaults to 8 plus the worst-case pulse-shaping + matched-filter group
+    delay, so wide RRC spans (rrc_span > 16) cannot silently mis-align.
     """
+    if max_delay is None:
+        span = 0
+        if pulse == "rrc":
+            span += cfg.rrc_span          # tx shaping group delay ~span/2
+        if cfg.matched_filter == "rrc":
+            span += cfg.rrc_span          # rx matched filter adds its own
+        max_delay = 8 + span
+    if skip <= max_delay:
+        raise ValueError(
+            f"skip ({skip}) must exceed max_delay ({max_delay}) so the "
+            f"probe window never indexes before the transmitted stream")
     m = cfg.constellation_size
     x, tx_idx = gen_psk_channel(
         num_symbols, sps=cfg.sps, m=m, differential=cfg.differential,
@@ -126,18 +140,45 @@ def measure_ber(cfg: DemodConfig, esn0_db: float, num_symbols: int = 20000,
 
     n = min(rx_idx.size, tx_idx.size + delay) - skip
     rx = rx_idx[skip: skip + n]
-    tx = (tx_idx[skip - delay: skip - delay + n] + rot) % m
+    tx = tx_idx[skip - delay: skip - delay + n]
     bm = _bit_map(m)
-    rx_bits = bm[rx]
-    tx_bits = bm[tx]
+
+    # Non-differential M-th-power carrier recovery has an m-fold phase
+    # ambiguity that can CYCLE-SLIP mid-stream at low SNR (a property of the
+    # algorithm family, shared with the reference's arg(sample^M) recovery,
+    # cpp/psk_soft.cpp:474).  Counting against one fixed rotation would book
+    # every post-slip symbol as an error; instead track the rotation over
+    # windows (with hysteresis so exact ties never register as slips) and
+    # report the slip count as its own figure of merit.
+    slips = 0
+    if cfg.differential or n <= 0:
+        tx_r = (tx + rot) % m
+        sym_err = int(np.sum(rx != tx_r))
+        bit_err = int(np.sum(bm[rx] != bm[tx_r]))
+    else:
+        W = 250
+        err_by_rot = np.stack([rx != (tx + r) % m for r in range(m)])
+        sym_err = bit_err = 0
+        cur = rot
+        for s in range(0, n, W):
+            e = slice(s, min(s + W, n))
+            werr = err_by_rot[:, e].sum(axis=1)
+            best_r = int(np.argmin(werr))
+            if werr[best_r] < werr[cur]:      # hysteresis: strict improvement
+                slips += 1
+                cur = best_r
+            tx_r = (tx[e] + cur) % m
+            sym_err += int(werr[cur])
+            bit_err += int(np.sum(bm[rx[e]] != bm[tx_r]))
     return BerPoint(
         esn0_db=esn0_db,
         n_symbols=n,
-        n_bits=rx_bits.size,
-        symbol_errors=int(np.sum(rx != tx)),
-        bit_errors=int(np.sum(rx_bits != tx_bits)),
+        n_bits=n * bm.shape[1],
+        symbol_errors=sym_err,
+        bit_errors=bit_err,
         rotation=rot,
         delay=delay,
+        slips=slips,
     )
 
 
