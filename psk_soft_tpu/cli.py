@@ -119,9 +119,11 @@ def cmd_demod_batch(args) -> int:
     C = args.channels
     if args.pipeline == "full":
         eng = FullKernelBatchEngine(cfg, channels=C,
-                                    block_symbols=args.block_symbols)
+                                    block_symbols=args.block_symbols,
+                                    pipeline_depth=args.pipeline_depth)
     else:
-        eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols)
+        eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
+                          pipeline_depth=args.pipeline_depth)
     eng.set_input_sri(SRI(stream_id=args.stream_id,
                           xdelta=1.0 / args.sample_rate, mode=1))
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
@@ -147,20 +149,49 @@ def cmd_demod_batch(args) -> int:
                 d = d.T
             sinks[port].write(np.ascontiguousarray(d).tobytes())
 
+    # Deframing: sample-interleaved -> channel-major happens in the native
+    # bank ring (C++ strided pass, concurrent-safe) when available; the
+    # numpy per-channel slice path is the fallback.
+    need = args.block_symbols * cfg.sps
+    bank = None
     try:
-        while True:
-            raw = src.read(chunk)
-            usable = len(raw) - (len(raw) % (8 * C))
+        from .runtime.native_bank import NativeChannelBank
+        bank = NativeChannelBank(C, capacity_samples=max(4 * need, 1 << 16))
+    except Exception:
+        pass
+
+    def ingest(raw):
+        usable = len(raw) - (len(raw) % (8 * C))
+        if not usable:
+            return
+        if bank is not None:
+            bank.push_interleaved(np.frombuffer(raw[:usable], np.float32))
+            while True:
+                r = bank.pop_block(need, timeout=0)
+                if r is None:
+                    break
+                eng.push_block(r[0])
+        else:
             data = np.frombuffer(raw[:usable], np.complex64).reshape(-1, C)
             for c in range(C):
                 eng.push(c, np.ascontiguousarray(data[:, c]))
+
+    try:
+        while True:
+            raw = src.read(chunk)
+            ingest(raw)
             while True:
                 pkts = eng.step_packets()
                 if pkts is None:
                     break
                 write(pkts)
             if len(raw) < chunk:
-                # EOS: drain the sub-block remainder.
+                # EOS: drain the native ring's sub-block remainder, then the
+                # engine's staged tail.
+                if bank is not None and bank.depth():
+                    r = bank.pop_block(bank.depth(), timeout=0)
+                    if r is not None:
+                        eng.push_block(r[0])
                 write(eng.flush_packets())
                 break
     finally:
@@ -282,6 +313,9 @@ def main(argv=None) -> int:
     db.add_argument("--chunk-samples", type=int, default=1 << 14,
                     help="samples per channel per read")
     db.add_argument("--pipeline", choices=("ff", "full"), default="ff")
+    db.add_argument("--pipeline-depth", type=int, default=0,
+                    help="deferred-assembly depth: dispatch block k, emit "
+                         "block k-depth (device/host overlap); 0 = sync")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

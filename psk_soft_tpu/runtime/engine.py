@@ -435,7 +435,110 @@ class BankAssembler:
         }
 
 
-class BatchEngine:
+class _PipelinedPackets:
+    """Deferred-assembly packet pipelining shared by the batch engines.
+
+    With ``pipeline_depth = d > 0``, ``step_packets`` dispatches block k to
+    the device but assembles (device->host fetch) block k-d, so the host's
+    staging/assembly work for the next block overlaps the device's compute
+    of the current one -- the "double-buffered feed" of SURVEY section 7
+    stage 7.  Depth 0 (default) keeps the synchronous one-in/one-out
+    contract.  Output packets are identical either way (same data, same
+    symbol-accurate timestamps), only their emission is delayed by d calls;
+    EOS drains everything.
+    """
+
+    def _init_pipeline(self, depth: int) -> None:
+        if depth < 0:
+            raise ValueError("pipeline_depth must be >= 0")
+        self._pipe_depth = int(depth)
+        self._pending: list = []     # device outputs not yet assembled
+        self._held: list[dict[str, Packet]] = []  # assembled, not yet emitted
+
+    def push_block(self, block: np.ndarray) -> None:
+        """Channel-major (C, n) complex64 append — the native-bank fast
+        path (runtime/native_bank.py): zero-copy into empty staging."""
+        block = np.asarray(block, np.complex64)
+        if block.ndim != 2 or block.shape[0] != len(self._staging):
+            raise ValueError(f"expected ({len(self._staging)}, n) block")
+        for c in range(block.shape[0]):
+            s = self._staging[c]
+            self._staging[c] = (block[c] if s.size == 0
+                                else np.concatenate([s, block[c]]))
+        self.metrics.samples_in += block.size
+
+    def _emit(self, out, eos: bool = False) -> dict[str, Packet]:
+        pkts = self.assembler.assemble(out, eos=eos)
+        if self._pipe_depth:
+            # Depth 0 counts eagerly in step()/flush(); pipelined blocks are
+            # only fetched (and hence countable) here.
+            soft = pkts.get(PORT_SOFT)
+            if soft is not None:
+                # (C, S) complex soft symbols: size == sum of valid flags.
+                self.metrics.symbols_out += int(soft.data.size)
+        return pkts
+
+    def _drain_pending(self) -> None:
+        """Assemble every in-flight block now (old-config packets are held
+        and returned by the next step_packets calls).  Used by configure()
+        so a property change never applies new-config SRI/timestamps to
+        blocks computed under the old config."""
+        for out in self._pending:
+            pkts = self._emit(out)
+            if pkts:
+                self._held.append(pkts)
+        self._pending.clear()
+
+    def step_packets(self) -> Optional[dict[str, Packet]]:
+        """step() + L2 packet assembly: {port: Packet} with SRI/timestamps
+        (the four conditional pushPackets, cpp/psk_soft.cpp:605-615).
+        Returns None when nothing is ready to emit (distinct from {} = a
+        block ran but emitted nothing, e.g. still warming up)."""
+        if self._held:
+            return self._held.pop(0)
+        out = self.step()
+        if self._pipe_depth == 0:
+            return None if out is None else self._emit(out)
+        if out is not None:
+            self._pending.append(out)
+        if len(self._pending) > self._pipe_depth:
+            return self._emit(self._pending.pop(0))
+        return None
+
+    def flush_packets(self) -> dict[str, Packet]:
+        """flush() + assembly, EOS-marked on every port.  Pipelined blocks
+        still in flight are assembled first and merged (per port, along the
+        symbol axis): consecutive blocks are contiguous symbols, so the
+        merged packet's head timestamp stays symbol-accurate."""
+        dicts = list(self._held)
+        self._held = []
+        dicts += [p for p in (self._emit(o) for o in self._pending) if p]
+        self._pending = []
+        dicts.append(self._emit(self.flush(), eos=True))
+        return _merge_packet_dicts(dicts)
+
+
+def _merge_packet_dicts(dicts: list[dict[str, Packet]]) -> dict[str, Packet]:
+    """Concatenate per-port packets from consecutive blocks of one bank."""
+    dicts = [d for d in dicts if d]
+    if not dicts:
+        return {}
+    if len(dicts) == 1:
+        return dicts[0]
+    merged = {}
+    for port in dicts[0]:
+        ps = [d[port] for d in dicts if port in d]
+        datas = [p.data for p in ps if p.data.size]
+        data = (np.concatenate(datas, axis=-1) if datas
+                else ps[0].data)
+        merged[port] = Packet(
+            data=data, sri=ps[-1].sri, t=ps[0].t,
+            sri_changed=any(p.sri_changed for p in ps),
+            eos=ps[-1].eos)
+    return merged
+
+
+class BatchEngine(_PipelinedPackets):
     """C aligned streams demodulated as one vmapped device step.
 
     Packets are pushed per channel slot; a device step runs whenever every
@@ -447,7 +550,13 @@ class BatchEngine:
 
     def __init__(self, cfg: DemodConfig, channels: int,
                  block_symbols: int = 512, pipeline: str = "ff",
-                 guard_nonfinite: bool = False):
+                 guard_nonfinite: bool = False, pipeline_depth: int = 0):
+        self._init_pipeline(pipeline_depth)
+        if guard_nonfinite and pipeline_depth:
+            # The guard must inspect each block's outputs on the host before
+            # the next dispatch, which is exactly the sync pipelining removes.
+            raise ValueError("guard_nonfinite and pipeline_depth are "
+                             "mutually exclusive")
         self.cfg = cfg
         self.channels = channels
         self.block_symbols = int(block_symbols)
@@ -467,20 +576,6 @@ class BatchEngine:
     def set_input_sri(self, sri: SRI, t: float = 0.0) -> None:
         """Bank input SRI for packet assembly (step_packets/flush_packets)."""
         self.assembler.set_sri(sri, t)
-
-    def step_packets(self) -> Optional[dict[str, Packet]]:
-        """step() + L2 packet assembly: {port: Packet} with SRI/timestamps
-        (the four conditional pushPackets, cpp/psk_soft.cpp:605-615).
-        Returns None when no block is ready (distinct from {} = a block ran
-        but emitted nothing, e.g. still warming up)."""
-        out = self.step()
-        if out is None:
-            return None
-        return self.assembler.assemble(out)
-
-    def flush_packets(self) -> dict[str, Packet]:
-        """flush() + assembly, EOS-marked on every port."""
-        return self.assembler.assemble(self.flush(), eos=True)
 
     def push(self, channel: int, data: np.ndarray) -> None:
         self._staging[channel] = np.concatenate(
@@ -511,7 +606,8 @@ class BatchEngine:
                 # the reference's accepted-data-loss recovery, per channel.
                 self.channel_resyncs[nbad] += 1
                 self.metrics.resets += int(nbad.sum())
-        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        if self._pipe_depth == 0:
+            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
 
     def _guard(self, state, out):
@@ -535,6 +631,7 @@ class BatchEngine:
         if new_cfg == self.cfg:
             return
         logger.debug("batch reconfigure: %s -> %s", self.cfg, new_cfg)
+        self._drain_pending()
         if self._ops.kind == "exact":
             self._state = state_mod.reconfigure(self.cfg, new_cfg, self._state)
         else:
@@ -566,12 +663,15 @@ class BatchEngine:
                          for _ in range(self.channels)]
         with self.step_timer.measure():
             self._state, out = self._fn(self._state, to_device(x))
-        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        if self._pipe_depth == 0:
+            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
 
     def reset(self) -> None:
         self._state = self._ops.init(self.cfg, (self.channels,))
         self._staging = [np.zeros(0, np.complex64) for _ in range(self.channels)]
+        self._pending.clear()
+        self._held.clear()
         self.assembler.reset()
         self.metrics.resets += 1
 
@@ -613,7 +713,7 @@ class StreamRegistry:
             eng.configure(new_cfg)
 
 
-class FullKernelBatchEngine:
+class FullKernelBatchEngine(_PipelinedPackets):
     """BatchEngine for the single-kernel flagship: warms up through the
     channel-major feed-forward pipeline, then hands the carry to the fused
     Mosaic kernel (models/full.py) and streams time-major blocks through it.
@@ -621,12 +721,13 @@ class FullKernelBatchEngine:
 
     def __init__(self, cfg: DemodConfig, channels: int,
                  block_symbols: int = 512, s_tile: int = 256,
-                 interpret: bool = False):
+                 interpret: bool = False, pipeline_depth: int = 0):
         import functools
         from ..models import full as full_mod
 
         if channels % 128:
             raise ValueError("channels must be a multiple of 128")
+        self._init_pipeline(pipeline_depth)
         self.cfg = cfg
         self.channels = channels
         self.block_symbols = int(block_symbols)
@@ -684,6 +785,7 @@ class FullKernelBatchEngine:
         if new_cfg == self.cfg:
             return
         logger.debug("full-kernel reconfigure: %s -> %s", self.cfg, new_cfg)
+        self._drain_pending()
         if self._full_state is not None:
             if self.cfg.matched_filter != "none":
                 # Kernel window rows are raw input: seed the raw tail so the
@@ -717,21 +819,13 @@ class FullKernelBatchEngine:
                          for _ in range(self.channels)]
         self._consumed = 0
         self._raw_tail = np.zeros((self.channels, 0), np.complex64)
+        self._pending.clear()
+        self._held.clear()
         self.assembler.reset()
         self.metrics.resets += 1
 
     def set_input_sri(self, sri: SRI, t: float = 0.0) -> None:
         self.assembler.set_sri(sri, t)
-
-    def step_packets(self) -> Optional[dict[str, Packet]]:
-        """See BatchEngine.step_packets (None = no block ready)."""
-        out = self.step()
-        if out is None:
-            return None
-        return self.assembler.assemble(out)
-
-    def flush_packets(self) -> dict[str, Packet]:
-        return self.assembler.assemble(self.flush(), eos=True)
 
     def push(self, channel: int, data: np.ndarray) -> None:
         self._staging[channel] = np.concatenate(
@@ -768,7 +862,8 @@ class FullKernelBatchEngine:
             x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
             self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
-        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        if self._pipe_depth == 0:
+            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
 
     def flush(self):
@@ -811,7 +906,8 @@ class FullKernelBatchEngine:
             mask[:nvalid] = True
             out = out._replace(
                 valid=out.valid & jnp.asarray(mask)[None, :])
-        self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+        if self._pipe_depth == 0:
+            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
 
 

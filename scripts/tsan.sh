@@ -6,6 +6,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 g++ -O1 -std=c++17 -fPIC -fsanitize=thread -g -shared -pthread \
     -o native/libpskq_tsan.so native/pskq.cpp
+g++ -O1 -std=c++17 -fPIC -fsanitize=thread -g -shared -pthread \
+    -o native/libpskbank_tsan.so native/pskbank.cpp
 TSAN_LIB=""
 for so in libtsan.so.2 libtsan.so.1 libtsan.so.0 libtsan.so; do
   p="$(g++ -print-file-name="$so")"

@@ -35,3 +35,45 @@ ths = [threading.Thread(target=producer, args=(t,)) for t in range(N)] + [thread
 st = (ctypes.c_uint64*6)(); lib.pskq_stats(h, st)
 print("stats:", list(st))
 print("TSAN TEST DONE")
+
+# --- channel-bank ring (native/pskbank.cpp): concurrent frame producers vs
+# block consumers with overflow churn (small capacity forces flushes).
+bl = ctypes.CDLL("native/libpskbank_tsan.so")
+bl.pskbank_create.restype = ctypes.c_void_p
+bl.pskbank_create.argtypes = [ctypes.c_int32, ctypes.c_int64]
+bl.pskbank_push_interleaved.restype = ctypes.c_int
+bl.pskbank_push_interleaved.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_float),
+                                        ctypes.c_int64]
+bl.pskbank_available.restype = ctypes.c_int64
+bl.pskbank_available.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_int64]
+bl.pskbank_pop_block.restype = ctypes.c_int64
+bl.pskbank_pop_block.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_float),
+                                 ctypes.c_int64, ctypes.c_void_p]
+bl.pskbank_close.argtypes = [ctypes.c_void_p]
+bl.pskbank_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+C = 8
+bh = bl.pskbank_create(C, 512)     # small: overflow flushes under load
+def bank_producer(t):
+    a = np.full(97 * C * 2, float(t), np.float32)
+    for _ in range(300):
+        bl.pskbank_push_interleaved(
+            bh, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 97)
+def bank_consumer():
+    out = np.empty(C * 64 * 2, np.float32)
+    fl = ctypes.c_int32()
+    for _ in range(1200):
+        if bl.pskbank_available(bh, 64, 10) < 64:
+            continue
+        bl.pskbank_pop_block(
+            bh, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 64,
+            ctypes.byref(fl))
+ths = ([threading.Thread(target=bank_producer, args=(t,)) for t in range(4)]
+       + [threading.Thread(target=bank_consumer) for _ in range(2)])
+[t.start() for t in ths]; [t.join() for t in ths]
+bl.pskbank_close(bh)
+bst = (ctypes.c_uint64 * 4)(); bl.pskbank_stats(bh, bst)
+print("bank stats:", list(bst))
+print("TSAN BANK DONE")
