@@ -205,6 +205,80 @@ def run_profile(args):
     return emit(C, "mixed-mode full-kernel", rate)
 
 
+def run_engine(args):
+    """End-to-end PRODUCTION-path throughput: native bank deframe ->
+    engine device step -> four-port packet assembly (device->host fetch of
+    every output block), at pipeline depths 0 and `--engine-depth`.
+
+    Unlike the kernel benches, this includes all host-side work a deployed
+    service does per block; every block's outputs are fetched, so deferred
+    execution cannot inflate the number.
+    """
+    import jax
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.runtime.engine import BatchEngine, FullKernelBatchEngine
+    from psk_soft_tpu.runtime.native_bank import NativeChannelBank
+    from psk_soft_tpu.runtime.streams import SRI
+
+    cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    C, S = args.channels, args.symbols
+    need = S * cfg.sps
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    # One block of sample-interleaved frames, pushed repeatedly (the
+    # deframe cost per block is identical for any content).
+    rng = np.random.default_rng(0)
+    pts = np.exp(1j * (2 * np.pi * rng.integers(0, 4, (C, S)) / 4
+                       + 2 * np.pi * 1e-4 * np.arange(S)))
+    blk = np.repeat(pts, cfg.sps, axis=1).astype(np.complex64)
+    blk += (0.01 * rng.standard_normal(blk.shape)).astype(np.complex64)
+    frames32 = np.ascontiguousarray(blk.T).view(np.float32).ravel()
+
+    nblocks = max(10, min(50, args.iters // 10))
+    for depth in sorted({0, max(0, args.engine_depth)}):
+        if on_tpu and C % 128 == 0:
+            eng = FullKernelBatchEngine(cfg, C, block_symbols=S,
+                                        pipeline_depth=depth)
+            label = "full-kernel engine"
+        else:
+            eng = BatchEngine(cfg, C, block_symbols=S, pipeline_depth=depth)
+            label = "ff engine"
+        eng.set_input_sri(SRI(stream_id="bench", xdelta=1e-6))
+        bank = NativeChannelBank(C, capacity_samples=4 * need)
+
+        def feed_one():
+            bank.push_interleaved(frames32)
+            r = bank.pop_block(need, timeout=0)
+            eng.push_block(r[0])
+            return eng.step_packets()
+
+        # Warm-up: compile both stages and reach the steady kernel.
+        for _ in range(max(3, (cfg.num_avg + cfg.phase_avg) // S + 2)):
+            feed_one()
+        emitted = 0
+        t0 = time.perf_counter()
+        fed = 0
+        while emitted < nblocks:
+            p = feed_one()
+            fed += 1
+            if p:
+                emitted += 1
+            if fed > 4 * nblocks:
+                raise RuntimeError("engine starved")
+        dt = time.perf_counter() - t0
+        rate = emitted * C * need / dt
+        print(json.dumps({
+            "metric": f"{C}-channel QPSK end-to-end {label} throughput "
+                      f"(pipeline_depth={depth}, "
+                      f"{jax.devices()[0].device_kind})",
+            "value": rate,
+            "unit": "samples/s",
+            "vs_baseline": rate / PER_CHIP_BASELINE,
+        }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=1024)
@@ -230,6 +304,12 @@ def main():
                     help="config3 = 8-PSK + RRC + fractional timing "
                          "(BASELINE config 3) on the fused kernel; mixed = "
                          "per-channel modes (BASELINE config 4)")
+    ap.add_argument("--engine", action="store_true",
+                    help="end-to-end production-path bench (native deframe "
+                         "-> engine step -> packet assembly), at "
+                         "pipeline_depth 0 and --engine-depth")
+    ap.add_argument("--engine-depth", type=int, default=1,
+                    help="pipeline depth compared against 0 in --engine")
     ap.add_argument("--mesh", action="store_true",
                     help="scaling-efficiency report over the device mesh "
                          "(eval/scaling.py): one JSON line per report; on a "
@@ -238,6 +318,8 @@ def main():
                          "device_count) the full curve")
     args = ap.parse_args()
 
+    if args.engine:
+        return run_engine(args)
     if args.mesh:
         return run_mesh(args)
     if args.profile != "default":
