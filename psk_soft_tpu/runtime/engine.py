@@ -921,7 +921,8 @@ class GroupEngine:
     """
 
     def __init__(self, channel_cfgs: list[DemodConfig],
-                 block_symbols: int = 512, pipeline: str = "ff"):
+                 block_symbols: int = 512, pipeline: str = "ff",
+                 pipeline_depth: int = 0):
         groups: dict[DemodConfig, list[int]] = {}
         for ch, cfg in enumerate(channel_cfgs):
             groups.setdefault(cfg, []).append(ch)
@@ -929,7 +930,8 @@ class GroupEngine:
         self.slot_of = {}
         for cfg, members in groups.items():
             eng = BatchEngine(cfg, channels=len(members),
-                              block_symbols=block_symbols, pipeline=pipeline)
+                              block_symbols=block_symbols, pipeline=pipeline,
+                              pipeline_depth=pipeline_depth)
             gi = len(self.groups)
             self.groups.append((cfg, members, eng))
             for slot, ch in enumerate(members):
@@ -938,6 +940,28 @@ class GroupEngine:
     def push(self, channel: int, data: np.ndarray) -> None:
         gi, slot = self.slot_of[channel]
         self.groups[gi][2].push(slot, data)
+
+    def set_input_sri(self, sri: SRI, t: float = 0.0) -> None:
+        """Bank-wide input SRI for the packet-assembly layer (each group's
+        output SRIs rescale by its own config's rates)."""
+        for _, _, eng in self.groups:
+            eng.set_input_sri(sri, t)
+
+    def step_all_packets(self) -> dict[int, dict[str, Packet]]:
+        """step_all + L2 packet assembly, per group: {group_index: {port:
+        Packet}} (each group is one lockstep bank with its own SRI clock;
+        `self.groups[gi][1]` lists its channel numbers)."""
+        results = {}
+        for gi, (_, _, eng) in enumerate(self.groups):
+            pkts = eng.step_packets()
+            if pkts is not None:
+                results[gi] = pkts
+        return results
+
+    def flush_all_packets(self) -> dict[int, dict[str, Packet]]:
+        """EOS drain with assembly on every group."""
+        return {gi: eng.flush_packets()
+                for gi, (_, _, eng) in enumerate(self.groups)}
 
     def step_all(self) -> dict[int, object]:
         """Step every ready group; returns {channel: per-channel outputs}."""

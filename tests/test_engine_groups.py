@@ -96,3 +96,35 @@ def test_batch_engine_configure():
     out = eng.step()
     soft = np.asarray(out.soft)[np.asarray(out.valid)]
     assert np.abs(np.abs(soft) - 1).max() < 0.01
+
+
+def test_group_engine_packet_layer():
+    """Per-group SRI/timestamp packet assembly (BatchEngine passthrough),
+    with per-group output-rate rescaling and EOS marking."""
+    from psk_soft_tpu.runtime.streams import SRI, PORT_SOFT, PORT_BITS
+
+    cfgs = ([DemodConfig(sps=8, num_avg=20, constellation_size=4,
+                         phase_avg=10)] * 2
+            + [DemodConfig(sps=10, num_avg=20, constellation_size=2,
+                           phase_avg=10)])
+    eng = GroupEngine(cfgs, block_symbols=64, pipeline_depth=1)
+    eng.set_input_sri(SRI(stream_id="hetero", xdelta=1e-6), t=2.0)
+    rng = np.random.default_rng(0)
+    for b in range(3):
+        for ch, cfg in enumerate(cfgs):
+            pts = np.exp(2j * np.pi
+                         * rng.integers(0, cfg.constellation_size, 64)
+                         / cfg.constellation_size)
+            eng.push(ch, np.repeat(pts, cfg.sps).astype(np.complex64))
+        pk = eng.step_all_packets()
+        for gi, pkts in pk.items():
+            cfg = eng.groups[gi][0]
+            assert pkts[PORT_SOFT].data.shape[0] == len(eng.groups[gi][1])
+            assert pkts[PORT_SOFT].sri.xdelta == 1e-6 * cfg.sps
+            assert pkts[PORT_BITS].sri.xdelta == (
+                1e-6 * cfg.sps / cfg.bits_per_symbol)
+            assert not pkts[PORT_SOFT].eos
+    fin = eng.flush_all_packets()
+    assert set(fin) == {0, 1}
+    for pkts in fin.values():
+        assert pkts[PORT_SOFT].eos
