@@ -138,8 +138,13 @@ def run_mesh(args):
     from psk_soft_tpu.eval.scaling import (channel_scaling_report,
                                            time_shard_report)
 
-    cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
-                      phase_avg=50)
+    if args.profile == "config3":
+        cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=8,
+                          phase_avg=50, matched_filter="rrc", rrc_beta=0.35,
+                          rrc_span=8, timing_interp=True)
+    else:
+        cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
+                          phase_avg=50)
     on_cpu = jax.devices()[0].platform == "cpu"
     rep = channel_scaling_report(
         cfg, channels_per_device=min(args.channels, 256),

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DemodConfig
-from ..models.full import FullOutputs, FullState, demod_block_full
+from ..models.full import FullOutputs, FullState, demod_block_full, _static_taps
 from ..ops.pallas import demod_kernel
 from ..ops.phase import UNWRAP_TREND_LEN, TWO_PI
 
@@ -78,19 +78,30 @@ def _shift_rows(v: jnp.ndarray, from_left: bool) -> jnp.ndarray:
 
 def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
                                  total_symbols: int, *, s_tile: int = 256,
-                                 interpret: bool = False):
+                                 mixed_params=None, interpret: bool = False):
     """Time+channel-sharded single-kernel demod (see module docstring).
 
     Returns fn(x_re, x_im) -> (soft_re, soft_im, phase, bits, idx, valid)
     with (T, C) inputs sharded P('time','chan') and (S, C) outputs likewise.
-    The first ``discard`` symbols of the stream and the final numAvg-1 are
-    masked invalid.
+    The first ``discard`` symbols of the stream and the final numAvg-1
+    are masked invalid.
+
+    Supports every kernel profile: matched filter (the streaming FIR's
+    filtered timeline lags raw by ``ntaps-1`` samples -- ops/matched_filter
+    .streaming_filter overlap-save convention -- so the extra rows extend
+    the *left* halo and the FF symbol grid is preserved), fractional
+    circular-centroid timing, and per-channel mixed mode.  For mixed mode
+    pass ``mixed_params`` (models/mixed.MixedParams with (C,) arrays); the
+    static cfg constellation/differential are then ignored, matching
+    models/full.make_mixed_full_demod_fn.
     """
     sps, num_avg, m, n = (cfg.sps, cfg.num_avg, cfg.constellation_size,
                           cfg.phase_avg)
-    if cfg.matched_filter != "none" or cfg.timing_interp or sps <= 1:
-        raise ValueError("time-sharded full kernel supports sps>1, no "
-                         "matched filter, argmax timing")
+    if sps <= 1:
+        raise ValueError("time-sharded full kernel supports sps > 1 only")
+    taps = _static_taps(cfg)
+    extra = (len(taps) - 1) if taps else 0
+    mixed = mixed_params is not None
     n_time = mesh.shape["time"]
     s_loc = total_symbols // n_time
     if total_symbols % n_time:
@@ -98,20 +109,28 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
                          f"time={n_time}")
     a1 = num_avg - 1
     discard = n + UNWRAP_TREND_LEN + 8        # phase warm-up margin
-    if n_time > 1 and s_loc < a1 + discard:
-        raise ValueError(f"symbols per time shard ({s_loc}) must be >= "
-                         f"{a1 + discard}")
+    rh = a1 * sps                             # window lookahead halo
+    # Left halo = warm-up margin + window + the FIR's (ntaps-1) raw tail; a
+    # single ppermute only reaches the immediate neighbour, so each shard
+    # must own at least the halo it sends.
+    lh = (a1 + discard) * sps + extra
+    if n_time > 1 and s_loc * sps < max(lh, rh):
+        raise ValueError(f"samples per time shard ({s_loc * sps}) must be "
+                         f">= {max(lh, rh)}")
     s_out = discard + s_loc + a1              # kernel outputs per shard
     k_tile = min(s_tile, 256)
     k_tile = max(k_tile, a1 + (-a1) % 8)      # kernel needs s_tile >= A-1
     s_out_p = -(-s_out // k_tile) * k_tile    # pad to a tile multiple
     pad_rows = (s_out_p - s_out) * sps
     rs = demod_kernel.state_rows(n)
+    wsplit = a1 * sps + extra                 # kernel window-carry rows
+    if mixed:
+        misc = (n - 1) + 2 * (UNWRAP_TREND_LEN - 1)
+        m_arr = jnp.asarray(mixed_params.m, jnp.float32)
+        d_arr = jnp.asarray(mixed_params.diff, jnp.float32)
 
-    def body(x_re, x_im):                     # (T_loc, C_loc) each
+    def body(x_re, x_im, *mode_planes):       # (T_loc, C_loc) each
         c_loc = x_re.shape[1]
-        lh = (a1 + discard) * sps
-        rh = a1 * sps
 
         def assemble(v):
             left = _shift_rows(v[v.shape[0] - lh:], from_left=True)
@@ -121,12 +140,16 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
 
         ext_re = assemble(x_re)
         ext_im = assemble(x_im)
-        win_re, xk_re = ext_re[:a1 * sps], ext_re[a1 * sps:]
-        win_im, xk_im = ext_im[:a1 * sps], ext_im[a1 * sps:]
+        win_re, xk_re = ext_re[:wsplit], ext_re[wsplit:]
+        win_im, xk_im = ext_im[:wsplit], ext_im[wsplit:]
         planes0 = jnp.zeros((rs, c_loc), jnp.float32)
+        if mixed:
+            planes0 = planes0.at[misc + 6].set(mode_planes[0])
+            planes0 = planes0.at[misc + 7].set(mode_planes[1])
         soft_re, soft_im, phase, bits, idx, _ = demod_kernel.demod_full_tm(
             win_re, win_im, xk_re, xk_im, planes0, sps=sps, num_avg=num_avg,
             phase_avg=n, m=m, diff=cfg.differential, s_tile=k_tile,
+            mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
             interpret=interpret)
 
         # --- recover the absolute phase origin per shard (multiple of 2pi,
@@ -151,11 +174,24 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
         sl = slice(own0, own0 + s_loc)
         soft = jax.lax.complex(soft_re[sl], soft_im[sl])
         phase_own = phase[sl] + delta[None, :]
-        if not cfg.differential:
+        from ..ops import slicers
+        if mixed:
+            # Per-channel: rotate + re-slice non-differential lanes, keep
+            # the kernel's packed bits on differential lanes.
+            rot = -delta / mode_planes[0]
+            rot_soft = soft * jax.lax.complex(
+                jnp.cos(rot), jnp.sin(rot))[None, :]
+            is_diff = mode_planes[1] > 0.5
+            soft = jnp.where(is_diff[None, :], soft, rot_soft)
+            m_int = mode_planes[0].astype(jnp.int32)
+            bits3 = slicers.slice_bits_dynamic(m_int[:, None], soft.T)
+            resliced = (bits3[..., 0] + 2 * bits3[..., 1]
+                        + 4 * bits3[..., 2]).T.astype(jnp.int32)
+            packed = jnp.where(is_diff[None, :], bits[sl], resliced)
+        elif not cfg.differential:
             rot = -delta / float(m)
             soft = soft * jax.lax.complex(jnp.cos(rot), jnp.sin(rot))[None, :]
             # bits follow the corrected constellation
-            from ..ops import slicers
             bits3 = slicers.slice_bits(m, soft.T)      # (C, S, 3)
             packed = (bits3[..., 0] + 2 * bits3[..., 1]
                       + 4 * bits3[..., 2]).T.astype(jnp.int32)
@@ -167,7 +203,11 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
                 jnp.broadcast_to(valid[:, None], (s_loc, c_loc)))
 
     spec = P("time", "chan")
+    mode_spec = (P("chan"), P("chan")) if mixed else ()
     inner = jax.shard_map(
-        body, mesh=mesh, in_specs=(spec, spec),
+        body, mesh=mesh, in_specs=(spec, spec) + mode_spec,
         out_specs=(spec,) * 6, check_vma=False)
-    return jax.jit(inner)
+    jitted = jax.jit(inner)
+    if mixed:
+        return lambda x_re, x_im: jitted(x_re, x_im, m_arr, d_arr)
+    return jitted

@@ -30,6 +30,18 @@ def _signals(m=4, diff=False):
     return np.stack(out)
 
 
+def _run_sharded(cfg, xs, meshdims, ns, s_tile=128, mixed_params=None):
+    chan_ax, time_ax = meshdims
+    mesh = make_mesh(chan=chan_ax, time=time_ax)
+    run = make_time_sharded_full_demod(cfg, mesh, ns, s_tile=s_tile,
+                                       mixed_params=mixed_params,
+                                       interpret=True)
+    sh = NamedSharding(mesh, P("time", "chan"))
+    x_re = jax.device_put(jnp.asarray(np.ascontiguousarray(xs.real.T)), sh)
+    x_im = jax.device_put(jnp.asarray(np.ascontiguousarray(xs.imag.T)), sh)
+    return run(x_re, x_im)
+
+
 @pytest.mark.parametrize("m,diff,meshdims", [(4, False, (2, 4)),
                                              (4, False, (1, 8)),
                                              (8, False, (2, 2)),
@@ -38,14 +50,8 @@ def test_time_sharded_full_matches_ff(m, diff, meshdims):
     cfg = DemodConfig(sps=8, num_avg=50, constellation_size=m, phase_avg=20,
                       differential=diff)
     xs = _signals(m=m, diff=diff)
-    chan_ax, time_ax = meshdims
-    mesh = make_mesh(chan=chan_ax, time=time_ax)
-    run = make_time_sharded_full_demod(cfg, mesh, NS, s_tile=128,
-                                       interpret=True)
-    sh = NamedSharding(mesh, P("time", "chan"))
-    x_re = jax.device_put(jnp.asarray(np.ascontiguousarray(xs.real.T)), sh)
-    x_im = jax.device_put(jnp.asarray(np.ascontiguousarray(xs.imag.T)), sh)
-    soft_re, soft_im, phase, packed, idx, valid = run(x_re, x_im)
+    soft_re, soft_im, phase, packed, idx, valid = _run_sharded(
+        cfg, xs, meshdims, NS)
     soft_sh = (np.asarray(soft_re) + 1j * np.asarray(soft_im)).T  # (C, S)
     valid = np.asarray(valid).T
     idx_sh = np.asarray(idx).T
@@ -77,3 +83,113 @@ def test_time_sharded_full_matches_ff(m, diff, meshdims):
     got = np.asarray(packed).T[valid]
     vals = (re_sliced[:, 0] + 2 * re_sliced[:, 1] + 4 * re_sliced[:, 2])
     np.testing.assert_array_equal(got, vals)
+
+
+def _ff_reference(cfg, xs, ns, c):
+    """Single-device feed-forward over the whole stream, re-indexed so
+    column s is stream symbol s (ff output o is stream symbol o-(numAvg-1))."""
+    fn = make_ff_demod_fn(cfg, channels=c)
+    _, out = fn(ff_init(cfg, (c,)), jnp.asarray(xs))
+    a1 = cfg.num_avg - 1
+    soft = np.zeros((c, ns), np.complex64)
+    idx = np.zeros((c, ns), np.float32)
+    soft[:, : ns - a1] = np.asarray(out.soft)[:, a1:]
+    idx[:, : ns - a1] = np.asarray(out.sample_index)[:, a1:]
+    return soft, idx
+
+
+def test_time_sharded_mf_interp_matches_ff():
+    """BASELINE config-3 profile (8-PSK + RRC + fractional timing) on the
+    time-sharded flagship path: the FIR's (ntaps-1)-sample filtered-timeline
+    lag rides the left halo, so the FF symbol grid survives sharding."""
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+
+    ns, c = 1024, 256
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=8, phase_avg=20,
+                      matched_filter="rrc", rrc_beta=0.35, rrc_span=8,
+                      timing_interp=True)
+    xs = np.stack([
+        gen_psk_channel(ns, sps=8, m=8, seed=900 + i, snr_db=25,
+                        freq_offset=1e-4, pulse="rrc")[0] for i in range(c)])
+    soft_re, soft_im, phase, packed, idx, valid = _run_sharded(
+        cfg, xs, (2, 2), ns)
+    soft_sh = (np.asarray(soft_re) + 1j * np.asarray(soft_im)).T
+    valid = np.asarray(valid).T
+    idx_sh = np.asarray(idx).T
+    soft_ff, idx_ff = _ff_reference(cfg, xs, ns, c)
+    assert valid.any() and (~valid).any()
+    np.testing.assert_allclose(idx_sh[valid], idx_ff[valid], atol=1e-3)
+    errs = [np.abs(soft_sh[valid] * np.exp(2j * np.pi * r / 8)
+                   - soft_ff[valid]).max() for r in range(8)]
+    assert min(errs) < 5e-3, min(errs)
+
+
+def test_time_sharded_boxcar_matches_ff():
+    """Boxcar matched filter (odd ntaps-1 halo extension) on sps=10."""
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+
+    ns, c = 768, 256
+    cfg = DemodConfig(sps=10, num_avg=30, constellation_size=4, phase_avg=16,
+                      matched_filter="boxcar")
+    xs = np.stack([
+        gen_psk_channel(ns, sps=10, m=4, seed=1200 + i, snr_db=25,
+                        freq_offset=1e-4, pulse="rect")[0] for i in range(c)])
+    soft_re, soft_im, phase, packed, idx, valid = _run_sharded(
+        cfg, xs, (2, 3), ns)
+    soft_sh = (np.asarray(soft_re) + 1j * np.asarray(soft_im)).T
+    valid = np.asarray(valid).T
+    soft_ff, idx_ff = _ff_reference(cfg, xs, ns, c)
+    np.testing.assert_array_equal(np.asarray(idx).T[valid], idx_ff[valid])
+    errs = [np.abs(soft_sh[valid] * np.exp(2j * np.pi * r / 4)
+                   - soft_ff[valid]).max() for r in range(4)]
+    assert min(errs) < 5e-3, min(errs)
+
+
+def test_time_sharded_mixed_matches_xla():
+    """Per-channel (M, differential) bank time-sharded (BASELINE config 4 on
+    the multi-chip flagship path) vs the XLA mixed pipeline."""
+    from psk_soft_tpu.models.mixed import (MixedParams, make_mixed_demod_fn,
+                                           mixed_init)
+
+    ns, c = 1024, 256
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    rng = np.random.default_rng(7)
+    ms = rng.choice([2, 4, 8], c)
+    diffs = rng.random(c) < 0.5
+    xs = []
+    for i in range(c):
+        r = np.random.default_rng(1500 + i)
+        m = int(ms[i])
+        j = r.integers(0, m, ns)
+        pts = np.exp(2j * np.pi * j / m)
+        if diffs[i]:
+            pts = np.cumprod(pts)
+        x = np.zeros(ns * 8, np.complex64)
+        x[3::8] = pts * np.exp(2j * np.pi * 1e-4 * 8 * np.arange(ns))
+        x += (0.01 * r.standard_normal(x.size)).astype(np.complex64)
+        xs.append(x)
+    xs = np.stack(xs)
+    params = MixedParams.make(ms, diffs)
+    soft_re, soft_im, phase, packed, idx, valid = _run_sharded(
+        cfg, xs, (2, 2), ns, mixed_params=params)
+    soft_sh = (np.asarray(soft_re) + 1j * np.asarray(soft_im)).T
+    valid = np.asarray(valid).T
+    packed_sh = np.asarray(packed).T
+
+    fn = make_mixed_demod_fn(cfg)
+    _, out = fn(params, mixed_init(cfg, c), jnp.asarray(xs))
+    a1 = cfg.num_avg - 1
+    soft_ref = np.zeros((c, ns), np.complex64)
+    soft_ref[:, : ns - a1] = np.asarray(out.soft)[:, a1:]
+    bits_ref = np.zeros((c, ns, 3), np.int32)
+    bits_ref[:, : ns - a1] = np.asarray(out.bits)[:, a1:]
+    idx_ref = np.zeros((c, ns), np.int32)
+    idx_ref[:, : ns - a1] = np.asarray(out.sample_index)[:, a1:]
+
+    np.testing.assert_array_equal(np.asarray(idx).T[valid], idx_ref[valid])
+    # Shard 0 shares the XLA run's phase origin; later shards are rewound to
+    # it by the seam correction, so comparison is direct (no rotation scan).
+    assert np.abs(soft_sh[valid] - soft_ref[valid]).max() < 5e-3
+    packed_ref = (bits_ref[..., 0] + 2 * bits_ref[..., 1]
+                  + 4 * bits_ref[..., 2])
+    np.testing.assert_array_equal(packed_sh[valid], packed_ref[valid])
