@@ -105,11 +105,24 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         keep = (cfg.num_avg - 1) * cfg.sps + max(cfg.mf_ntaps - 1, 0)
         raw = x_np[:, x_np.shape[1] - keep:]
     state = full_from_ff(cfg, st_ff, raw_win=raw, mixed_params=mixed_params)
-    x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
-    x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
+    in_scale = 1.0
+    if getattr(args, "ingest", "f32") == "i16":
+        # SDR wire format: int16 I/Q planes + scale, dequantized in VMEM --
+        # half the f32 path's HBM input read (see demod_kernel int16 mode).
+        from psk_soft_tpu.models.full import quantize_full_state
+        in_scale = float(max(np.abs(x_np.real).max(),
+                             np.abs(x_np.imag).max())) / 32000.0
+        state = quantize_full_state(state, in_scale)
+        x_re = jnp.asarray(np.ascontiguousarray(
+            np.round(x_np.real.T / in_scale).astype(np.int16)))
+        x_im = jnp.asarray(np.ascontiguousarray(
+            np.round(x_np.imag.T / in_scale).astype(np.int16)))
+    else:
+        x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
+        x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
     step = functools.partial(demod_block_full, cfg,
-                             mixed=mixed is not None)
+                             mixed=mixed is not None, in_scale=in_scale)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(state, x_re, x_im, k):
@@ -222,7 +235,8 @@ def run_engine(args):
     import jax
     from psk_soft_tpu import DemodConfig
     from psk_soft_tpu.runtime.engine import BatchEngine, FullKernelBatchEngine
-    from psk_soft_tpu.runtime.native_bank import NativeChannelBank
+    from psk_soft_tpu.runtime.native_bank import (NativeChannelBank,
+                                                  NativePlaneBank)
     from psk_soft_tpu.runtime.streams import SRI
 
     cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
@@ -239,24 +253,40 @@ def run_engine(args):
     blk = np.repeat(pts, cfg.sps, axis=1).astype(np.complex64)
     blk += (0.01 * rng.standard_normal(blk.shape)).astype(np.complex64)
     frames32 = np.ascontiguousarray(blk.T).view(np.float32).ravel()
+    scale = float(np.abs(frames32).max()) / 32000.0
+    frames16 = np.round(frames32 / scale).astype(np.int16)
 
     nblocks = max(10, min(50, args.iters // 10))
     for depth in sorted({0, max(0, args.engine_depth)}):
+        i16 = args.ingest == "i16"
         if on_tpu and C % 128 == 0:
-            eng = FullKernelBatchEngine(cfg, C, block_symbols=S,
-                                        pipeline_depth=depth)
-            label = "full-kernel engine"
+            # Production path: native plane bank deframes interleaved
+            # frames straight to the kernel's (T, C) layout -- no host
+            # transposes; i16 additionally halves wire + upload bytes.
+            eng = FullKernelBatchEngine(
+                cfg, C, block_symbols=S, pipeline_depth=depth,
+                ingest_scale=scale if i16 else None)
+            label = ("full-kernel engine i16-ingest" if i16
+                     else "full-kernel engine")
+            bank = NativePlaneBank(C, capacity_samples=4 * need,
+                                   dtype="i16" if i16 else "f32")
+            frames = frames16 if i16 else frames32
+
+            def feed_one():
+                bank.push_interleaved(frames)
+                re, im, _ = bank.pop_planes(need, timeout=0)
+                eng.push_planes(re, im)
+                return eng.step_packets()
         else:
             eng = BatchEngine(cfg, C, block_symbols=S, pipeline_depth=depth)
             label = "ff engine"
-        eng.set_input_sri(SRI(stream_id="bench", xdelta=1e-6))
-        bank = NativeChannelBank(C, capacity_samples=4 * need)
+            bank = NativeChannelBank(C, capacity_samples=4 * need)
 
-        def feed_one():
-            bank.push_interleaved(frames32)
-            r = bank.pop_block(need, timeout=0)
-            eng.push_block(r[0])
-            return eng.step_packets()
+            def feed_one():
+                bank.push_interleaved(frames32)
+                r = bank.pop_block(need, timeout=0)
+                eng.push_block(r[0])
+                return eng.step_packets()
 
         # Warm-up: compile both stages and reach the steady kernel.
         for _ in range(max(3, (cfg.num_avg + cfg.phase_avg) // S + 2)):
@@ -304,6 +334,10 @@ def main():
                          "the XLA feed-forward pipeline, report the faster "
                          "(the tunneled device's throughput varies widely "
                          "between windows and the two degrade differently)")
+    ap.add_argument("--ingest", choices=["f32", "i16"], default="f32",
+                    help="i16 = int16 I/Q wire-format planes dequantized in "
+                         "VMEM (half the f32 HBM input read); applies to "
+                         "the fused-kernel pipelines")
     ap.add_argument("--profile", choices=["default", "config3", "mixed"],
                     default="default",
                     help="config3 = 8-PSK + RRC + fractional timing "
@@ -354,12 +388,14 @@ def main():
         except Exception as e:  # pragma: no cover - platform-specific
             print(f"full-kernel pipeline failed ({type(e).__name__}); "
                   f"falling back to ff", file=sys.stderr)
+        label = ("full-kernel" if args.ingest == "f32"
+                 else "full-kernel i16-ingest")
         if args.pipeline == "full" and rate_full is not None:
-            return emit(C, "full-kernel", rate_full)
+            return emit(C, label, rate_full)
         if args.pipeline == "auto":
             rate_ff = run_ff(args, cfg, C, T, x_np)
             if rate_full is not None and rate_full >= rate_ff:
-                return emit(C, "full-kernel", rate_full)
+                return emit(C, label, rate_full)
             return emit(C, "ff", rate_ff)
         args.pipeline = "ff"
 

@@ -170,6 +170,143 @@ class ChannelBank {
   uint64_t stats_dropped_ = 0;
 };
 
+// Plane bank: same flush/lockstep semantics, but the ring holds TIME-MAJOR
+// re/im planes -- the fused kernel's exact input layout (demod_kernel
+// demod_full_tm takes (T, C) planes).  Interleaved frames are already
+// time-major across channels, so deframing is a stride-2 re/im split (no
+// transpose at all), and popping is two contiguous memcpys.  This removes
+// the per-block host transposes the channel-major bank forces on the
+// engine (engine.py x.real.T copies).  T = float (complex64 wire) or
+// int16_t (i16 I/Q wire, half the bytes end to end -- pairs with the
+// kernel's int16 ingest mode).
+template <typename T>
+class PlaneBank {
+ public:
+  PlaneBank(int32_t channels, int64_t capacity_samples)
+      : C_(channels), cap_(capacity_samples),
+        re_(static_cast<size_t>(channels) * capacity_samples),
+        im_(static_cast<size_t>(channels) * capacity_samples) {}
+
+  // Push n_frames interleaved frames (2*C_*n elements: s0c0_re s0c0_im
+  // s0c1_re ...).  Returns 1 if this push triggered an overflow flush.
+  int push_interleaved(const T* iq, int64_t n_frames) {
+    std::unique_lock<std::mutex> lk(mu_);
+    int flushed = 0;
+    if (count_ + n_frames > cap_) {
+      stats_dropped_ += count_;
+      head_ = 0;
+      count_ = 0;
+      stats_flushes_++;
+      flush_pending_ = true;
+      flushed = 1;
+      if (n_frames > cap_) {
+        iq += (n_frames - cap_) * C_ * 2;
+        stats_dropped_ += n_frames - cap_;
+        n_frames = cap_;
+      }
+    }
+    const int64_t start = (head_ + count_) % cap_;
+    const int64_t first = std::min(n_frames, cap_ - start);
+    split(iq, first, start);
+    split(iq + first * C_ * 2, n_frames - first, 0);
+    count_ += n_frames;
+    stats_frames_in_ += n_frames;
+    lk.unlock();
+    cv_.notify_one();
+    return flushed;
+  }
+
+  int64_t available(int64_t min_needed, int64_t timeout_ms) {
+    std::unique_lock<std::mutex> lk(mu_);
+    auto ready = [&] { return count_ >= min_needed || closed_; };
+    if (timeout_ms < 0) {
+      cv_.wait(lk, ready);
+    } else {
+      cv_.wait_for(lk, std::chrono::milliseconds(timeout_ms), ready);
+    }
+    if (count_ < min_needed && !closed_) return -1;
+    return count_;
+  }
+
+  // Copy n time-major rows into out_re/out_im ((n, C) each) and advance.
+  int64_t pop_planes(T* out_re, T* out_im, int64_t n, int32_t* out_flushed) {
+    std::unique_lock<std::mutex> lk(mu_);
+    if (count_ < n) return -1;
+    const int64_t first = std::min(n, cap_ - head_);
+    const size_t row = static_cast<size_t>(C_);
+    std::memcpy(out_re, re_.data() + head_ * row, first * row * sizeof(T));
+    std::memcpy(out_im, im_.data() + head_ * row, first * row * sizeof(T));
+    std::memcpy(out_re + first * row, re_.data(),
+                (n - first) * row * sizeof(T));
+    std::memcpy(out_im + first * row, im_.data(),
+                (n - first) * row * sizeof(T));
+    head_ = (head_ + n) % cap_;
+    count_ -= n;
+    stats_samples_out_ += n;
+    if (out_flushed) *out_flushed = flush_pending_ ? 1 : 0;
+    flush_pending_ = false;
+    return n;
+  }
+
+  void close() {
+    std::lock_guard<std::mutex> lk(mu_);
+    closed_ = true;
+    cv_.notify_all();
+  }
+
+  int64_t depth() {
+    std::lock_guard<std::mutex> lk(mu_);
+    return count_;
+  }
+
+  void get_stats(uint64_t* out4) {
+    std::lock_guard<std::mutex> lk(mu_);
+    out4[0] = stats_frames_in_;
+    out4[1] = stats_samples_out_;
+    out4[2] = stats_flushes_;
+    out4[3] = stats_dropped_;
+  }
+
+ private:
+  // Stride-2 split of n frames starting at ring row dst0: both the source
+  // frame and the destination rows are contiguous runs of C_ elements.
+  void split(const T* iq, int64_t n, int64_t dst0) {
+    for (int64_t i = 0; i < n; ++i) {
+      T* dr = re_.data() + (dst0 + i) * C_;
+      T* di = im_.data() + (dst0 + i) * C_;
+      const T* src = iq + i * C_ * 2;
+      for (int32_t c = 0; c < C_; ++c) {
+        dr[c] = src[2 * c];
+        di[c] = src[2 * c + 1];
+      }
+    }
+  }
+
+  std::mutex mu_;
+  std::condition_variable cv_;
+  const int32_t C_;
+  const int64_t cap_;
+  std::vector<T> re_, im_;   // time-major (cap, C) plane rings
+  int64_t head_ = 0;
+  int64_t count_ = 0;
+  bool closed_ = false;
+  bool flush_pending_ = false;
+  uint64_t stats_frames_in_ = 0;
+  uint64_t stats_samples_out_ = 0;
+  uint64_t stats_flushes_ = 0;
+  uint64_t stats_dropped_ = 0;
+};
+
+// elem_bytes-dispatched wrapper (4 = float planes, 2 = int16 planes).
+struct PlaneBankAny {
+  PlaneBank<float>* f32 = nullptr;
+  PlaneBank<int16_t>* i16 = nullptr;
+  ~PlaneBankAny() {
+    delete f32;
+    delete i16;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -204,6 +341,67 @@ int64_t pskbank_depth(void* h) {
 
 void pskbank_stats(void* h, uint64_t* out4) {
   static_cast<ChannelBank*>(h)->get_stats(out4);
+}
+
+// ---- plane bank (time-major re/im planes; elem_bytes = 4 or 2) ----
+
+void* pskplane_create(int32_t channels, int64_t capacity_samples,
+                      int32_t elem_bytes) {
+  if (channels <= 0 || capacity_samples <= 0) return nullptr;
+  if (elem_bytes != 4 && elem_bytes != 2) return nullptr;
+  auto* any = new PlaneBankAny();
+  if (elem_bytes == 4) {
+    any->f32 = new PlaneBank<float>(channels, capacity_samples);
+  } else {
+    any->i16 = new PlaneBank<int16_t>(channels, capacity_samples);
+  }
+  return any;
+}
+
+void pskplane_destroy(void* h) { delete static_cast<PlaneBankAny*>(h); }
+
+int pskplane_push_interleaved(void* h, const void* iq, int64_t n_frames) {
+  if (n_frames < 0) return -1;
+  if (n_frames == 0) return 0;
+  auto* any = static_cast<PlaneBankAny*>(h);
+  if (any->f32) {
+    return any->f32->push_interleaved(static_cast<const float*>(iq),
+                                      n_frames);
+  }
+  return any->i16->push_interleaved(static_cast<const int16_t*>(iq),
+                                    n_frames);
+}
+
+int64_t pskplane_available(void* h, int64_t min_needed, int64_t timeout_ms) {
+  auto* any = static_cast<PlaneBankAny*>(h);
+  return any->f32 ? any->f32->available(min_needed, timeout_ms)
+                  : any->i16->available(min_needed, timeout_ms);
+}
+
+int64_t pskplane_pop_planes(void* h, void* out_re, void* out_im, int64_t n,
+                            int32_t* out_flushed) {
+  auto* any = static_cast<PlaneBankAny*>(h);
+  if (any->f32) {
+    return any->f32->pop_planes(static_cast<float*>(out_re),
+                                static_cast<float*>(out_im), n, out_flushed);
+  }
+  return any->i16->pop_planes(static_cast<int16_t*>(out_re),
+                              static_cast<int16_t*>(out_im), n, out_flushed);
+}
+
+void pskplane_close(void* h) {
+  auto* any = static_cast<PlaneBankAny*>(h);
+  any->f32 ? any->f32->close() : any->i16->close();
+}
+
+int64_t pskplane_depth(void* h) {
+  auto* any = static_cast<PlaneBankAny*>(h);
+  return any->f32 ? any->f32->depth() : any->i16->depth();
+}
+
+void pskplane_stats(void* h, uint64_t* out4) {
+  auto* any = static_cast<PlaneBankAny*>(h);
+  any->f32 ? any->f32->get_stats(out4) : any->i16->get_stats(out4);
 }
 
 }  // extern "C"

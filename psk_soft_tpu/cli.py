@@ -117,10 +117,13 @@ def cmd_demod_batch(args) -> int:
 
     cfg = _config_from_args(args)
     C = args.channels
+    i16 = args.in_format == "ci16"
     if args.pipeline == "full":
         eng = FullKernelBatchEngine(cfg, channels=C,
                                     block_symbols=args.block_symbols,
-                                    pipeline_depth=args.pipeline_depth)
+                                    pipeline_depth=args.pipeline_depth,
+                                    ingest_scale=args.in_scale if i16
+                                    else None)
     else:
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
                           pipeline_depth=args.pipeline_depth)
@@ -135,7 +138,8 @@ def cmd_demod_batch(args) -> int:
         PORT_PHASE: open(f"{args.out_prefix}.phase.f32", "wb"),
         PORT_SAMPLE_INDEX: open(f"{args.out_prefix}.index.i16", "wb"),
     }
-    chunk = args.chunk_samples * C * 8
+    frame_bytes = C * (4 if i16 else 8)
+    chunk = args.chunk_samples * frame_bytes
     nb = cfg.bits_per_symbol
 
     def write(pkts):
@@ -149,32 +153,62 @@ def cmd_demod_batch(args) -> int:
                 d = d.T
             sinks[port].write(np.ascontiguousarray(d).tobytes())
 
-    # Deframing: sample-interleaved -> channel-major happens in the native
-    # bank ring (C++ strided pass, concurrent-safe) when available; the
-    # numpy per-channel slice path is the fallback.
+    # Deframing: sample-interleaved -> device layout happens in the native
+    # rings (C++ strided pass, concurrent-safe) when available; the numpy
+    # per-channel slice path is the fallback.  The full-kernel engine takes
+    # the PLANE bank (time-major (T, C) re/im planes, the kernel's exact
+    # layout, zero host transposes; int16 wire supported); the ff engine
+    # takes the channel-major bank.
     need = args.block_symbols * cfg.sps
-    bank = None
+    bank = plane_bank = None
     try:
-        from .runtime.native_bank import NativeChannelBank
-        bank = NativeChannelBank(C, capacity_samples=max(4 * need, 1 << 16))
+        if args.pipeline == "full":
+            from .runtime.native_bank import NativePlaneBank
+            plane_bank = NativePlaneBank(
+                C, capacity_samples=max(4 * need, 1 << 16),
+                dtype="i16" if i16 else "f32")
+        else:
+            from .runtime.native_bank import NativeChannelBank
+            bank = NativeChannelBank(C,
+                                     capacity_samples=max(4 * need, 1 << 16))
     except Exception:
         pass
 
+    wire_dtype = np.int16 if i16 else np.float32
+
+    def _dequant_cmajor(flat):
+        """(frames*2C,) wire array -> channel-major complex64 (fallback)."""
+        pairs = flat.reshape(-1, C, 2)
+        if i16:
+            re = pairs[..., 0].astype(np.float32) * args.in_scale
+            im = pairs[..., 1].astype(np.float32) * args.in_scale
+        else:
+            re, im = pairs[..., 0], pairs[..., 1]
+        return (re + 1j * im).astype(np.complex64).T
+
     def ingest(raw):
-        usable = len(raw) - (len(raw) % (8 * C))
+        usable = len(raw) - (len(raw) % frame_bytes)
         if not usable:
             return
-        if bank is not None:
-            bank.push_interleaved(np.frombuffer(raw[:usable], np.float32))
+        flat = np.frombuffer(raw[:usable], wire_dtype)
+        if plane_bank is not None:
+            plane_bank.push_interleaved(flat)
+            while True:
+                r = plane_bank.pop_planes(need, timeout=0)
+                if r is None:
+                    break
+                eng.push_planes(r[0], r[1])
+        elif bank is not None and not i16:
+            bank.push_interleaved(flat)
             while True:
                 r = bank.pop_block(need, timeout=0)
                 if r is None:
                     break
                 eng.push_block(r[0])
         else:
-            data = np.frombuffer(raw[:usable], np.complex64).reshape(-1, C)
+            data = _dequant_cmajor(flat)
             for c in range(C):
-                eng.push(c, np.ascontiguousarray(data[:, c]))
+                eng.push(c, np.ascontiguousarray(data[c]))
 
     try:
         while True:
@@ -188,6 +222,10 @@ def cmd_demod_batch(args) -> int:
             if len(raw) < chunk:
                 # EOS: drain the native ring's sub-block remainder, then the
                 # engine's staged tail.
+                if plane_bank is not None and plane_bank.depth():
+                    r = plane_bank.pop_planes(plane_bank.depth(), timeout=0)
+                    if r is not None:
+                        eng.push_planes(r[0], r[1])
                 if bank is not None and bank.depth():
                     r = bank.pop_block(bank.depth(), timeout=0)
                     if r is not None:
@@ -313,6 +351,14 @@ def main(argv=None) -> int:
     db.add_argument("--chunk-samples", type=int, default=1 << 14,
                     help="samples per channel per read")
     db.add_argument("--pipeline", choices=("ff", "full"), default="ff")
+    db.add_argument("--in-format", choices=("cf32", "ci16"), default="cf32",
+                    help="wire format: cf32 = interleaved complex64 (default)"
+                         "; ci16 = interleaved int16 I/Q (SDR ADC format; "
+                         "with --pipeline full the int16 planes go all the "
+                         "way to the kernel)")
+    db.add_argument("--in-scale", type=float, default=1.0 / 32767.0,
+                    help="dequantization step for ci16 (sample = i16 * "
+                         "scale)")
     db.add_argument("--pipeline-depth", type=int, default=0,
                     help="deferred-assembly depth: dispatch block k, emit "
                          "block k-depth (device/host overlap); 0 = sync")

@@ -159,15 +159,43 @@ def ff_from_full(cfg: DemodConfig, state: FullState):
     )
 
 
+def dequantize_full_state(state: FullState, in_scale: float) -> FullState:
+    """Inverse of :func:`quantize_full_state`: back to float32 window planes
+    (for ff_from_full / checkpoint interchange)."""
+    if state.win_re.dtype != jnp.int16:
+        return state
+    return FullState(
+        win_re=state.win_re.astype(jnp.float32) * in_scale,
+        win_im=state.win_im.astype(jnp.float32) * in_scale,
+        planes=state.planes)
+
+
+def quantize_full_state(state: FullState, in_scale: float) -> FullState:
+    """Quantize the carry's raw-sample window planes to int16 for the int16
+    ingest path (demod_kernel int16 mode).  The phase/state planes stay
+    float32 -- only the bulk sample window rides the 2-byte format.  When
+    the f32 window itself came from dequantized int16 input (the production
+    case), round() recovers the exact wire values."""
+    q_re = jnp.clip(jnp.round(state.win_re / in_scale), -32768, 32767)
+    q_im = jnp.clip(jnp.round(state.win_im / in_scale), -32768, 32767)
+    return FullState(win_re=q_re.astype(jnp.int16),
+                     win_im=q_im.astype(jnp.int16), planes=state.planes)
+
+
 def demod_block_full(cfg: DemodConfig, state: FullState,
                      x_re: jnp.ndarray, x_im: jnp.ndarray, *,
                      s_tile: int = 256, double_buffer: bool | None = None,
-                     mixed: bool = False, interpret: bool = False):
+                     mixed: bool = False, in_scale: float = 1.0,
+                     interpret: bool = False):
     """One steady-state block through the fused kernel.
 
     x_re/x_im: (T, C) float32 time-major planes, T = S * sps.  Always raw
     input; the matched filter (when configured) runs inside the kernel as
     chunked banded matmuls, and the window carry then holds raw samples.
+
+    int16 ingest: pass int16 planes (+ ``in_scale``) and an int16-window
+    state (:func:`quantize_full_state`); samples then cross HBM at 2 bytes
+    and dequantize in VMEM, halving the input-bound roofline.
     """
     if cfg.sps <= 1:
         raise ValueError("full kernel supports sps > 1; use models.blockpsk "
@@ -189,7 +217,7 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
         mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
-        interpret=interpret)
+        in_scale=in_scale, interpret=interpret)
     new_state = FullState(
         win_re=x_re[x_re.shape[0] - keep:],
         win_im=x_im[x_im.shape[0] - keep:],
@@ -208,9 +236,9 @@ def _static_taps(cfg: DemodConfig):
 
 
 def make_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
-                       interpret: bool = False):
+                       in_scale: float = 1.0, interpret: bool = False):
     return jax.jit(functools.partial(demod_block_full, cfg, s_tile=s_tile,
-                                     interpret=interpret))
+                                     in_scale=in_scale, interpret=interpret))
 
 
 def make_mixed_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
@@ -224,12 +252,13 @@ def make_mixed_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
 
 
 def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
+                               in_scale: float = 1.0,
                                interpret: bool = False):
     """Many kernel block-steps in ONE dispatch: fn(state, xs_re, xs_im) with
     (K, T, C) plane stacks, scanning the fused kernel over the leading axis
     and returning (state, stacked FullOutputs)."""
     step = functools.partial(demod_block_full, cfg, s_tile=s_tile,
-                             interpret=interpret)
+                             in_scale=in_scale, interpret=interpret)
 
     def run(state, xs_re, xs_im):
         def body(st, xy):

@@ -191,7 +191,7 @@ def _lower_tri(rows: int) -> jnp.ndarray:
 def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
             double_buffer: bool, mf_extra: int, mf_chunk: int,
-            timing_interp: bool, mixed: bool,
+            timing_interp: bool, mixed: bool, grain: int, in_scale,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             band_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
@@ -211,12 +211,14 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
         Re-creating the same descriptor later is the Pallas pattern for
         waiting on a copy issued in an earlier (sequential) grid step."""
         if split_dma:
-            # (tile*s_tile*sps - wlen) is 8-aligned here: the caller only
-            # selects split_dma when wlen % 8 == 0 (and s_tile % 8 == 0),
-            # but Mosaic's prover can't see through the subtraction.
-            start = pl.multiple_of(tile * s_tile * sps - wlen, 8)
+            # (tile*s_tile*sps - wlen) is grain-aligned here: the caller
+            # only selects split_dma when wlen % grain == 0 (and
+            # s_tile % grain == 0), but Mosaic's prover can't see through
+            # the subtraction.  grain is 8 rows for f32 (8, 128) tiling,
+            # 16 for the int16 ingest path's (16, 128) tiling.
+            start = pl.multiple_of(tile * s_tile * sps - wlen, grain)
         else:
-            start = pl.multiple_of(tile * s_tile * sps, 8)
+            start = pl.multiple_of(tile * s_tile * sps, grain)
         off = slot * dma_len
         c_re = pltpu.make_async_copy(
             re_hbm.at[pl.ds(start, dma_len), pl.ds(ci * LANES, LANES)],
@@ -328,6 +330,11 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     else:
         re_t = sre[0:sel_len]
         im_t = sim[0:sel_len]
+    if in_scale is not None:
+        # int16 ingest: samples travelled HBM->VMEM at 2 bytes (half the
+        # critical-path bandwidth of f32 planes); dequantize once in VMEM.
+        re_t = re_t.astype(jnp.float32) * in_scale
+        im_t = im_t.astype(jnp.float32) * in_scale
 
     # --- matched filter: chunked banded matmuls on the MXU ---
     # f[r] = sum_j taps[j] * raw[r + j]; the band matrix B[r, r+j] = taps[j]
@@ -487,12 +494,13 @@ MF_CHUNK = 128  # FIR band-matmul chunk rows (multiple of 8)
                                              "m", "diff", "s_tile",
                                              "double_buffer", "mf_taps",
                                              "timing_interp", "mixed",
-                                             "interpret"))
+                                             "in_scale", "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   num_avg: int, phase_avg: int, m: int, diff: bool,
                   s_tile: int = 256, double_buffer: bool | None = None,
                   mf_taps: tuple | None = None, timing_interp: bool = False,
-                  mixed: bool = False, interpret: bool = False):
+                  mixed: bool = False, in_scale: float = 1.0,
+                  interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
 
     Args:
@@ -507,6 +515,10 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
       mixed: per-channel (M, differential) bank -- modes are read from
         state rows misc+6/7 (see state_rows) and the static m/diff are
         ignored; all mode-dependent stages become branch-free selects.
+      in_scale: dequantization step for int16 ingest.  When win/x planes are
+        int16 (the SDR wire format, REDHAWK dataShort), samples cross HBM at
+        2 bytes and become ``i16 * in_scale`` float32 in VMEM -- half the
+        f32 path's critical HBM read.  Ignored for float32 planes.
     Returns:
       (soft_re, soft_im, phase, bits_packed, sample_index, new_state_planes)
       -- symbol-rate planes are (S, C).
@@ -521,6 +533,15 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     wrows = (num_avg - 1) * sps + extra
     if win_re.shape != (wrows, C):
         raise ValueError(f"win planes must be {(wrows, C)}")
+    # int16 ingest (the SDR wire format): samples cross HBM at 2 bytes and
+    # dequantize in VMEM as i16 * in_scale -- half the f32 path's critical
+    # HBM traffic.  i16 tiles as (16, 128), so every DMA row start/length
+    # constraint doubles from 8 to 16.
+    in_i16 = x_re.dtype == jnp.int16
+    grain = 16 if in_i16 else 8
+    if in_i16 and win_re.dtype != jnp.int16:
+        raise ValueError("int16 ingest needs int16 window carry planes "
+                         "(quantize with models.full.quantize_full_state)")
     k = UNWRAP_TREND_LEN
     if phase_avg < k + 1:
         raise ValueError(f"full kernel requires phase_avg >= {k + 1}")
@@ -538,13 +559,14 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     # si*s_tile*sps -- any s_tile with (s_tile*sps) % 8 == 0 is valid, so
     # the floor drops (this is what lets the sps=10 default config
     # double-buffer).
-    wlen_aligned = ((num_avg - 1) * sps) % 8 == 0 and not extra
+    wlen_aligned = ((num_avg - 1) * sps) % grain == 0 and not extra
     def pick_tile(max_rows):
         cap = max((max_rows - extra) // sps - (num_avg - 1), num_avg - 1)
         want = min(s_tile, s_out, cap)
         lo = num_avg - 2 if wlen_aligned else 0
         for cand in range(want, lo, -1):
-            if s_out % cand == 0 and (wlen_aligned or (cand * sps) % 8 == 0):
+            if s_out % cand == 0 and (wlen_aligned
+                                      or (cand * sps) % grain == 0):
                 return cand
         return None
 
@@ -587,21 +609,22 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     # num_avg=100 has wlen=990, tile_len 2270 -- neither 8-aligned; an
     # unaligned DMA faults the TPU worker).  The matched filter always takes
     # the concat path (its halo changes every tile's span).
-    split_dma = (not extra and wlen % 8 == 0 and s_tile % 8 == 0
-                 and tile_len % 8 == 0)
+    split_dma = (not extra and wlen % grain == 0 and s_tile % grain == 0
+                 and tile_len % grain == 0)
     if extra:
         # Raw rows a tile needs: ceil(tile_len/chunk) whole FIR chunks plus
-        # the L-1 halo, rounded up to the 8-row DMA granule.
+        # the L-1 halo, rounded up to the DMA row granule.
         flen = -(-tile_len // MF_CHUNK) * MF_CHUNK
-        dma_len = -(-(flen + extra) // 8) * 8
+        dma_len = -(-(flen + extra) // grain) * grain
         tile_pad = dma_len - tile_len
     else:
-        tile_pad = 0 if split_dma else (-tile_len) % 8
+        tile_pad = 0 if split_dma else (-tile_len) % grain
         dma_len = tile_len + tile_pad
+    in_dtype = jnp.int16 if in_i16 else jnp.float32
     if not split_dma:
-        if (s_tile * sps) % 8:
+        if (s_tile * sps) % grain:
             raise ValueError(f"s_tile*sps ({s_tile * sps}) must be a "
-                             f"multiple of 8")
+                             f"multiple of {grain}")
         # Host-side pad so the last tile's [start, start+dma_len) DMA span
         # stays in bounds of the concatenated [window | block] planes.
         n_tiles = s_out // s_tile
@@ -610,12 +633,12 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         parts_re = [win_re, x_re]
         parts_im = [win_im, x_im]
         if pad_rows:
-            zpad = jnp.zeros((pad_rows, C), jnp.float32)
+            zpad = jnp.zeros((pad_rows, C), in_dtype)
             parts_re.append(zpad)
             parts_im.append(zpad)
         x_re = jnp.concatenate(parts_re, axis=0)
         x_im = jnp.concatenate(parts_im, axis=0)
-        win_re = jnp.zeros((8, C), jnp.float32)  # unused dummy
+        win_re = jnp.zeros((grain, C), in_dtype)  # unused dummy
         win_im = win_re
     # FIR as a banded matrix (est = F @ ext_u on the MXU): F[o, o+i] = w[i].
     w = endpoint_fir_weights(phase_avg, dtype=np.float64)
@@ -639,7 +662,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     kernel = functools.partial(_kernel, s_tile, sps, num_avg, phase_avg, m,
                                diff, k, s_out // s_tile, split_dma, tile_pad,
                                double_buffer, extra, MF_CHUNK, timing_interp,
-                               mixed)
+                               mixed, grain,
+                               float(in_scale) if in_i16 else None)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):
@@ -671,9 +695,9 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(((2 if double_buffer else 1) * dma_len,
-                        LANES), jnp.float32),
+                        LANES), in_dtype),
             pltpu.VMEM(((2 if double_buffer else 1) * dma_len,
-                        LANES), jnp.float32),
+                        LANES), in_dtype),
             pltpu.VMEM((rs, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((7,)),
         ],

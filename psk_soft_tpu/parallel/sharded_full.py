@@ -48,12 +48,13 @@ def shard_full_state(state: FullState, mesh: Mesh) -> FullState:
 
 
 def make_sharded_full_demod(cfg: DemodConfig, mesh: Mesh, *,
-                            s_tile: int = 256, interpret: bool = False):
+                            s_tile: int = 256, in_scale: float = 1.0,
+                            interpret: bool = False):
     """Returns fn(state, x_re, x_im) -> (state, FullOutputs), with every
     (.., C) plane sharded over the mesh's 'chan' axis.  C per device must be
     a multiple of 128."""
     body = functools.partial(demod_block_full, cfg, s_tile=s_tile,
-                             interpret=interpret)
+                             in_scale=in_scale, interpret=interpret)
     spec = P(None, "chan")
     state_specs = FullState(win_re=spec, win_im=spec, planes=spec)
     inner = jax.shard_map(
@@ -78,7 +79,8 @@ def _shift_rows(v: jnp.ndarray, from_left: bool) -> jnp.ndarray:
 
 def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
                                  total_symbols: int, *, s_tile: int = 256,
-                                 mixed_params=None, interpret: bool = False):
+                                 mixed_params=None, in_scale: float = 1.0,
+                                 interpret: bool = False):
     """Time+channel-sharded single-kernel demod (see module docstring).
 
     Returns fn(x_re, x_im) -> (soft_re, soft_im, phase, bits, idx, valid)
@@ -150,7 +152,7 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
             win_re, win_im, xk_re, xk_im, planes0, sps=sps, num_avg=num_avg,
             phase_avg=n, m=m, diff=cfg.differential, s_tile=k_tile,
             mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
-            interpret=interpret)
+            in_scale=in_scale, interpret=interpret)
 
         # --- recover the absolute phase origin per shard (multiple of 2pi,
         # relative to shard 0) from overlap outputs ---

@@ -721,7 +721,8 @@ class FullKernelBatchEngine(_PipelinedPackets):
 
     def __init__(self, cfg: DemodConfig, channels: int,
                  block_symbols: int = 512, s_tile: int = 256,
-                 interpret: bool = False, pipeline_depth: int = 0):
+                 interpret: bool = False, pipeline_depth: int = 0,
+                 ingest_scale: float | None = None):
         import functools
         from ..models import full as full_mod
 
@@ -733,16 +734,25 @@ class FullKernelBatchEngine(_PipelinedPackets):
         self.block_symbols = int(block_symbols)
         self._s_tile = s_tile
         self._interpret = interpret
+        # int16-ingest mode: push_planes takes i16 wire planes dequantized
+        # as i16 * ingest_scale; the steady kernel then reads 2-byte input
+        # (demod_kernel int16 mode) and the carry window stays on the wire
+        # format (quantize_full_state at the handoff).
+        self._ingest_scale = (float(ingest_scale) if ingest_scale is not None
+                              else None)
         self._warm_ops = _PipelineOps("ff")
         self._warm_state = self._warm_ops.init(cfg, (channels,))
         self._warm_fn = jax.jit(jax.vmap(functools.partial(
             self._warm_ops.block, cfg)))
         self._full_fn = jax.jit(functools.partial(
             full_mod.demod_block_full, cfg, s_tile=s_tile,
-            interpret=interpret))
+            in_scale=self._ingest_scale or 1.0, interpret=interpret))
         self._full_mod = full_mod
         self._full_state = None
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
+        self._plane_re: list[np.ndarray] = []   # staged (rows, C) planes
+        self._plane_im: list[np.ndarray] = []
+        self._plane_rows = 0
         self._consumed = 0
         # Raw-input tail for the kernel handoff under a matched filter: the
         # kernel filters in-kernel, so its window carry holds RAW samples,
@@ -787,6 +797,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
         logger.debug("full-kernel reconfigure: %s -> %s", self.cfg, new_cfg)
         self._drain_pending()
         if self._full_state is not None:
+            if self._ingest_scale is not None:
+                self._full_state = self._full_mod.dequantize_full_state(
+                    self._full_state, self._ingest_scale)
             if self.cfg.matched_filter != "none":
                 # Kernel window rows are raw input: seed the raw tail so the
                 # next steady handoff has its history.
@@ -817,6 +830,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
         self._full_state = None
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
+        self._plane_re = []
+        self._plane_im = []
+        self._plane_rows = 0
         self._consumed = 0
         self._raw_tail = np.zeros((self.channels, 0), np.complex64)
         self._pending.clear()
@@ -828,12 +844,76 @@ class FullKernelBatchEngine(_PipelinedPackets):
         self.assembler.set_sri(sri, t)
 
     def push(self, channel: int, data: np.ndarray) -> None:
+        if self._plane_rows:
+            raise ValueError("engine is in plane-ingest mode (push_planes); "
+                             "per-channel push would interleave streams")
         self._staging[channel] = np.concatenate(
             [self._staging[channel], np.asarray(data, np.complex64).ravel()])
         self.metrics.samples_in += data.size
 
+    def push_planes(self, re: np.ndarray, im: np.ndarray) -> None:
+        """Time-major (rows, C) re/im plane append -- the native plane
+        bank's output (runtime/native_bank.NativePlaneBank) and the fused
+        kernel's exact input layout, so the steady path uploads with ZERO
+        host transposes.  float32 planes, or int16 wire planes when the
+        engine was built with ``ingest_scale``."""
+        re = np.asarray(re)
+        im = np.asarray(im)
+        if re.shape != im.shape or re.ndim != 2 or re.shape[1] != self.channels:
+            raise ValueError(f"expected (rows, {self.channels}) planes")
+        if re.dtype == np.int16:
+            if self._ingest_scale is None:
+                raise ValueError("int16 planes need ingest_scale at "
+                                 "construction")
+        elif re.dtype != np.float32:
+            raise ValueError(f"planes must be float32 or int16, got "
+                             f"{re.dtype}")
+        if any(s.size for s in self._staging):
+            raise ValueError("engine already has per-channel staged data; "
+                             "plane and channel pushes cannot mix")
+        self._plane_re.append(re)
+        self._plane_im.append(im)
+        self._plane_rows += re.shape[0]
+        self.metrics.samples_in += re.size
+
+    def _take_plane_rows(self, rows: int):
+        """Pop `rows` rows from the plane staging as contiguous planes."""
+        take_re, take_im, got = [], [], 0
+        while got < rows:
+            r, i = self._plane_re[0], self._plane_im[0]
+            need = rows - got
+            if r.shape[0] <= need:
+                take_re.append(r)
+                take_im.append(i)
+                got += r.shape[0]
+                self._plane_re.pop(0)
+                self._plane_im.pop(0)
+            else:
+                take_re.append(r[:need])
+                take_im.append(i[:need])
+                self._plane_re[0] = r[need:]
+                self._plane_im[0] = i[need:]
+                got = rows
+        self._plane_rows -= rows
+        if len(take_re) == 1:
+            return (np.ascontiguousarray(take_re[0]),
+                    np.ascontiguousarray(take_im[0]))
+        return (np.concatenate(take_re, axis=0),
+                np.concatenate(take_im, axis=0))
+
+    def _planes_to_cmajor(self, re, im) -> np.ndarray:
+        """Channel-major complex view of a plane block (warm-up path only;
+        the steady kernel consumes the planes directly)."""
+        if re.dtype == np.int16:
+            s = self._ingest_scale
+            return ((re.T.astype(np.float32) * s)
+                    + 1j * (im.T.astype(np.float32) * s)).astype(np.complex64)
+        return (re.T + 1j * im.T).astype(np.complex64)
+
     def ready(self) -> bool:
         need = self.block_symbols * self.cfg.sps
+        if self._plane_rows:
+            return self._plane_rows >= need
         return all(s.size >= need for s in self._staging)
 
     def step(self):
@@ -843,10 +923,17 @@ class FullKernelBatchEngine(_PipelinedPackets):
         if not self.ready():
             return None
         need = self.block_symbols * self.cfg.sps
-        x = np.stack([s[:need] for s in self._staging])
-        self._staging = [s[need:] for s in self._staging]
+        plane_blk = None
+        if self._plane_rows:
+            plane_blk = self._take_plane_rows(need)
+            x = None
+        else:
+            x = np.stack([s[:need] for s in self._staging])
+            self._staging = [s[need:] for s in self._staging]
         self._consumed += self.block_symbols
         if self._full_state is None:
+            if plane_blk is not None:
+                x = self._planes_to_cmajor(*plane_blk)
             self._track_raw(x)
             self._warm_state, out = self._warm_fn(self._warm_state,
                                                   to_device(x))
@@ -855,11 +942,18 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 raw = (self._raw_tail if self._raw_keep else None)
                 self._full_state = self._full_mod.full_from_ff(
                     self.cfg, self._warm_state, raw_win=raw)
+                if self._ingest_scale is not None:
+                    self._full_state = self._full_mod.quantize_full_state(
+                        self._full_state, self._ingest_scale)
                 self._warm_state = None
                 self._raw_tail = np.zeros((self.channels, 0), np.complex64)
         else:
-            x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
-            x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
+            if plane_blk is not None:
+                x_re = jnp.asarray(plane_blk[0])    # no transpose, no split
+                x_im = jnp.asarray(plane_blk[1])
+            else:
+                x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
+                x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
             self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
         if self._pipe_depth == 0:
@@ -875,21 +969,34 @@ class FullKernelBatchEngine(_PipelinedPackets):
         from ..utils.transfer import to_device
 
         sps, num_avg = self.cfg.sps, self.cfg.num_avg
-        n = (min(s.size for s in self._staging) // sps) * sps
-        x = np.stack([s[:n] for s in self._staging]) if n else None
+        plane_blk = None
+        if self._plane_rows:
+            n = (self._plane_rows // sps) * sps
+            plane_blk = self._take_plane_rows(n) if n else None
+            self._plane_re, self._plane_im, self._plane_rows = [], [], 0
+            x = None
+        else:
+            n = (min(s.size for s in self._staging) // sps) * sps
+            x = np.stack([s[:n] for s in self._staging]) if n else None
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
         if n == 0:
             return None
         if self._full_state is None:
+            if plane_blk is not None:
+                x = self._planes_to_cmajor(*plane_blk)
             self._warm_state, out = self._warm_fn(self._warm_state,
                                                   to_device(x))
         else:
             nsym = n // sps
             pad = self.block_symbols * sps - n
-            xp = np.pad(x, ((0, 0), (0, pad)))
-            x_re = jnp.asarray(np.ascontiguousarray(xp.real.T))
-            x_im = jnp.asarray(np.ascontiguousarray(xp.imag.T))
+            if plane_blk is not None:
+                x_re = jnp.asarray(np.pad(plane_blk[0], ((0, pad), (0, 0))))
+                x_im = jnp.asarray(np.pad(plane_blk[1], ((0, pad), (0, 0))))
+            else:
+                xp = np.pad(x, ((0, 0), (0, pad)))
+                x_re = jnp.asarray(np.ascontiguousarray(xp.real.T))
+                x_im = jnp.asarray(np.ascontiguousarray(xp.imag.T))
             self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
             # Output o's window covers carry rows [o, o+numAvg-1]; with a

@@ -144,3 +144,42 @@ def test_cli_gen_writes_expected_sample_count(tmp_path):
     x = np.fromfile(out, np.complex64)
     assert x.size == 100 * 8
     assert np.all(np.isfinite(x))
+
+
+def test_cli_demod_batch_ci16_wire_format(tmp_path):
+    """demod-batch --in-format ci16: int16 I/Q interleaved frames (the SDR
+    ADC wire format) produce the same soft stream as the cf32 run on the
+    dequantized signal."""
+    C = 2
+    xs = _signal(channels=C, symbols=320, seed=11)
+    scale = float(max(np.abs(xs.real).max(), np.abs(xs.imag).max())) / 32000.0
+    inter = np.ascontiguousarray(xs.T)                 # (samples, C)
+    wire = np.empty((inter.shape[0], C, 2), np.int16)
+    wire[..., 0] = np.round(inter.real / scale)
+    wire[..., 1] = np.round(inter.imag / scale)
+    deq = ((wire[..., 0].astype(np.float32) * scale)
+           + 1j * (wire[..., 1].astype(np.float32) * scale)).astype(
+               np.complex64)
+
+    f16 = tmp_path / "wire.ci16"
+    f16.write_bytes(wire.tobytes())
+    f32 = tmp_path / "wire.cf32"
+    f32.write_bytes(np.ascontiguousarray(deq).tobytes())
+
+    common = ["--channels", str(C), "--sps", "8", "-M", "4",
+              "--num-avg", "20", "--phase-avg", "10",
+              "--block-symbols", "64", "--chunk-samples", "512"]
+    p16 = tmp_path / "out16"
+    p32 = tmp_path / "out32"
+    _run(["demod-batch", "--in", str(f16), "--in-format", "ci16",
+          "--in-scale", repr(scale), "--out-prefix", str(p16), *common])
+    _run(["demod-batch", "--in", str(f32), "--out-prefix", str(p32),
+          *common])
+
+    s16 = np.fromfile(p16.with_suffix(".soft.cf32"), np.complex64)
+    s32 = np.fromfile(p32.with_suffix(".soft.cf32"), np.complex64)
+    assert s16.size == s32.size > 0
+    np.testing.assert_allclose(s16, s32, rtol=0, atol=1e-5)
+    b16 = np.fromfile(p16.with_suffix(".bits.i16"), np.int16)
+    b32 = np.fromfile(p32.with_suffix(".bits.i16"), np.int16)
+    np.testing.assert_array_equal(b16, b32)

@@ -1,0 +1,185 @@
+"""FullKernelBatchEngine plane-ingest path: time-major re/im planes from
+the native plane bank feed the kernel with zero host transposes; int16 wire
+planes ride demod_kernel's int16 mode end to end."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.runtime.engine import FullKernelBatchEngine
+from psk_soft_tpu.runtime.native_bank import NativePlaneBank
+
+C = 128
+
+
+def _bank_signal(S, seed0=0, m=4):
+    xs = []
+    for i in range(C):
+        r = np.random.default_rng(seed0 + i)
+        j = r.integers(0, m, S)
+        x = np.zeros(S * 8, np.complex64)
+        x[3::8] = np.exp(2j * np.pi * j / m) * np.exp(
+            2j * np.pi * 1e-4 * 8 * np.arange(S))
+        x += (0.01 * r.standard_normal(x.size)).astype(np.complex64)
+        xs.append(x)
+    return np.stack(xs)          # (C, T) channel-major
+
+
+def _cfg():
+    return DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+
+
+def _collect(eng, feed, blocks):
+    outs = []
+    for b in range(blocks):
+        feed(b)
+        o = eng.step()
+        if o is not None:
+            outs.append((np.asarray(o.soft), np.asarray(o.valid),
+                         np.asarray(o.bits)))
+    return outs
+
+
+def test_plane_path_matches_push_path():
+    cfg = _cfg()
+    xs = _bank_signal(1024, seed0=0)
+    blocks = np.split(xs, 8, axis=1)          # (C, 1024) per block
+
+    e1 = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                               interpret=True)
+    e2 = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                               interpret=True)
+
+    def feed_push(b):
+        for c in range(C):
+            e1.push(c, blocks[b][c])
+
+    def feed_planes(b):
+        e2.push_planes(np.ascontiguousarray(blocks[b].real.T),
+                       np.ascontiguousarray(blocks[b].imag.T))
+
+    o1 = _collect(e1, feed_push, 8)
+    o2 = _collect(e2, feed_planes, 8)
+    assert e1.steady and e2.steady
+    assert len(o1) == len(o2)
+    for (s1, v1, b1), (s2, v2, b2) in zip(o1, o2):
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(s1, s2)   # identical math, bit-exact
+        np.testing.assert_array_equal(b1, b2)
+
+
+def test_native_plane_bank_to_engine():
+    """Interleaved frames -> NativePlaneBank -> push_planes -> kernel."""
+    cfg = _cfg()
+    xs = _bank_signal(1024, seed0=50)
+    frames = np.ascontiguousarray(xs.T)       # (T, C) time-major complex
+    bank = NativePlaneBank(C, capacity_samples=1 << 14)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    need = 128 * cfg.sps
+    outs = []
+    for i in range(0, frames.shape[0], need):
+        bank.push_interleaved(frames[i: i + need])
+        re, im, fl = bank.pop_planes(need, timeout=0)
+        assert not fl
+        eng.push_planes(re, im)
+        o = eng.step()
+        if o is not None:
+            outs.append(o)
+    assert eng.steady and outs
+
+
+def test_i16_plane_engine_end_to_end():
+    """int16 wire planes: warm-up dequantizes on host, the steady kernel
+    reads the 2-byte planes directly, and the carry window stays int16."""
+    cfg = _cfg()
+    xs = _bank_signal(1024, seed0=100)
+    scale = float(max(np.abs(xs.real).max(), np.abs(xs.imag).max())) / 32000.0
+    re_w = np.round(np.ascontiguousarray(xs.real.T) / scale).astype(np.int16)
+    im_w = np.round(np.ascontiguousarray(xs.imag.T) / scale).astype(np.int16)
+    xq = ((re_w.astype(np.float32) * scale).T
+          + 1j * (im_w.astype(np.float32) * scale).T).astype(np.complex64)
+
+    ref = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True, ingest_scale=scale)
+    need = 128 * cfg.sps
+    for i in range(0, 1024 * 8, need):
+        for c in range(C):
+            ref.push(c, xq[c, i: i + need])
+        eng.push_planes(re_w[i: i + need], im_w[i: i + need])
+        o_ref, o = ref.step(), eng.step()
+        if o is not None and o_ref is not None:
+            np.testing.assert_array_equal(np.asarray(o.valid),
+                                          np.asarray(o_ref.valid))
+            np.testing.assert_allclose(np.asarray(o.soft),
+                                       np.asarray(o_ref.soft), atol=1e-5)
+    assert eng.steady
+    assert eng._full_state.win_re.dtype == jnp.int16
+
+
+def test_i16_engine_configure_roundtrip():
+    """Live reconfigure on an i16 steady engine: the carry dequantizes for
+    ff_from_full, re-warms, and re-quantizes at the next handoff."""
+    import dataclasses
+
+    cfg = _cfg()
+    xs = _bank_signal(1536, seed0=150)
+    scale = float(max(np.abs(xs.real).max(), np.abs(xs.imag).max())) / 32000.0
+    re_w = np.round(np.ascontiguousarray(xs.real.T) / scale).astype(np.int16)
+    im_w = np.round(np.ascontiguousarray(xs.imag.T) / scale).astype(np.int16)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True, ingest_scale=scale)
+    need = 128 * cfg.sps
+    pos = 0
+    for _ in range(4):
+        eng.push_planes(re_w[pos: pos + need], im_w[pos: pos + need])
+        eng.step()
+        pos += need
+    assert eng.steady
+    eng.configure(dataclasses.replace(cfg, phase_avg=16))
+    assert not eng.steady
+    got = 0
+    while pos < 1536 * 8:
+        eng.push_planes(re_w[pos: pos + need], im_w[pos: pos + need])
+        o = eng.step()
+        pos += need
+        if o is not None:
+            got += int(np.asarray(o.valid).sum())
+    assert eng.steady and got
+    assert eng._full_state.win_re.dtype == jnp.int16
+
+
+def test_plane_flush_remainder():
+    cfg = _cfg()
+    xs = _bank_signal(1024 + 64, seed0=200)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    re_p = np.ascontiguousarray(xs.real.T).astype(np.float32)
+    im_p = np.ascontiguousarray(xs.imag.T).astype(np.float32)
+    need = 128 * cfg.sps
+    for i in range(0, 1024 * 8, need):
+        eng.push_planes(re_p[i: i + need], im_p[i: i + need])
+        eng.step()
+    assert eng.steady
+    eng.push_planes(re_p[1024 * 8:], im_p[1024 * 8:])    # 64-symbol tail
+    out = eng.flush()
+    assert out is not None
+    v = np.asarray(out.valid)
+    assert v.sum() == C * 64                             # tail symbols emit
+
+
+def test_plane_and_push_cannot_mix():
+    cfg = _cfg()
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, interpret=True)
+    eng.push(0, np.zeros(8, np.complex64))
+    with pytest.raises(ValueError):
+        eng.push_planes(np.zeros((8, C), np.float32),
+                        np.zeros((8, C), np.float32))
+    eng.reset()
+    eng.push_planes(np.zeros((8, C), np.float32),
+                    np.zeros((8, C), np.float32))
+    with pytest.raises(ValueError):
+        eng.push(0, np.zeros(8, np.complex64))

@@ -193,3 +193,37 @@ def test_time_sharded_mixed_matches_xla():
     packed_ref = (bits_ref[..., 0] + 2 * bits_ref[..., 1]
                   + 4 * bits_ref[..., 2])
     np.testing.assert_array_equal(packed_sh[valid], packed_ref[valid])
+
+
+def test_time_sharded_i16_matches_f32():
+    """int16 wire planes through the time-sharded path: the halos ppermute
+    2-byte planes (half the ICI seam bytes) and each shard's kernel runs in
+    int16 mode; outputs must match the f32 run on the dequantized signal."""
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    xs = _signals(m=4, diff=False)
+    scale = float(max(np.abs(xs.real).max(), np.abs(xs.imag).max())) / 32000.0
+    re_w = np.round(np.ascontiguousarray(xs.real.T) / scale).astype(np.int16)
+    im_w = np.round(np.ascontiguousarray(xs.imag.T) / scale).astype(np.int16)
+    xq = ((re_w.astype(np.float32) * scale).T
+          + 1j * (im_w.astype(np.float32) * scale).T).astype(np.complex64)
+
+    mesh = make_mesh(chan=2, time=4)
+    sh = NamedSharding(mesh, P("time", "chan"))
+    run16 = make_time_sharded_full_demod(cfg, mesh, NS, s_tile=128,
+                                         in_scale=scale, interpret=True)
+    o16 = run16(jax.device_put(jnp.asarray(re_w), sh),
+                jax.device_put(jnp.asarray(im_w), sh))
+    run32 = make_time_sharded_full_demod(cfg, mesh, NS, s_tile=128,
+                                         interpret=True)
+    o32 = run32(
+        jax.device_put(jnp.asarray(np.ascontiguousarray(xq.real.T)), sh),
+        jax.device_put(jnp.asarray(np.ascontiguousarray(xq.imag.T)), sh))
+    valid = np.asarray(o16[5])
+    np.testing.assert_array_equal(valid, np.asarray(o32[5]))
+    np.testing.assert_array_equal(np.asarray(o16[4])[valid],
+                                  np.asarray(o32[4])[valid])   # idx
+    np.testing.assert_array_equal(np.asarray(o16[3])[valid],
+                                  np.asarray(o32[3])[valid])   # bits
+    d = np.abs((np.asarray(o16[0]) + 1j * np.asarray(o16[1]))
+               - (np.asarray(o32[0]) + 1j * np.asarray(o32[1])))[valid]
+    assert d.max() < 1e-5, d.max()
