@@ -81,3 +81,33 @@ def test_checkpoint_exact_state(tmp_path):
     assert type(st2).__name__ == "DemodState"
     np.testing.assert_allclose(np.asarray(st.ring), np.asarray(st2.ring))
     assert int(st2.ring_fill) == int(st.ring_fill)
+
+
+def test_checkpoint_i16_full_state(tmp_path):
+    """An int16-window FullState (wire-format carry, demod_kernel int16
+    mode) roundtrips dtype-exactly and resumes on the i16 kernel."""
+    from psk_soft_tpu.models.blockpsk import ff_init as ffi
+    from psk_soft_tpu.models.blockpsk import make_ff_demod_fn as mkff
+    from psk_soft_tpu.models.full import (full_from_ff, make_full_demod_fn,
+                                          quantize_full_state)
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    C = 128
+    xs = np.stack([gen_psk_channel(512, sps=8, m=4, seed=i, snr_db=25)[0]
+                   for i in range(C)])
+    scale = float(max(np.abs(xs.real).max(), np.abs(xs.imag).max())) / 32000.0
+    st_ff, _ = mkff(cfg, channels=C)(ffi(cfg, (C,)), jnp.asarray(xs))
+    st = quantize_full_state(full_from_ff(cfg, st_ff), scale)
+    path = os.path.join(tmp_path, "full_i16.npz")
+    save_state(path, st, cfg, extra={"ingest_scale": scale})
+    st2, cfg2, extra = load_state(path)
+    assert st2.win_re.dtype == jnp.int16
+    assert extra["ingest_scale"] == scale
+    x2 = np.roll(xs, 1, axis=0)
+    ri = np.round(x2.real.T / scale).astype(np.int16)
+    ii = np.round(x2.imag.T / scale).astype(np.int16)
+    fn = make_full_demod_fn(cfg, s_tile=128, in_scale=scale, interpret=True)
+    _, o1 = fn(st, jnp.asarray(ri), jnp.asarray(ii))
+    _, o2 = fn(st2, jnp.asarray(ri), jnp.asarray(ii))
+    np.testing.assert_array_equal(np.asarray(o2.soft_re),
+                                  np.asarray(o1.soft_re))
