@@ -740,13 +740,14 @@ class FullKernelBatchEngine(_PipelinedPackets):
         # format (quantize_full_state at the handoff).
         self._ingest_scale = (float(ingest_scale) if ingest_scale is not None
                               else None)
+        self._full_kwargs = dict(s_tile=s_tile,
+                                 in_scale=self._ingest_scale or 1.0,
+                                 interpret=interpret)
         self._warm_ops = _PipelineOps("ff")
         self._warm_state = self._warm_ops.init(cfg, (channels,))
-        self._warm_fn = jax.jit(jax.vmap(functools.partial(
-            self._warm_ops.block, cfg)))
+        self._warm_fn = self._make_warm_fn(cfg)
         self._full_fn = jax.jit(functools.partial(
-            full_mod.demod_block_full, cfg, s_tile=s_tile,
-            in_scale=self._ingest_scale or 1.0, interpret=interpret))
+            full_mod.demod_block_full, cfg, **self._full_kwargs))
         self._full_mod = full_mod
         self._full_state = None
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
@@ -761,6 +762,17 @@ class FullKernelBatchEngine(_PipelinedPackets):
         self._raw_tail = np.zeros((channels, 0), np.complex64)
         self.assembler = BankAssembler(cfg)
         self.metrics = EngineMetrics()
+
+    def _make_warm_fn(self, cfg: DemodConfig):
+        import functools
+
+        return jax.jit(jax.vmap(functools.partial(self._warm_ops.block,
+                                                  cfg)))
+
+    def _handoff(self, raw):
+        """Warm-up -> steady-kernel carry conversion (hook for subclasses)."""
+        return self._full_mod.full_from_ff(self.cfg, self._warm_state,
+                                           raw_win=raw)
 
     @property
     def _raw_keep(self) -> int:
@@ -813,11 +825,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
             ff = self._warm_state
         self._warm_state = reconfigure_ff(self.cfg, new_cfg, ff)
         self.cfg = new_cfg
-        self._warm_fn = jax.jit(jax.vmap(functools.partial(
-            self._warm_ops.block, new_cfg)))
+        self._warm_fn = self._make_warm_fn(new_cfg)
         self._full_fn = jax.jit(functools.partial(
-            self._full_mod.demod_block_full, new_cfg, s_tile=self._s_tile,
-            interpret=self._interpret))
+            self._full_mod.demod_block_full, new_cfg, **self._full_kwargs))
         # Conservatively re-run the warm-up gate: a resync may leave
         # partially-filled windows that the steady kernel cannot represent.
         self._consumed = 0
@@ -940,8 +950,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
             if (self._consumed >= self.cfg.num_avg + self.cfg.phase_avg
                     and self._raw_tail.shape[1] >= self._raw_keep):
                 raw = (self._raw_tail if self._raw_keep else None)
-                self._full_state = self._full_mod.full_from_ff(
-                    self.cfg, self._warm_state, raw_win=raw)
+                self._full_state = self._handoff(raw)
                 if self._ingest_scale is not None:
                     self._full_state = self._full_mod.quantize_full_state(
                         self._full_state, self._ingest_scale)
@@ -1016,6 +1025,106 @@ class FullKernelBatchEngine(_PipelinedPackets):
         if self._pipe_depth == 0:
             self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
+
+
+class MixedKernelBatchEngine(FullKernelBatchEngine):
+    """BASELINE config 4 in production: ONE fused kernel demodulates a
+    heterogeneous (M, differential) bank -- per-channel modes live in the
+    carry's mode planes (demod_kernel mixed mode), so a 1024-channel
+    BPSK/QPSK/8-PSK mix costs one kernel launch instead of one bucketed
+    launch per mode (compare GroupEngine, which buckets and is still
+    required when sps/numAvg/phaseAvg themselves differ).
+
+    Inherits the whole FullKernelBatchEngine surface: plane ingest
+    (push_planes, int16 wire via ingest_scale), pipelined packets, flush/
+    reset, live configure().  The shared config's constellation_size/
+    differential are ignored (per-channel params rule); packet assembly
+    uses the 3-bit port layout for every channel (consumers mask with
+    ``params.bits_per_symbol``), since one bank packet cannot carry
+    per-channel bit rates.
+
+    ``set_params`` is the per-channel analogue of the reference's
+    constellation-change listener (cpp/psk_soft.cpp:643-646 semantics,
+    applied per channel): channels whose M changed get their phase history
+    force-cleared; differential-only changes keep tracking (the reference
+    registers no listener on differentialDecoding).
+    """
+
+    def __init__(self, params, cfg: DemodConfig, channels: int,
+                 block_symbols: int = 512, s_tile: int = 256,
+                 interpret: bool = False, pipeline_depth: int = 0,
+                 ingest_scale: float | None = None):
+        import dataclasses
+
+        from ..models.mixed import MixedParams
+
+        self.params = MixedParams.make(np.asarray(params.m),
+                                       np.asarray(params.diff))
+        if np.asarray(self.params.m).shape != (channels,):
+            raise ValueError(f"params must carry {channels} channel modes")
+        super().__init__(cfg, channels, block_symbols=block_symbols,
+                         s_tile=s_tile, interpret=interpret,
+                         pipeline_depth=pipeline_depth,
+                         ingest_scale=ingest_scale)
+        self._full_kwargs["mixed"] = True
+        import functools
+        self._full_fn = jax.jit(functools.partial(
+            self._full_mod.demod_block_full, cfg, **self._full_kwargs))
+        # Uniform 3-bit port layout for the heterogeneous bank.
+        self.assembler = BankAssembler(
+            dataclasses.replace(cfg, constellation_size=8,
+                                differential=False))
+
+    def _make_warm_fn(self, cfg: DemodConfig):
+        from ..models.mixed import make_mixed_demod_fn
+
+        fn = make_mixed_demod_fn(cfg)
+        return lambda st, x: fn(self.params, st, x)
+
+    def _handoff(self, raw):
+        return self._full_mod.full_from_ff(self.cfg, self._warm_state,
+                                           raw_win=raw,
+                                           mixed_params=self.params)
+
+    def set_params(self, new_params) -> None:
+        """Live per-channel mode change (C7, per channel)."""
+        from ..models.mixed import MixedParams
+
+        new = MixedParams.make(np.asarray(new_params.m),
+                               np.asarray(new_params.diff))
+        if np.asarray(new.m).shape != (self.channels,):
+            raise ValueError(f"params must carry {self.channels} modes")
+        old_m = np.asarray(self.params.m)
+        self._drain_pending()
+        if self._full_state is not None:
+            if self._ingest_scale is not None:
+                self._full_state = self._full_mod.dequantize_full_state(
+                    self._full_state, self._ingest_scale)
+            if self.cfg.matched_filter != "none":
+                wr = np.asarray(self._full_state.win_re)
+                wi = np.asarray(self._full_state.win_im)
+                self._raw_tail = np.ascontiguousarray(
+                    (wr + 1j * wi).T.astype(np.complex64))
+            ff = self._full_mod.ff_from_full(self.cfg, self._full_state)
+            self._full_state = None
+        else:
+            ff = self._warm_state
+        changed = (old_m != np.asarray(new.m))
+        if changed.any():
+            hist = np.asarray(ff.phase_hist).copy()
+            hist[changed] = 0.0
+            ff = ff._replace(
+                phase_hist=jnp.asarray(hist),
+                phase_count=jnp.asarray(np.where(
+                    changed, 0, np.asarray(ff.phase_count)).astype(np.int32)),
+                last_phase=jnp.asarray(np.where(
+                    changed, 0.0, np.asarray(ff.last_phase)).astype(
+                        np.float32)))
+        self.params = new
+        self._warm_state = ff
+        self._warm_fn = self._make_warm_fn(self.cfg)  # rebinds params
+        self._consumed = 0                            # re-run the warm gate
+        self.metrics.reconfigures += 1
 
 
 class GroupEngine:
