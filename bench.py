@@ -257,9 +257,30 @@ def run_engine(args):
     frames16 = np.round(frames32 / scale).astype(np.int16)
 
     nblocks = max(10, min(50, args.iters // 10))
+    sri = SRI(stream_id="bench", xdelta=1e-6)
     for depth in sorted({0, max(0, args.engine_depth)}):
         i16 = args.ingest == "i16"
-        if on_tpu and C % 128 == 0:
+        if on_tpu and C % 128 == 0 and args.profile == "mixed":
+            # Heterogeneous bank through the production mixed engine
+            # (BASELINE config 4): one fused kernel launch per block.
+            from psk_soft_tpu.models.mixed import MixedParams
+            from psk_soft_tpu.runtime.engine import MixedKernelBatchEngine
+            ms = rng.choice([2, 4, 8], C)
+            eng = MixedKernelBatchEngine(
+                MixedParams.make(ms, rng.random(C) < 0.5), cfg, C,
+                block_symbols=S, pipeline_depth=depth,
+                ingest_scale=scale if i16 else None)
+            label = "mixed-bank engine"
+            bank = NativePlaneBank(C, capacity_samples=4 * need,
+                                   dtype="i16" if i16 else "f32")
+            frames = frames16 if i16 else frames32
+
+            def feed_one():
+                bank.push_interleaved(frames)
+                re, im, _ = bank.pop_planes(need, timeout=0)
+                eng.push_planes(re, im)
+                return eng.step_packets()
+        elif on_tpu and C % 128 == 0:
             # Production path: native plane bank deframes interleaved
             # frames straight to the kernel's (T, C) layout -- no host
             # transposes; i16 additionally halves wire + upload bytes.
@@ -287,6 +308,7 @@ def run_engine(args):
                 r = bank.pop_block(need, timeout=0)
                 eng.push_block(r[0])
                 return eng.step_packets()
+        eng.set_input_sri(sri)
 
         # Warm-up: compile both stages and reach the steady kernel.
         for _ in range(max(3, (cfg.num_avg + cfg.phase_avg) // S + 2)):

@@ -722,13 +722,19 @@ class FullKernelBatchEngine(_PipelinedPackets):
     def __init__(self, cfg: DemodConfig, channels: int,
                  block_symbols: int = 512, s_tile: int = 256,
                  interpret: bool = False, pipeline_depth: int = 0,
-                 ingest_scale: float | None = None):
+                 ingest_scale: float | None = None,
+                 guard_nonfinite: bool = False):
         import functools
         from ..models import full as full_mod
 
         if channels % 128:
             raise ValueError("channels must be a multiple of 128")
+        if guard_nonfinite and pipeline_depth:
+            raise ValueError("guard_nonfinite and pipeline_depth are "
+                             "mutually exclusive")
         self._init_pipeline(pipeline_depth)
+        self.guard_nonfinite = guard_nonfinite
+        self.channel_resyncs = np.zeros(channels, np.int64)
         self.cfg = cfg
         self.channels = channels
         self.block_symbols = int(block_symbols)
@@ -762,6 +768,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
         self._raw_tail = np.zeros((channels, 0), np.complex64)
         self.assembler = BankAssembler(cfg)
         self.metrics = EngineMetrics()
+        self._make_guard_fns()
 
     def _make_warm_fn(self, cfg: DemodConfig):
         import functools
@@ -773,6 +780,58 @@ class FullKernelBatchEngine(_PipelinedPackets):
         """Warm-up -> steady-kernel carry conversion (hook for subclasses)."""
         return self._full_mod.full_from_ff(self.cfg, self._warm_state,
                                            raw_win=raw)
+
+    def _fresh_planes(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """Reset value for a guarded channel's state-plane column (hook:
+        the mixed engine re-writes its per-channel mode rows)."""
+        return jnp.zeros_like(planes)
+
+    def _make_guard_fns(self):
+        """(Re)build the jitted guard closures; called at construction and
+        after configure() so they never retain a stale config (the
+        BatchEngine ADVICE-round fix, applied here from the start)."""
+        if not self.guard_nonfinite:
+            self._guard_full_jit = self._guard_warm_jit = None
+            return
+        self._guard_full_jit = jax.jit(self._guard_full)
+
+        def guard_warm(state, out):
+            bad = ~jnp.all(jnp.isfinite(out.soft.real)
+                           & jnp.isfinite(out.soft.imag)
+                           & jnp.isfinite(out.phase), axis=-1)    # (C,)
+            fresh = self._warm_ops.init(self.cfg, (self.channels,))
+
+            def pick(new, old):
+                b = bad.reshape(bad.shape + (1,) * (old.ndim - 1))
+                return jnp.where(b, new, old)
+
+            return jax.tree_util.tree_map(pick, fresh, state), bad
+
+        self._guard_warm_jit = jax.jit(guard_warm)
+
+    def _note_bad(self, bad) -> None:
+        nbad = np.asarray(bad)
+        if nbad.any():
+            self.channel_resyncs[nbad] += 1
+            self.metrics.resets += int(nbad.sum())
+
+    def _guard_full(self, state, soft_re, soft_im, phase):
+        """Per-channel drop-and-resync on the steady kernel carry: zero the
+        poisoned channel's window + state planes; it re-converges within
+        numAvg + phaseAvg symbols (accepted-data-loss recovery, SURVEY
+        section 5 -- the per-channel analogue of the reference's
+        queue-flush reset, cpp/psk_soft.cpp:353-357)."""
+        bad = ~jnp.all(jnp.isfinite(soft_re) & jnp.isfinite(soft_im)
+                       & jnp.isfinite(phase), axis=0)             # (C,)
+        state2 = type(state)(
+            win_re=jnp.where(bad[None, :],
+                             jnp.zeros_like(state.win_re), state.win_re),
+            win_im=jnp.where(bad[None, :],
+                             jnp.zeros_like(state.win_im), state.win_im),
+            planes=jnp.where(bad[None, :],
+                             self._fresh_planes(state.planes), state.planes),
+        )
+        return state2, bad
 
     @property
     def _raw_keep(self) -> int:
@@ -828,6 +887,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
         self._warm_fn = self._make_warm_fn(new_cfg)
         self._full_fn = jax.jit(functools.partial(
             self._full_mod.demod_block_full, new_cfg, **self._full_kwargs))
+        self._make_guard_fns()
         # Conservatively re-run the warm-up gate: a resync may leave
         # partially-filled windows that the steady kernel cannot represent.
         self._consumed = 0
@@ -947,6 +1007,10 @@ class FullKernelBatchEngine(_PipelinedPackets):
             self._track_raw(x)
             self._warm_state, out = self._warm_fn(self._warm_state,
                                                   to_device(x))
+            if self._guard_warm_jit is not None:
+                self._warm_state, bad = self._guard_warm_jit(
+                    self._warm_state, out)
+                self._note_bad(bad)
             if (self._consumed >= self.cfg.num_avg + self.cfg.phase_avg
                     and self._raw_tail.shape[1] >= self._raw_keep):
                 raw = (self._raw_tail if self._raw_keep else None)
@@ -964,6 +1028,10 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
                 x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
             self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
+            if self._guard_full_jit is not None:
+                self._full_state, bad = self._guard_full_jit(
+                    self._full_state, fo.soft_re, fo.soft_im, fo.phase)
+                self._note_bad(bad)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
         if self._pipe_depth == 0:
             self.metrics.symbols_out += int(np.asarray(out.valid).sum())
@@ -1053,7 +1121,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
     def __init__(self, params, cfg: DemodConfig, channels: int,
                  block_symbols: int = 512, s_tile: int = 256,
                  interpret: bool = False, pipeline_depth: int = 0,
-                 ingest_scale: float | None = None):
+                 ingest_scale: float | None = None,
+                 guard_nonfinite: bool = False):
         import dataclasses
 
         from ..models.mixed import MixedParams
@@ -1065,7 +1134,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
         super().__init__(cfg, channels, block_symbols=block_symbols,
                          s_tile=s_tile, interpret=interpret,
                          pipeline_depth=pipeline_depth,
-                         ingest_scale=ingest_scale)
+                         ingest_scale=ingest_scale,
+                         guard_nonfinite=guard_nonfinite)
         self._full_kwargs["mixed"] = True
         import functools
         self._full_fn = jax.jit(functools.partial(
@@ -1085,6 +1155,18 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
         return self._full_mod.full_from_ff(self.cfg, self._warm_state,
                                            raw_win=raw,
                                            mixed_params=self.params)
+
+    def _fresh_planes(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """Guarded channels restart with ZEROED tracking but their
+        per-channel mode rows intact (losing the mode would silently turn
+        a poisoned 8-PSK channel into BPSK)."""
+        from ..ops.phase import UNWRAP_TREND_LEN
+
+        misc = (self.cfg.phase_avg - 1) + 2 * (UNWRAP_TREND_LEN - 1)
+        z = jnp.zeros_like(planes)
+        z = z.at[misc + 6].set(jnp.asarray(self.params.m, planes.dtype))
+        z = z.at[misc + 7].set(jnp.asarray(self.params.diff, planes.dtype))
+        return z
 
     def set_params(self, new_params) -> None:
         """Live per-channel mode change (C7, per channel)."""
@@ -1123,6 +1205,7 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
         self.params = new
         self._warm_state = ff
         self._warm_fn = self._make_warm_fn(self.cfg)  # rebinds params
+        self._make_guard_fns()                        # guard rebinds modes
         self._consumed = 0                            # re-run the warm gate
         self.metrics.reconfigures += 1
 

@@ -183,3 +183,97 @@ def test_plane_and_push_cannot_mix():
                     np.zeros((8, C), np.float32))
     with pytest.raises(ValueError):
         eng.push(0, np.zeros(8, np.complex64))
+
+
+def test_full_engine_guard_nonfinite_steady():
+    """Per-channel drop-and-resync on the STEADY kernel path: a poisoned
+    channel's carry (window + state planes) resets alone; its neighbors'
+    tracking is untouched (bit-identical to an unpoisoned run)."""
+    cfg = _cfg()
+    xs = _bank_signal(1536, seed0=300)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True, guard_nonfinite=True)
+    ref = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    need = 128 * cfg.sps
+    blocks = [xs[:, i: i + need] for i in range(0, 1536 * 8, need)]
+    for blk in blocks[:5]:
+        for c in range(C):
+            eng.push(c, blk[c])
+            ref.push(c, blk[c])
+        eng.step()
+        ref.step()
+    assert eng.steady and ref.steady
+    # Poison channel 7 in the next block (steady path).
+    bad_blk = blocks[5].copy()
+    bad_blk[7, 100:120] = np.nan
+    for c in range(C):
+        eng.push(c, bad_blk[c])
+        ref.push(c, blocks[5][c])
+    eng.step()
+    ref.step()
+    assert eng.channel_resyncs[7] == 1
+    assert eng.channel_resyncs.sum() == 1
+    # Healthy channels march on identically to the unpoisoned engine.
+    for blk in blocks[6:]:
+        for c in range(C):
+            eng.push(c, blk[c])
+            ref.push(c, blk[c])
+        o = eng.step()
+        o_ref = ref.step()
+    s, s_ref = np.asarray(o.soft), np.asarray(o_ref.soft)
+    mask = np.ones(C, bool)
+    mask[7] = False
+    np.testing.assert_array_equal(s[mask], s_ref[mask])
+    # The guarded channel re-converged by a few blocks later: near-unit
+    # magnitude decisions again (window refilled with real samples).
+    assert np.isfinite(s[7]).all()
+    assert abs(np.abs(s[7, -64:]).mean() - 1.0) < 0.2
+
+
+def test_full_engine_guard_nonfinite_warmup():
+    """The warm-up (ff) phase guards too, matching BatchEngine semantics."""
+    cfg = _cfg()
+    xs = _bank_signal(256, seed0=400)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True, guard_nonfinite=True)
+    blk = xs[:, : 128 * 8].copy()
+    blk[3, :16] = np.inf
+    for c in range(C):
+        eng.push(c, blk[c])
+    eng.step()
+    assert eng.channel_resyncs[3] == 1
+    assert eng.channel_resyncs.sum() == 1
+
+
+def test_mixed_engine_guard_keeps_modes():
+    """A guarded channel in the mixed engine keeps its (M, diff) mode rows
+    (losing them would silently demodulate 8-PSK as BPSK after a resync)."""
+    from psk_soft_tpu.models.mixed import MixedParams
+    from psk_soft_tpu.ops.phase import UNWRAP_TREND_LEN
+    from psk_soft_tpu.runtime.engine import MixedKernelBatchEngine
+
+    cfg = _cfg()
+    rng = np.random.default_rng(5)
+    ms = rng.choice([2, 4, 8], C)
+    params = MixedParams.make(ms, rng.random(C) < 0.5)
+    xs = _bank_signal(1024, seed0=500)
+    eng = MixedKernelBatchEngine(params, cfg, C, block_symbols=128,
+                                 s_tile=128, interpret=True,
+                                 guard_nonfinite=True)
+    need = 128 * cfg.sps
+    for i in range(0, 5 * need, need):
+        for c in range(C):
+            eng.push(c, xs[c, i: i + need])
+        eng.step()
+    assert eng.steady
+    blk = xs[:, 5 * need: 6 * need].copy()
+    blk[11] = np.nan
+    for c in range(C):
+        eng.push(c, blk[c])
+    eng.step()
+    assert eng.channel_resyncs[11] == 1
+    misc = (cfg.phase_avg - 1) + 2 * (UNWRAP_TREND_LEN - 1)
+    planes = np.asarray(eng._full_state.planes)
+    np.testing.assert_array_equal(planes[misc + 6], np.asarray(ms, np.float32))
+    assert planes[: misc, 11].max() == 0.0     # tracking itself was cleared
