@@ -186,6 +186,7 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
                      x_re: jnp.ndarray, x_im: jnp.ndarray, *,
                      s_tile: int = 256, double_buffer: bool | None = None,
                      mixed: bool = False, in_scale: float = 1.0,
+                     pack_out: bool | None = None,
                      interpret: bool = False):
     """One steady-state block through the fused kernel.
 
@@ -217,7 +218,7 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
         mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
-        in_scale=in_scale, interpret=interpret)
+        in_scale=in_scale, pack_out=pack_out, interpret=interpret)
     new_state = FullState(
         win_re=x_re[x_re.shape[0] - keep:],
         win_im=x_im[x_im.shape[0] - keep:],
@@ -236,9 +237,12 @@ def _static_taps(cfg: DemodConfig):
 
 
 def make_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
-                       in_scale: float = 1.0, interpret: bool = False):
+                       in_scale: float = 1.0,
+                       pack_out: bool | None = None,
+                       interpret: bool = False):
     return jax.jit(functools.partial(demod_block_full, cfg, s_tile=s_tile,
-                                     in_scale=in_scale, interpret=interpret))
+                                     in_scale=in_scale, pack_out=pack_out,
+                                     interpret=interpret))
 
 
 def make_mixed_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
@@ -253,12 +257,14 @@ def make_mixed_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
 
 def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
                                in_scale: float = 1.0,
+                               pack_out: bool | None = None,
                                interpret: bool = False):
     """Many kernel block-steps in ONE dispatch: fn(state, xs_re, xs_im) with
     (K, T, C) plane stacks, scanning the fused kernel over the leading axis
     and returning (state, stacked FullOutputs)."""
     step = functools.partial(demod_block_full, cfg, s_tile=s_tile,
-                             in_scale=in_scale, interpret=interpret)
+                             in_scale=in_scale, pack_out=pack_out,
+                             interpret=interpret)
 
     def run(state, xs_re, xs_im):
         def body(st, xy):

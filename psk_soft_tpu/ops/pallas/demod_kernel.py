@@ -191,7 +191,7 @@ def _lower_tri(rows: int) -> jnp.ndarray:
 def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
             double_buffer: bool, mf_extra: int, mf_chunk: int,
-            timing_interp: bool, mixed: bool, grain: int, in_scale,
+            timing_interp: bool, mixed: bool, grain: int, in_scale, pack_out,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             band_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
@@ -466,8 +466,16 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
     soft_re[:] = s_r
     soft_im[:] = s_i
     phase_out[:] = est
-    bits_out[:] = bits
-    idx_out[:] = b
+    if pack_out:
+        # int8 symbol-rate planes: bits are 0..7, sample indices 0..sps-1,
+        # so 1 byte each cuts 6 of the 20 output bytes/symbol/channel off
+        # the HBM write path (i8 tiles as (32, 128); the caller gates on
+        # s_tile % 32 == 0).
+        bits_out[:] = bits.astype(jnp.int8)
+        idx_out[:] = b.astype(jnp.int8)
+    else:
+        bits_out[:] = bits
+        idx_out[:] = b
 
     # --- carry updates (+ end-of-tile M*2pi re-wrap, cpp/psk_soft.cpp:592) ---
     wrapv = TWO_PI * mvec if mixed else TWO_PI * m           # per-lane / scalar
@@ -494,12 +502,14 @@ MF_CHUNK = 128  # FIR band-matmul chunk rows (multiple of 8)
                                              "m", "diff", "s_tile",
                                              "double_buffer", "mf_taps",
                                              "timing_interp", "mixed",
-                                             "in_scale", "interpret"))
+                                             "in_scale", "pack_out",
+                                             "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   num_avg: int, phase_avg: int, m: int, diff: bool,
                   s_tile: int = 256, double_buffer: bool | None = None,
                   mf_taps: tuple | None = None, timing_interp: bool = False,
                   mixed: bool = False, in_scale: float = 1.0,
+                  pack_out: bool | None = None,
                   interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
 
@@ -519,9 +529,14 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         int16 (the SDR wire format, REDHAWK dataShort), samples cross HBM at
         2 bytes and become ``i16 * in_scale`` float32 in VMEM -- half the
         f32 path's critical HBM read.  Ignored for float32 planes.
+      pack_out: emit bits/sampleIndex as int8 planes (values are 0..7 and
+        0..sps-1), cutting 6 of the 20 output bytes/symbol/channel.  None
+        (default) packs automatically when the picked s_tile is 32-row
+        aligned (int8 VMEM tiling); True raises if it is not.
     Returns:
       (soft_re, soft_im, phase, bits_packed, sample_index, new_state_planes)
-      -- symbol-rate planes are (S, C).
+      -- symbol-rate planes are (S, C); bits/sample_index are int8 when
+      packed (see pack_out), int32 otherwise.
     """
     import numpy as np
     from ...ops.linear_fit import endpoint_fir_weights
@@ -596,6 +611,15 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         else:
             double_buffer = False
     s_tile = pick
+    # int8 bits/sampleIndex planes (pack_out): i8 tiles as (32, 128), so
+    # the symbol-tile height must be 32-row aligned; auto mode packs
+    # whenever the picked tile allows it.
+    if pack_out is None:
+        pack_out = s_tile % 32 == 0
+    elif pack_out and s_tile % 32:
+        raise ValueError(f"pack_out requires s_tile % 32 == 0 (i8 tiling), "
+                         f"picked s_tile={s_tile}")
+    odt = jnp.int8 if pack_out else jnp.int32
     rs = state_rows(phase_avg, k)
     if state_planes.shape != (rs, C):
         raise ValueError(f"state_planes must be {(rs, C)}, got "
@@ -663,7 +687,7 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                                diff, k, s_out // s_tile, split_dma, tile_pad,
                                double_buffer, extra, MF_CHUNK, timing_interp,
                                mixed, grain,
-                               float(in_scale) if in_i16 else None)
+                               float(in_scale) if in_i16 else None, pack_out)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):
@@ -674,12 +698,12 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         jax.ShapeDtypeStruct((s_out, C), jnp.float32),
         jax.ShapeDtypeStruct((s_out, C), jnp.float32),
         jax.ShapeDtypeStruct((s_out, C), jnp.float32),
-        jax.ShapeDtypeStruct((s_out, C), jnp.int32),
-        jax.ShapeDtypeStruct((s_out, C), jnp.int32),
+        jax.ShapeDtypeStruct((s_out, C), odt),
+        jax.ShapeDtypeStruct((s_out, C), odt),
         jax.ShapeDtypeStruct((rs, C), jnp.float32),
     ]
     out_specs = [sym_spec(jnp.float32) for _ in range(3)] + [
-        sym_spec(jnp.int32), sym_spec(jnp.int32),
+        sym_spec(odt), sym_spec(odt),
         pl.BlockSpec((rs, LANES), lambda ci, si: (0, ci),
                      memory_space=pltpu.VMEM),
     ]

@@ -1,0 +1,70 @@
+"""Hardware check: int8 packed bits/sampleIndex output planes vs int32.
+
+Runs the same signal through the fused kernel with pack_out False/True at a
+fixed s_tile and asserts bit-exact outputs, then A/B-times K chained
+block-steps (fetch-forced, so the timing is real on axon).
+Usage: python scripts/hwcheck_pack.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
+from psk_soft_tpu.models.full import full_from_ff, make_scanned_full_demod_fn
+from psk_soft_tpu.utils.transfer import to_device
+
+
+def main():
+    print("platform:", jax.devices()[0].platform, jax.devices()[0].device_kind)
+    C, S, K = 1024, 512, 50
+    cfg = DemodConfig(sps=8, num_avg=100, constellation_size=4, phase_avg=50)
+    rng = np.random.default_rng(0)
+    sym = rng.integers(0, 4, size=(C, 512))
+    pts = np.exp(1j * (2 * np.pi * sym / 4
+                       + 2 * np.pi * 1e-4 * np.arange(512)))
+    base = np.repeat(pts, cfg.sps, axis=1).astype(np.complex64)
+    base += (0.01 * rng.standard_normal(base.shape)).astype(np.complex64)
+
+    warm = np.concatenate([base, base[:, : 200 * cfg.sps]], axis=1)
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), to_device(warm))
+    st = full_from_ff(cfg, st_ff)
+
+    blk = base[:, : S * cfg.sps]
+    xr = jnp.asarray(np.ascontiguousarray(blk.real.T))
+    xi = jnp.asarray(np.ascontiguousarray(blk.imag.T))
+    xs_r = jnp.broadcast_to(xr, (K,) + xr.shape)
+    xs_i = jnp.broadcast_to(xi, (K,) + xi.shape)
+
+    outs = {}
+    for pack in (False, True):
+        fn = make_scanned_full_demod_fn(cfg, s_tile=256, pack_out=pack)
+        st2, out = fn(st, xs_r, xs_i)                    # compile + warm
+        out = jax.tree_util.tree_map(np.asarray, out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, o = fn(st, xs_r, xs_i)
+            float(jnp.sum(o.soft_re[-1]) + jnp.sum(o.phase[-1])
+                  + jnp.sum(o.bits_packed[-1].astype(jnp.int32)))
+            best = min(best, time.perf_counter() - t0)
+        outs[pack] = out
+        gsps = C * S * cfg.sps * K / best / 1e9
+        print(f"pack_out={pack}: bits dtype {out.bits_packed.dtype}, "
+              f"best {best * 1e3:.1f} ms for {K} blocks -> {gsps:.1f} Gsps")
+
+    o32, o8 = outs[False], outs[True]
+    np.testing.assert_array_equal(o32.bits_packed, o8.bits_packed)
+    np.testing.assert_array_equal(o32.sample_index, o8.sample_index)
+    np.testing.assert_array_equal(o32.soft_re, o8.soft_re)
+    np.testing.assert_array_equal(o32.soft_im, o8.soft_im)
+    np.testing.assert_array_equal(o32.phase, o8.phase)
+    print("PASS: int8 packed outputs bit-exact vs int32 on hardware")
+
+
+if __name__ == "__main__":
+    main()

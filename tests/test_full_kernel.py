@@ -118,3 +118,39 @@ def test_full_kernel_guards():
     with pytest.raises(ValueError, match="phase_avg"):
         from psk_soft_tpu.models.blockpsk import ff_init as fi
         full_from_ff(cfg, fi(cfg, (C,)))
+
+
+def test_full_kernel_packed_int8_outputs():
+    """pack_out=True emits int8 bits/sampleIndex planes bit-identical to the
+    int32 ones (and auto mode packs whenever s_tile is 32-aligned)."""
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=8, phase_avg=20)
+    xs = _channels(m=8)
+    warm, run = np.split(xs, [256 * 8], axis=1)
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), jnp.asarray(warm))
+    st = full_from_ff(cfg, st_ff)
+    xr = jnp.asarray(run.real.T)
+    xi = jnp.asarray(run.imag.T)
+    _, o32 = demod_block_full(cfg, st, xr, xi, s_tile=128, pack_out=False,
+                              interpret=True)
+    _, o8 = demod_block_full(cfg, st, xr, xi, s_tile=128, pack_out=True,
+                             interpret=True)
+    assert o8.bits_packed.dtype == jnp.int8
+    assert o8.sample_index.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(o32.bits_packed),
+                                  np.asarray(o8.bits_packed))
+    np.testing.assert_array_equal(np.asarray(o32.sample_index),
+                                  np.asarray(o8.sample_index))
+    np.testing.assert_array_equal(np.asarray(o32.soft_re),
+                                  np.asarray(o8.soft_re))
+    # Auto mode packs at a 32-aligned tile.
+    _, oa = demod_block_full(cfg, st, xr, xi, s_tile=128, interpret=True)
+    assert oa.bits_packed.dtype == jnp.int8
+    # Explicit pack at a misaligned tile is rejected, not miscompiled.
+    cfg10 = DemodConfig(sps=10, num_avg=5, constellation_size=4, phase_avg=20)
+    stp = full_from_ff(cfg10, ff_init(cfg10, (C,)))
+    with pytest.raises(ValueError, match="pack_out"):
+        demod_block_full(cfg10, stp,
+                         jnp.zeros((40 * 10, C), jnp.float32),
+                         jnp.zeros((40 * 10, C), jnp.float32),
+                         s_tile=40, pack_out=True, interpret=True)
