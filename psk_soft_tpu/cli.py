@@ -123,10 +123,12 @@ def cmd_demod_batch(args) -> int:
                                     block_symbols=args.block_symbols,
                                     pipeline_depth=args.pipeline_depth,
                                     ingest_scale=args.in_scale if i16
-                                    else None)
+                                    else None,
+                                    guard_nonfinite=args.guard_nonfinite)
     else:
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
-                          pipeline_depth=args.pipeline_depth)
+                          pipeline_depth=args.pipeline_depth,
+                          guard_nonfinite=args.guard_nonfinite)
     eng.set_input_sri(SRI(stream_id=args.stream_id,
                           xdelta=1.0 / args.sample_rate, mode=1))
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
@@ -359,6 +361,11 @@ def main(argv=None) -> int:
     db.add_argument("--in-scale", type=float, default=1.0 / 32767.0,
                     help="dequantization step for ci16 (sample = i16 * "
                          "scale)")
+    db.add_argument("--guard-nonfinite", action="store_true",
+                    help="per-channel drop-and-resync when a channel's "
+                         "output goes non-finite (isolated recovery; "
+                         "incompatible with --pipeline-depth > 0 on the "
+                         "full pipeline)")
     db.add_argument("--pipeline-depth", type=int, default=0,
                     help="deferred-assembly depth: dispatch block k, emit "
                          "block k-depth (device/host overlap); 0 = sync")
