@@ -227,6 +227,57 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
     return new_state, FullOutputs(soft_re, soft_im, phase, bits, idx)
 
 
+def demod_block_full_rolling(cfg: DemodConfig, planes: jnp.ndarray,
+                             prev_re: jnp.ndarray, prev_im: jnp.ndarray,
+                             x_re: jnp.ndarray, x_im: jnp.ndarray, *,
+                             s_tile: int = 256,
+                             double_buffer: bool | None = None,
+                             mixed: bool = False, in_scale: float = 1.0,
+                             pack_out: bool | None = None,
+                             interpret: bool = False):
+    """Steady-state block with the window read IN PLACE from the previous
+    block's input planes (demod_kernel rolling-window mode).
+
+    The standard :func:`demod_block_full` materializes a fresh
+    ``(num_avg-1)*sps``-row window carry every block (an HBM write) that the
+    next block re-reads (an HBM read).  Here the kernel's window DMA instead
+    points at the last window rows of ``prev_re/prev_im`` -- the previous
+    block's planes, still resident in HBM -- so that round trip disappears
+    (~12% of total kernel HBM traffic at the default 1024-channel config).
+    Only the ``planes`` tracking carry is threaded.
+
+    Requirements (ValueError otherwise, at trace time): no matched filter,
+    8-row-aligned window ((num_avg-1)*sps % 8 == 0, 16 for int16 ingest),
+    and prev planes at least one window long.  Engines fall back to the
+    standard path automatically when unsupported
+    (FullKernelBatchEngine._steady_step).
+
+    Returns ``(planes', FullOutputs)``.
+    """
+    if cfg.sps <= 1:
+        raise ValueError("full kernel supports sps > 1")
+    if cfg.matched_filter != "none":
+        raise ValueError("rolling-window mode requires matched_filter="
+                         "'none' (the MF path stages [window | block] "
+                         "through a concat)")
+    sps, num_avg = cfg.sps, cfg.num_avg
+    keep = (num_avg - 1) * sps
+    if prev_re.shape[0] < keep:
+        raise ValueError(f"prev planes must hold >= {keep} rows")
+    if x_re.shape[0] < keep:
+        raise ValueError(f"block must be >= (num_avg-1)*sps = {keep} "
+                         f"samples, got {x_re.shape[0]}")
+    off = prev_re.shape[0] - keep
+    soft_re, soft_im, phase, bits, idx, planes2 = demod_kernel.demod_full_tm(
+        prev_re, prev_im, x_re, x_im, planes, sps=sps, num_avg=num_avg,
+        phase_avg=cfg.phase_avg, m=cfg.constellation_size,
+        diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
+        mf_taps=None, timing_interp=cfg.timing_interp, mixed=mixed,
+        in_scale=in_scale, pack_out=pack_out, win_offset=off,
+        interpret=interpret)
+    return planes2, FullOutputs(soft_re, soft_im, phase, bits, idx)
+
+
 def _static_taps(cfg: DemodConfig):
     """Matched-filter taps as a hashable static tuple (None when disabled)."""
     if cfg.matched_filter == "none":

@@ -192,6 +192,7 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
             double_buffer: bool, mf_extra: int, mf_chunk: int,
             timing_interp: bool, mixed: bool, grain: int, in_scale, pack_out,
+            win_offset,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             band_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
@@ -238,10 +239,12 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             # Window and block DMA'd separately (no host-side concat).
             # Only valid when wlen is 8-row aligned (sublane tiling).
             cw_re = pltpu.make_async_copy(
-                win_re_hbm.at[:, pl.ds(ci * LANES, LANES)],
+                win_re_hbm.at[pl.ds(win_offset, wlen),
+                              pl.ds(ci * LANES, LANES)],
                 sre.at[pl.ds(0, wlen)], sem.at[0])
             cw_im = pltpu.make_async_copy(
-                win_im_hbm.at[:, pl.ds(ci * LANES, LANES)],
+                win_im_hbm.at[pl.ds(win_offset, wlen),
+                              pl.ds(ci * LANES, LANES)],
                 sim.at[pl.ds(0, wlen)], sem.at[1])
             cx_re = pltpu.make_async_copy(
                 re_hbm.at[pl.ds(0, tile_len - wlen),
@@ -503,13 +506,13 @@ MF_CHUNK = 128  # FIR band-matmul chunk rows (multiple of 8)
                                              "double_buffer", "mf_taps",
                                              "timing_interp", "mixed",
                                              "in_scale", "pack_out",
-                                             "interpret"))
+                                             "win_offset", "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   num_avg: int, phase_avg: int, m: int, diff: bool,
                   s_tile: int = 256, double_buffer: bool | None = None,
                   mf_taps: tuple | None = None, timing_interp: bool = False,
                   mixed: bool = False, in_scale: float = 1.0,
-                  pack_out: bool | None = None,
+                  pack_out: bool | None = None, win_offset: int = 0,
                   interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
 
@@ -546,7 +549,18 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     if C % LANES:
         raise ValueError(f"channels ({C}) must be a multiple of {LANES}")
     wrows = (num_avg - 1) * sps + extra
-    if win_re.shape != (wrows, C):
+    if win_offset:
+        # Rolling-window mode: win planes are the PREVIOUS block's full
+        # input planes and the window is their last wrows rows, read in
+        # place by the window DMA -- no separate window-carry buffer is
+        # ever written or re-read (saves 2*wrows*C*4 bytes of HBM traffic
+        # per block).  Only valid on the split-DMA path (the concat path
+        # stages [window | block] through a host-side concatenation).
+        if win_re.shape != (win_offset + wrows, C):
+            raise ValueError(
+                f"rolling win planes must be {(win_offset + wrows, C)} "
+                f"(win_offset + window rows), got {win_re.shape}")
+    elif win_re.shape != (wrows, C):
         raise ValueError(f"win planes must be {(wrows, C)}")
     # int16 ingest (the SDR wire format): samples cross HBM at 2 bytes and
     # dequantize in VMEM as i16 * in_scale -- half the f32 path's critical
@@ -635,6 +649,13 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
     # the concat path (its halo changes every tile's span).
     split_dma = (not extra and wlen % grain == 0 and s_tile % grain == 0
                  and tile_len % grain == 0)
+    if win_offset and not (split_dma and win_offset % grain == 0):
+        raise ValueError(
+            f"rolling-window mode (win_offset={win_offset}) requires the "
+            f"split-DMA path with a {grain}-row-aligned offset: need "
+            f"win_offset % {grain} == 0, (num_avg-1)*sps % {grain} == 0, "
+            f"no matched filter, and an aligned tile "
+            f"(got wlen={wlen}, s_tile={s_tile}, mf_extra={extra})")
     if extra:
         # Raw rows a tile needs: ceil(tile_len/chunk) whole FIR chunks plus
         # the L-1 halo, rounded up to the DMA row granule.
@@ -687,7 +708,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                                diff, k, s_out // s_tile, split_dma, tile_pad,
                                double_buffer, extra, MF_CHUNK, timing_interp,
                                mixed, grain,
-                               float(in_scale) if in_i16 else None, pack_out)
+                               float(in_scale) if in_i16 else None, pack_out,
+                               win_offset)
     grid = (C // LANES, s_out // s_tile)
 
     def sym_spec(dtype):

@@ -756,6 +756,15 @@ class FullKernelBatchEngine(_PipelinedPackets):
             full_mod.demod_block_full, cfg, **self._full_kwargs))
         self._full_mod = full_mod
         self._full_state = None
+        # Rolling-window fast path: after the first steady block the kernel
+        # reads its timing window in place from the previous block's planes
+        # (demod_block_full_rolling), skipping the window-carry HBM round
+        # trip.  _win_stale marks _full_state.win_* as superseded by
+        # _prev_planes (materialized on demand: full_state property).
+        self._prev_planes = None
+        self._roll_fn = None
+        self._roll_ok: bool | None = None
+        self._win_stale = False
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self._plane_re: list[np.ndarray] = []   # staged (rows, C) planes
         self._plane_im: list[np.ndarray] = []
@@ -833,6 +842,56 @@ class FullKernelBatchEngine(_PipelinedPackets):
         )
         return state2, bad
 
+    def _materialize_state(self):
+        """Re-attach the window planes (sliced from the previous block) to
+        _full_state after rolling steps made them stale."""
+        keep = (self.cfg.num_avg - 1) * self.cfg.sps
+        pr, pi = self._prev_planes
+        self._win_stale = False
+        return self._full_state._replace(
+            win_re=pr[pr.shape[0] - keep:], win_im=pi[pi.shape[0] - keep:])
+
+    @property
+    def full_state(self):
+        """The current steady-kernel carry as a standard FullState (None
+        during warm-up).  Materializes the window from the rolling-path
+        planes when needed -- use this (not _full_state) for checkpointing."""
+        if self._full_state is not None and self._win_stale:
+            self._full_state = self._materialize_state()
+        return self._full_state
+
+    def _steady_step(self, x_re, x_im):
+        """One steady kernel block.  Uses the rolling-window kernel mode
+        when eligible (same-shape consecutive blocks, no matched filter, no
+        per-channel guard); otherwise the standard window-carry path."""
+        import functools
+
+        roll = (not self.guard_nonfinite and self._roll_ok is not False
+                and self._prev_planes is not None
+                and self._prev_planes[0].shape == x_re.shape
+                and self._prev_planes[0].dtype == x_re.dtype)
+        if roll:
+            if self._roll_fn is None:
+                self._roll_fn = jax.jit(functools.partial(
+                    self._full_mod.demod_block_full_rolling, self.cfg,
+                    **self._full_kwargs))
+            try:
+                planes, fo = self._roll_fn(self._full_state.planes,
+                                           *self._prev_planes, x_re, x_im)
+            except ValueError:
+                self._roll_ok = False   # config can't roll; fall through
+            else:
+                self._roll_ok = True
+                self._full_state = self._full_state._replace(planes=planes)
+                self._win_stale = True
+                self._prev_planes = (x_re, x_im)
+                return fo
+        if self._win_stale:
+            self._full_state = self._materialize_state()
+        self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
+        self._prev_planes = (x_re, x_im)
+        return fo
+
     @property
     def _raw_keep(self) -> int:
         if self.cfg.matched_filter == "none":
@@ -867,6 +926,11 @@ class FullKernelBatchEngine(_PipelinedPackets):
             return
         logger.debug("full-kernel reconfigure: %s -> %s", self.cfg, new_cfg)
         self._drain_pending()
+        if self._full_state is not None and self._win_stale:
+            self._full_state = self._materialize_state()
+        self._prev_planes = None
+        self._roll_fn = None
+        self._roll_ok = None
         if self._full_state is not None:
             if self._ingest_scale is not None:
                 self._full_state = self._full_mod.dequantize_full_state(
@@ -898,6 +962,8 @@ class FullKernelBatchEngine(_PipelinedPackets):
         """Full state reset (the resetState property / queue-flush answer)."""
         self._warm_state = self._warm_ops.init(self.cfg, (self.channels,))
         self._full_state = None
+        self._prev_planes = None
+        self._win_stale = False
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
         self._plane_re = []
@@ -1027,7 +1093,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
             else:
                 x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
                 x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
-            self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
+            fo = self._steady_step(x_re, x_im)
             if self._guard_full_jit is not None:
                 self._full_state, bad = self._guard_full_jit(
                     self._full_state, fo.soft_re, fo.soft_im, fo.phase)
@@ -1074,7 +1140,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 xp = np.pad(x, ((0, 0), (0, pad)))
                 x_re = jnp.asarray(np.ascontiguousarray(xp.real.T))
                 x_im = jnp.asarray(np.ascontiguousarray(xp.imag.T))
-            self._full_state, fo = self._full_fn(self._full_state, x_re, x_im)
+            fo = self._steady_step(x_re, x_im)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
             # Output o's window covers carry rows [o, o+numAvg-1]; with a
             # full carry (steady) plus nsym real new rows, windows are fully
@@ -1178,6 +1244,11 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
             raise ValueError(f"params must carry {self.channels} modes")
         old_m = np.asarray(self.params.m)
         self._drain_pending()
+        if self._full_state is not None and self._win_stale:
+            self._full_state = self._materialize_state()
+        self._prev_planes = None
+        self._roll_fn = None
+        self._roll_ok = None
         if self._full_state is not None:
             if self._ingest_scale is not None:
                 self._full_state = self._full_mod.dequantize_full_state(

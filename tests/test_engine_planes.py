@@ -277,3 +277,58 @@ def test_mixed_engine_guard_keeps_modes():
     planes = np.asarray(eng._full_state.planes)
     np.testing.assert_array_equal(planes[misc + 6], np.asarray(ms, np.float32))
     assert planes[: misc, 11].max() == 0.0     # tracking itself was cleared
+
+
+def test_full_engine_rolling_matches_legacy():
+    """The engine's rolling-window fast path (window read from the previous
+    block's planes) produces bit-identical outputs to the window-carry
+    path, and the full_state property materializes an identical carry."""
+    cfg = _cfg()
+    xs = _bank_signal(2048, seed0=600)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    ref = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    ref._roll_ok = False            # force the window-carry path
+    need = 128 * cfg.sps
+    outs, outs_ref = [], []
+    for i in range(0, 12 * need, need):
+        blk = xs[:, i: i + need]
+        for c in range(C):
+            eng.push(c, blk[c])
+            ref.push(c, blk[c])
+        o, o_ref = eng.step(), ref.step()
+        if o is not None:
+            outs.append(o)
+            outs_ref.append(o_ref)
+    assert eng.steady and eng._roll_ok is True and eng._win_stale
+    assert ref._win_stale is False
+    for o, o_ref in zip(outs, outs_ref):
+        np.testing.assert_array_equal(np.asarray(o.soft),
+                                      np.asarray(o_ref.soft))
+        np.testing.assert_array_equal(np.asarray(o.bits),
+                                      np.asarray(o_ref.bits))
+        np.testing.assert_array_equal(np.asarray(o.sample_index),
+                                      np.asarray(o_ref.sample_index))
+    # full_state materializes the window from the kept previous planes.
+    st, st_ref = eng.full_state, ref._full_state
+    assert not eng._win_stale
+    np.testing.assert_array_equal(np.asarray(st.win_re),
+                                  np.asarray(st_ref.win_re))
+    np.testing.assert_array_equal(np.asarray(st.win_im),
+                                  np.asarray(st_ref.win_im))
+    np.testing.assert_array_equal(np.asarray(st.planes),
+                                  np.asarray(st_ref.planes))
+    # And a live reconfigure from the rolling state keeps tracking: both
+    # engines converge identically afterwards.
+    import dataclasses
+    new_cfg = dataclasses.replace(cfg, phase_avg=24)
+    eng.configure(new_cfg)
+    ref.configure(new_cfg)
+    for i in range(12 * need, 16 * need, need):
+        blk = xs[:, i: i + need]
+        for c in range(C):
+            eng.push(c, blk[c])
+            ref.push(c, blk[c])
+        o, o_ref = eng.step(), ref.step()
+    np.testing.assert_array_equal(np.asarray(o.soft), np.asarray(o_ref.soft))

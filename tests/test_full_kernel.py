@@ -154,3 +154,64 @@ def test_full_kernel_packed_int8_outputs():
                          jnp.zeros((40 * 10, C), jnp.float32),
                          jnp.zeros((40 * 10, C), jnp.float32),
                          s_tile=40, pack_out=True, interpret=True)
+
+
+def test_full_kernel_rolling_window_parity():
+    """Rolling-window mode (window read in place from the previous block's
+    planes) is bit-identical to the window-carry path across a multi-block
+    chain, and the planes carry stays bit-identical too."""
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    from psk_soft_tpu.models.full import demod_block_full_rolling
+
+    xs = _channels()
+    warm, run = np.split(xs, [256 * 8], axis=1)
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), jnp.asarray(warm))
+    blocks = np.split(run, 4, axis=1)
+    planes_blocks = [(jnp.asarray(b.real.T), jnp.asarray(b.imag.T))
+                     for b in blocks]
+
+    # Legacy chain.
+    st = full_from_ff(cfg, st_ff)
+    legacy = []
+    for xr, xi in planes_blocks:
+        st, o = demod_block_full(cfg, st, xr, xi, s_tile=64, interpret=True)
+        legacy.append(o)
+
+    # Rolling chain: block 0 legacy (no previous planes), then rolling.
+    st2 = full_from_ff(cfg, st_ff)
+    st2, o0 = demod_block_full(cfg, st2, *planes_blocks[0], s_tile=64,
+                               interpret=True)
+    rolling = [o0]
+    planes = st2.planes
+    for i in range(1, 4):
+        planes, o = demod_block_full_rolling(
+            cfg, planes, *planes_blocks[i - 1], *planes_blocks[i],
+            s_tile=64, interpret=True)
+        rolling.append(o)
+
+    for a, b in zip(legacy, rolling):
+        np.testing.assert_array_equal(np.asarray(a.soft_re),
+                                      np.asarray(b.soft_re))
+        np.testing.assert_array_equal(np.asarray(a.soft_im),
+                                      np.asarray(b.soft_im))
+        np.testing.assert_array_equal(np.asarray(a.phase),
+                                      np.asarray(b.phase))
+        np.testing.assert_array_equal(np.asarray(a.bits_packed),
+                                      np.asarray(b.bits_packed))
+        np.testing.assert_array_equal(np.asarray(a.sample_index),
+                                      np.asarray(b.sample_index))
+    np.testing.assert_array_equal(np.asarray(st.planes), np.asarray(planes))
+
+
+def test_full_kernel_rolling_rejects_mf():
+    """Rolling mode requires the split-DMA path: matched-filter configs are
+    rejected with a clear error instead of a silent concat."""
+    from psk_soft_tpu.models.full import demod_block_full_rolling
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20,
+                      matched_filter="rrc")
+    z = jnp.zeros((512 * 8, C), jnp.float32)
+    with pytest.raises(ValueError, match="rolling"):
+        demod_block_full_rolling(cfg, jnp.zeros((56, C), jnp.float32),
+                                 z, z, z, z, s_tile=64, interpret=True)
