@@ -860,6 +860,27 @@ class FullKernelBatchEngine(_PipelinedPackets):
             self._full_state = self._materialize_state()
         return self._full_state
 
+    def restore_full_state(self, state) -> None:
+        """Resume the steady kernel from a checkpointed FullState
+        (utils.checkpoint.load_state): the mid-stream restart story the
+        reference lacks entirely (SURVEY section 5 checkpoint/resume --
+        a reference restart re-converges blind over numAvg*sps samples).
+        Pair with the ``full_state`` property on the saving side."""
+        rows = (self.cfg.num_avg - 1) * self.cfg.sps + (
+            max(self.cfg.mf_ntaps - 1, 0)
+            if self.cfg.matched_filter != "none" else 0)
+        if state.win_re.shape != (rows, self.channels):
+            raise ValueError(
+                f"state window is {state.win_re.shape}, engine needs "
+                f"{(rows, self.channels)} (config/channel mismatch)")
+        self._full_state = state
+        self._warm_state = None
+        self._consumed = self.cfg.num_avg + self.cfg.phase_avg
+        self._prev_planes = None
+        self._roll_fn = None
+        self._roll_ok = None
+        self._win_stale = False
+
     def _steady_step(self, x_re, x_im):
         """One steady kernel block.  Uses the rolling-window kernel mode
         when eligible (same-shape consecutive blocks, no matched filter, no

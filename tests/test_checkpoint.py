@@ -111,3 +111,42 @@ def test_checkpoint_i16_full_state(tmp_path):
     _, o2 = fn(st2, jnp.asarray(ri), jnp.asarray(ii))
     np.testing.assert_array_equal(np.asarray(o2.soft_re),
                                   np.asarray(o1.soft_re))
+
+
+def test_checkpoint_engine_rolling_roundtrip(tmp_path):
+    """Engine-level checkpoint/resume across the rolling fast path: save
+    eng.full_state mid-stream (window materialized from the rolling
+    planes), restore into a FRESH engine, and the resumed engine's outputs
+    are bit-identical to the uninterrupted one."""
+    from psk_soft_tpu.runtime.engine import FullKernelBatchEngine
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    C = 128
+    xs = np.stack([gen_psk_channel(1536, sps=8, m=4, seed=400 + i,
+                                   snr_db=25, timing_offset=i % 8)[0]
+                   for i in range(C)])
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    need = 128 * cfg.sps
+    for i in range(0, 8 * need, need):
+        for c in range(C):
+            eng.push(c, xs[c, i: i + need])
+        eng.step()
+    assert eng.steady and eng._win_stale     # rolling path engaged
+
+    path = os.path.join(tmp_path, "eng.npz")
+    save_state(path, eng.full_state, cfg)
+    st2, cfg2, _ = load_state(path)
+    eng2 = FullKernelBatchEngine(cfg2, C, block_symbols=128, s_tile=128,
+                                 interpret=True)
+    eng2.restore_full_state(st2)
+    assert eng2.steady
+
+    for i in range(8 * need, 12 * need, need):
+        blk = xs[:, i: i + need]
+        for c in range(C):
+            eng.push(c, blk[c])
+            eng2.push(c, blk[c])
+        o, o2 = eng.step(), eng2.step()
+        np.testing.assert_array_equal(np.asarray(o.soft), np.asarray(o2.soft))
+        np.testing.assert_array_equal(np.asarray(o.bits), np.asarray(o2.bits))
