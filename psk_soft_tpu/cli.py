@@ -69,9 +69,10 @@ def cmd_demod(args) -> int:
     sinks = {
         PORT_SOFT: open(f"{args.out_prefix}.soft.cf32", "wb"),
         PORT_BITS: open(f"{args.out_prefix}.bits.i16", "wb"),
-        PORT_PHASE: open(f"{args.out_prefix}.phase.f32", "wb"),
-        PORT_SAMPLE_INDEX: open(f"{args.out_prefix}.index.i16", "wb"),
     }
+    if not args.no_debug_ports:
+        sinks[PORT_PHASE] = open(f"{args.out_prefix}.phase.f32", "wb")
+        sinks[PORT_SAMPLE_INDEX] = open(f"{args.out_prefix}.index.i16", "wb")
     chunk_bytes = args.chunk_samples * 8  # complex64
     total = 0
     t = 0.0
@@ -87,6 +88,8 @@ def cmd_demod(args) -> int:
                 0, np.complex64)
             outs = eng.process(Packet(data=cx, sri=sri, t=t, eos=eos))
             for port, pkt in outs.items():
+                if port not in sinks:  # debug ports left unconnected
+                    continue
                 sinks[port].write(np.ascontiguousarray(pkt.data).tobytes())
             total += cx.size
             t += cx.size * sri.xdelta
@@ -124,7 +127,8 @@ def cmd_demod_batch(args) -> int:
                                     pipeline_depth=args.pipeline_depth,
                                     ingest_scale=args.in_scale if i16
                                     else None,
-                                    guard_nonfinite=args.guard_nonfinite)
+                                    guard_nonfinite=args.guard_nonfinite,
+                                    debug_ports=not args.no_debug_ports)
     else:
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
                           pipeline_depth=args.pipeline_depth,
@@ -137,15 +141,18 @@ def cmd_demod_batch(args) -> int:
     sinks = {
         PORT_SOFT: open(f"{args.out_prefix}.soft.cf32", "wb"),
         PORT_BITS: open(f"{args.out_prefix}.bits.i16", "wb"),
-        PORT_PHASE: open(f"{args.out_prefix}.phase.f32", "wb"),
-        PORT_SAMPLE_INDEX: open(f"{args.out_prefix}.index.i16", "wb"),
     }
+    if not args.no_debug_ports:
+        sinks[PORT_PHASE] = open(f"{args.out_prefix}.phase.f32", "wb")
+        sinks[PORT_SAMPLE_INDEX] = open(f"{args.out_prefix}.index.i16", "wb")
     frame_bytes = C * (4 if i16 else 8)
     chunk = args.chunk_samples * frame_bytes
     nb = cfg.bits_per_symbol
 
     def write(pkts):
         for port, pkt in pkts.items():
+            if port not in sinks:      # debug ports left unconnected
+                continue
             d = pkt.data
             if d.size == 0:
                 continue
@@ -339,6 +346,8 @@ def main(argv=None) -> int:
     d.add_argument("--block-symbols", type=int, default=512)
     d.add_argument("--chunk-samples", type=int, default=1 << 16)
     d.add_argument("--pipeline", choices=("ff", "exact"), default="ff")
+    d.add_argument("--no-debug-ports", action="store_true",
+                    help="do not write the phase/sampleIndex debug outputs")
     d.set_defaults(fn=cmd_demod)
 
     db = sub.add_parser("demod-batch",
@@ -361,6 +370,11 @@ def main(argv=None) -> int:
     db.add_argument("--in-scale", type=float, default=1.0 / 32767.0,
                     help="dequantization step for ci16 (sample = i16 * "
                          "scale)")
+    db.add_argument("--no-debug-ports", action="store_true",
+                    help="leave the phase/sampleIndex debug ports "
+                         "unconnected: no .phase.f32/.index.i16 outputs, "
+                         "and the full pipeline skips those plane writes "
+                         "in-kernel")
     db.add_argument("--guard-nonfinite", action="store_true",
                     help="per-channel drop-and-resync when a channel's "
                          "output goes non-finite (isolated recovery; "

@@ -187,6 +187,7 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
                      s_tile: int = 256, double_buffer: bool | None = None,
                      mixed: bool = False, in_scale: float = 1.0,
                      pack_out: bool | None = None,
+                     debug_ports: bool = True,
                      interpret: bool = False):
     """One steady-state block through the fused kernel.
 
@@ -218,7 +219,8 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
         mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
-        in_scale=in_scale, pack_out=pack_out, interpret=interpret)
+        in_scale=in_scale, pack_out=pack_out, debug_ports=debug_ports,
+        interpret=interpret)
     new_state = FullState(
         win_re=x_re[x_re.shape[0] - keep:],
         win_im=x_im[x_im.shape[0] - keep:],
@@ -234,6 +236,7 @@ def demod_block_full_rolling(cfg: DemodConfig, planes: jnp.ndarray,
                              double_buffer: bool | None = None,
                              mixed: bool = False, in_scale: float = 1.0,
                              pack_out: bool | None = None,
+                             debug_ports: bool = True,
                              interpret: bool = False):
     """Steady-state block with the window read IN PLACE from the previous
     block's input planes (demod_kernel rolling-window mode).
@@ -274,7 +277,7 @@ def demod_block_full_rolling(cfg: DemodConfig, planes: jnp.ndarray,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
         mf_taps=None, timing_interp=cfg.timing_interp, mixed=mixed,
         in_scale=in_scale, pack_out=pack_out, win_offset=off,
-        interpret=interpret)
+        debug_ports=debug_ports, interpret=interpret)
     return planes2, FullOutputs(soft_re, soft_im, phase, bits, idx)
 
 
@@ -328,7 +331,10 @@ def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
 
 def to_demod_outputs(cfg: DemodConfig, out: FullOutputs) -> DemodOutputs:
     """Adapter to the standard channel-major DemodOutputs (for tests/tools;
-    the packed-bits planes are the production interface)."""
+    the packed-bits planes are the production interface).  phase and
+    sample_index stay None when the kernel ran with debug_ports=False (the
+    packet layer then omits those ports, like the reference with
+    unconnected ports)."""
     soft = jax.lax.complex(out.soft_re.T, out.soft_im.T)
     packed = out.bits_packed.T
     bits = jnp.stack([(packed >> i) & 1 for i in range(3)],
@@ -336,7 +342,8 @@ def to_demod_outputs(cfg: DemodConfig, out: FullOutputs) -> DemodOutputs:
     return DemodOutputs(
         soft=soft,
         bits=bits,
-        phase=out.phase.T,
-        sample_index=out.sample_index.T,
+        phase=None if out.phase is None else out.phase.T,
+        sample_index=(None if out.sample_index is None
+                      else out.sample_index.T),
         valid=jnp.ones(soft.shape, bool),
     )

@@ -468,7 +468,7 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
 
     soft_re[:] = s_r
     soft_im[:] = s_i
-    phase_out[:] = est
+    phase_out[:] = est          # no-op _NullRef when debug ports are off
     if pack_out:
         # int8 symbol-rate planes: bits are 0..7, sample indices 0..sps-1,
         # so 1 byte each cuts 6 of the 20 output bytes/symbol/channel off
@@ -501,18 +501,31 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
 MF_CHUNK = 128  # FIR band-matmul chunk rows (multiple of 8)
 
 
+class _NullRef:
+    """Write sink for disabled output planes (debug_ports=False): the
+    phase/sampleIndex stores vanish from the compiled kernel, so those
+    symbol-rate planes never cross HBM -- the TPU analogue of the
+    reference only pushing to CONNECTED ports (bulkio skips the push when
+    a port has no consumers)."""
+
+    def __setitem__(self, idx, val):
+        pass
+
+
 @functools.partial(jax.jit, static_argnames=("sps", "num_avg", "phase_avg",
                                              "m", "diff", "s_tile",
                                              "double_buffer", "mf_taps",
                                              "timing_interp", "mixed",
                                              "in_scale", "pack_out",
-                                             "win_offset", "interpret"))
+                                             "win_offset", "debug_ports",
+                                             "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   num_avg: int, phase_avg: int, m: int, diff: bool,
                   s_tile: int = 256, double_buffer: bool | None = None,
                   mf_taps: tuple | None = None, timing_interp: bool = False,
                   mixed: bool = False, in_scale: float = 1.0,
                   pack_out: bool | None = None, win_offset: int = 0,
+                  debug_ports: bool = True,
                   interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
 
@@ -536,10 +549,15 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         0..sps-1), cutting 6 of the 20 output bytes/symbol/channel.  None
         (default) packs automatically when the picked s_tile is 32-row
         aligned (int8 VMEM tiling); True raises if it is not.
+      debug_ports: False drops the phase and sampleIndex output planes
+        entirely (returned as None) -- their stores vanish from the
+        compiled kernel, like the reference not pushing to unconnected
+        ports.
     Returns:
       (soft_re, soft_im, phase, bits_packed, sample_index, new_state_planes)
       -- symbol-rate planes are (S, C); bits/sample_index are int8 when
-      packed (see pack_out), int32 otherwise.
+      packed (see pack_out), int32 otherwise; phase/sample_index are None
+      when debug_ports=False.
     """
     import numpy as np
     from ...ops.linear_fit import endpoint_fir_weights
@@ -716,20 +734,42 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         return pl.BlockSpec((s_tile, LANES), lambda ci, si: (si, ci),
                             memory_space=pltpu.VMEM)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((s_out, C), jnp.float32),
-        jax.ShapeDtypeStruct((s_out, C), jnp.float32),
-        jax.ShapeDtypeStruct((s_out, C), jnp.float32),
-        jax.ShapeDtypeStruct((s_out, C), odt),
-        jax.ShapeDtypeStruct((s_out, C), odt),
-        jax.ShapeDtypeStruct((rs, C), jnp.float32),
-    ]
-    out_specs = [sym_spec(jnp.float32) for _ in range(3)] + [
-        sym_spec(odt), sym_spec(odt),
-        pl.BlockSpec((rs, LANES), lambda ci, si: (0, ci),
-                     memory_space=pltpu.VMEM),
-    ]
-    return tuple(pl.pallas_call(
+    state_spec = pl.BlockSpec((rs, LANES), lambda ci, si: (0, ci),
+                              memory_space=pltpu.VMEM)
+    if debug_ports:
+        out_shape = [
+            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), odt),
+            jax.ShapeDtypeStruct((s_out, C), odt),
+            jax.ShapeDtypeStruct((rs, C), jnp.float32),
+        ]
+        out_specs = [sym_spec(jnp.float32) for _ in range(3)] + [
+            sym_spec(odt), sym_spec(odt), state_spec]
+    else:
+        # Debug ports off: no phase/sampleIndex planes exist at all --
+        # their stores go to _NullRef sinks and those symbol-rate bytes
+        # never cross HBM (reference analogue: bulkio only pushes to
+        # connected ports).
+        out_shape = [
+            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), odt),
+            jax.ShapeDtypeStruct((rs, C), jnp.float32),
+        ]
+        out_specs = [sym_spec(jnp.float32), sym_spec(jnp.float32),
+                     sym_spec(odt), state_spec]
+        inner = kernel
+
+        def kernel(win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in,
+                   fir_mat_r, band_mat_r, o_sre, o_sim, o_bits, o_state,
+                   sre, sim, st, sem):
+            inner(win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in,
+                  fir_mat_r, band_mat_r, o_sre, o_sim, _NullRef(), o_bits,
+                  _NullRef(), o_state, sre, sim, st, sem)
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shape,
@@ -748,4 +788,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
             pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
-    )(win_re, win_im, x_re, x_im, state_planes, fir_mat, band_mat))
+    )(win_re, win_im, x_re, x_im, state_planes, fir_mat, band_mat)
+    if debug_ports:
+        return tuple(res)
+    s_r, s_i, bits, planes = res
+    return (s_r, s_i, None, bits, None, planes)

@@ -364,8 +364,12 @@ class BankAssembler:
     k0's first-sample time from the bank time origin.
     """
 
-    def __init__(self, cfg: DemodConfig):
+    def __init__(self, cfg: DemodConfig, skip_debug: bool = False):
         self.cfg = cfg
+        # skip_debug mirrors "phase/sampleIndex ports unconnected": those
+        # packets are never assembled (and the fused kernel never writes
+        # the planes -- demod_kernel debug_ports=False).
+        self.skip_debug = skip_debug
         self.sri: Optional[SRI] = None
         self._dirty = True
         self._t0: Optional[float] = None
@@ -404,7 +408,9 @@ class BankAssembler:
                 return {}
             pkts = {p: Packet(data=np.zeros(0, np.float32), sri=s,
                               t=(self._t0 or 0.0), eos=True)
-                    for p, s in out_sri.items()}
+                    for p, s in out_sri.items()
+                    if not (self.skip_debug
+                            and p in (PORT_PHASE, PORT_SAMPLE_INDEX))}
             return pkts
         out = to_host(out)
         valid = np.asarray(out.valid)
@@ -413,8 +419,6 @@ class BankAssembler:
             return self.assemble(None, eos=eos)
         soft = np.asarray(out.soft)[:, v]
         bits3 = np.asarray(out.bits)[:, v]
-        phase = np.asarray(out.phase)[:, v].astype(np.float32)
-        sidx = np.asarray(out.sample_index)[:, v].astype(np.int16)
         nb = self.cfg.bits_per_symbol
         bits = bits3[:, :, :nb].reshape(bits3.shape[0], -1).astype(np.int16)
 
@@ -427,12 +431,17 @@ class BankAssembler:
             return Packet(data=data, sri=out_sri[port], t=t_out,
                           sri_changed=sric, eos=eos)
 
-        return {
+        pkts = {
             PORT_SOFT: pkt(soft, PORT_SOFT),
             PORT_BITS: pkt(bits, PORT_BITS),
-            PORT_PHASE: pkt(phase, PORT_PHASE),
-            PORT_SAMPLE_INDEX: pkt(sidx, PORT_SAMPLE_INDEX),
         }
+        if not self.skip_debug and out.phase is not None:
+            phase = np.asarray(out.phase)[:, v].astype(np.float32)
+            pkts[PORT_PHASE] = pkt(phase, PORT_PHASE)
+        if not self.skip_debug and out.sample_index is not None:
+            sidx = np.asarray(out.sample_index)[:, v].astype(np.int16)
+            pkts[PORT_SAMPLE_INDEX] = pkt(sidx, PORT_SAMPLE_INDEX)
+        return pkts
 
 
 class _PipelinedPackets:
@@ -723,7 +732,8 @@ class FullKernelBatchEngine(_PipelinedPackets):
                  block_symbols: int = 512, s_tile: int = 256,
                  interpret: bool = False, pipeline_depth: int = 0,
                  ingest_scale: float | None = None,
-                 guard_nonfinite: bool = False):
+                 guard_nonfinite: bool = False,
+                 debug_ports: bool = True):
         import functools
         from ..models import full as full_mod
 
@@ -746,8 +756,14 @@ class FullKernelBatchEngine(_PipelinedPackets):
         # format (quantize_full_state at the handoff).
         self._ingest_scale = (float(ingest_scale) if ingest_scale is not None
                               else None)
+        # debug_ports=False = phase/sampleIndex ports unconnected: the
+        # kernel never writes those symbol-rate planes and the packet
+        # layer never assembles them (reference: bulkio skips pushes on
+        # ports without consumers).
+        self.debug_ports = debug_ports
         self._full_kwargs = dict(s_tile=s_tile,
                                  in_scale=self._ingest_scale or 1.0,
+                                 debug_ports=debug_ports,
                                  interpret=interpret)
         self._warm_ops = _PipelineOps("ff")
         self._warm_state = self._warm_ops.init(cfg, (channels,))
@@ -775,7 +791,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
         # which the FF warm-up carry does not keep (it stores the filtered
         # window).  Tracked host-side from the staged blocks.
         self._raw_tail = np.zeros((channels, 0), np.complex64)
-        self.assembler = BankAssembler(cfg)
+        self.assembler = BankAssembler(cfg, skip_debug=not debug_ports)
         self.metrics = EngineMetrics()
         self._make_guard_fns()
 
@@ -1116,8 +1132,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
             fo = self._steady_step(x_re, x_im)
             if self._guard_full_jit is not None:
+                phase = fo.phase if fo.phase is not None else fo.soft_re
                 self._full_state, bad = self._guard_full_jit(
-                    self._full_state, fo.soft_re, fo.soft_im, fo.phase)
+                    self._full_state, fo.soft_re, fo.soft_im, phase)
                 self._note_bad(bad)
             out = self._full_mod.to_demod_outputs(self.cfg, fo)
         if self._pipe_depth == 0:
@@ -1209,7 +1226,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
                  block_symbols: int = 512, s_tile: int = 256,
                  interpret: bool = False, pipeline_depth: int = 0,
                  ingest_scale: float | None = None,
-                 guard_nonfinite: bool = False):
+                 guard_nonfinite: bool = False,
+                 debug_ports: bool = True):
         import dataclasses
 
         from ..models.mixed import MixedParams
@@ -1222,7 +1240,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
                          s_tile=s_tile, interpret=interpret,
                          pipeline_depth=pipeline_depth,
                          ingest_scale=ingest_scale,
-                         guard_nonfinite=guard_nonfinite)
+                         guard_nonfinite=guard_nonfinite,
+                         debug_ports=debug_ports)
         self._full_kwargs["mixed"] = True
         import functools
         self._full_fn = jax.jit(functools.partial(

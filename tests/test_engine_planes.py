@@ -332,3 +332,40 @@ def test_full_engine_rolling_matches_legacy():
             ref.push(c, blk[c])
         o, o_ref = eng.step(), ref.step()
     np.testing.assert_array_equal(np.asarray(o.soft), np.asarray(o_ref.soft))
+
+
+def test_full_engine_debug_ports_off_packets():
+    """An engine built with debug_ports=False emits only the soft and bits
+    ports (phase/sampleIndex 'unconnected'), with identical soft/bits
+    payloads to a full-port engine, through warm-up, steady state and EOS."""
+    from psk_soft_tpu.runtime.streams import (SRI, PORT_BITS, PORT_PHASE,
+                                              PORT_SAMPLE_INDEX, PORT_SOFT)
+
+    cfg = _cfg()
+    xs = _bank_signal(1024, seed0=700)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True, debug_ports=False)
+    ref = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                                interpret=True)
+    sri = SRI(stream_id="dbg", xdelta=1e-6)
+    eng.set_input_sri(sri)
+    ref.set_input_sri(sri)
+    need = 128 * cfg.sps
+    for i in range(0, 8 * need, need):
+        blk = xs[:, i: i + need]
+        for c in range(C):
+            eng.push(c, blk[c])
+            ref.push(c, blk[c])
+        p, p_ref = eng.step_packets(), ref.step_packets()
+        if p:
+            assert set(p) == {PORT_SOFT, PORT_BITS}
+            assert set(p_ref) == {PORT_SOFT, PORT_BITS, PORT_PHASE,
+                                  PORT_SAMPLE_INDEX}
+            np.testing.assert_array_equal(p[PORT_SOFT].data,
+                                          p_ref[PORT_SOFT].data)
+            np.testing.assert_array_equal(p[PORT_BITS].data,
+                                          p_ref[PORT_BITS].data)
+            assert p[PORT_SOFT].t == p_ref[PORT_SOFT].t
+    assert eng.steady
+    fp = eng.flush_packets()
+    assert set(fp) <= {PORT_SOFT, PORT_BITS}

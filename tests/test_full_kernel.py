@@ -215,3 +215,39 @@ def test_full_kernel_rolling_rejects_mf():
     with pytest.raises(ValueError, match="rolling"):
         demod_block_full_rolling(cfg, jnp.zeros((56, C), jnp.float32),
                                  z, z, z, z, s_tile=64, interpret=True)
+
+
+def test_full_kernel_debug_ports_off():
+    """debug_ports=False drops the phase/sampleIndex planes (None) while
+    soft/bits stay bit-identical -- including through the rolling mode."""
+    from psk_soft_tpu.models.full import (demod_block_full_rolling,
+                                          to_demod_outputs)
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    xs = _channels()
+    warm, run = np.split(xs, [256 * 8], axis=1)
+    fn_ff = make_ff_demod_fn(cfg, channels=C)
+    st_ff, _ = fn_ff(ff_init(cfg, (C,)), jnp.asarray(warm))
+    st = full_from_ff(cfg, st_ff)
+    xr = jnp.asarray(run.real.T)
+    xi = jnp.asarray(run.imag.T)
+    st_on, on = demod_block_full(cfg, st, xr, xi, s_tile=128, interpret=True)
+    st_off, off = demod_block_full(cfg, st, xr, xi, s_tile=128,
+                                   debug_ports=False, interpret=True)
+    assert off.phase is None and off.sample_index is None
+    np.testing.assert_array_equal(np.asarray(on.soft_re),
+                                  np.asarray(off.soft_re))
+    np.testing.assert_array_equal(np.asarray(on.bits_packed),
+                                  np.asarray(off.bits_packed))
+    np.testing.assert_array_equal(np.asarray(st_on.planes),
+                                  np.asarray(st_off.planes))
+    do = to_demod_outputs(cfg, off)
+    assert do.phase is None and do.sample_index is None
+    # Rolling x debug-off compose.
+    half = run.shape[1] // 2
+    p2, o2 = demod_block_full_rolling(
+        cfg, st_off.planes,
+        jnp.asarray(run[:, :half].real.T), jnp.asarray(run[:, :half].imag.T),
+        jnp.asarray(run[:, half:].real.T), jnp.asarray(run[:, half:].imag.T),
+        s_tile=128, debug_ports=False, interpret=True)
+    assert o2.phase is None
