@@ -154,13 +154,8 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         except ValueError:
             pass    # alignment/tile can't roll; fall through to the carry
         else:
-            best = float("inf")
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                planes, chk = run_k_roll(planes, x_re, x_im, args.iters)
-                float(chk)  # host fetch: forces true completion
-                best = min(best, time.perf_counter() - t0)
-            return C * T * args.iters / best
+            return _time_run_k(args, run_k_roll, planes, x_re, x_im, C, T,
+                               warmed=True)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(state, x_re, x_im, k):
@@ -170,11 +165,19 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         st, chks = jax.lax.scan(body, state, None, length=k)
         return st, jnp.sum(chks)
 
-    state, _ = run_k(state, x_re, x_im, args.warmup or 1)
+    return _time_run_k(args, run_k, state, x_re, x_im, C, T)
+
+
+def _time_run_k(args, run_k, carry, x_re, x_im, C, T, warmed=False):
+    """Shared warm-then-min-of-reps timing loop (fetch-forced): every
+    measured pipeline variant uses THIS methodology so numbers stay
+    comparable."""
+    if not warmed:
+        carry, _ = run_k(carry, x_re, x_im, args.warmup or 1)
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        state, chk = run_k(state, x_re, x_im, args.iters)
+        carry, chk = run_k(carry, x_re, x_im, args.iters)
         float(chk)  # host fetch: forces true completion of all work
         best = min(best, time.perf_counter() - t0)
     return C * T * args.iters / best

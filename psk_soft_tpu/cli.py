@@ -378,8 +378,8 @@ def main(argv=None) -> int:
     db.add_argument("--guard-nonfinite", action="store_true",
                     help="per-channel drop-and-resync when a channel's "
                          "output goes non-finite (isolated recovery; "
-                         "incompatible with --pipeline-depth > 0 on the "
-                         "full pipeline)")
+                         "incompatible with --pipeline-depth > 0 on "
+                         "either pipeline)")
     db.add_argument("--pipeline-depth", type=int, default=0,
                     help="deferred-assembly depth: dispatch block k, emit "
                          "block k-depth (device/host overlap); 0 = sync")

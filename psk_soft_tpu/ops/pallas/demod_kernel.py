@@ -644,13 +644,14 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
             double_buffer = False
     s_tile = pick
     # int8 bits/sampleIndex planes (pack_out): i8 tiles as (32, 128), so
-    # the symbol-tile height must be 32-row aligned; auto mode packs
-    # whenever the picked tile allows it.
+    # the symbol-tile height must be 32-row aligned, and sample indices
+    # (0..sps-1) must fit int8 -- sps > 128 would wrap silently.
     if pack_out is None:
-        pack_out = s_tile % 32 == 0
-    elif pack_out and s_tile % 32:
-        raise ValueError(f"pack_out requires s_tile % 32 == 0 (i8 tiling), "
-                         f"picked s_tile={s_tile}")
+        pack_out = s_tile % 32 == 0 and sps <= 128
+    elif pack_out and (s_tile % 32 or sps > 128):
+        raise ValueError(f"pack_out requires s_tile % 32 == 0 (i8 tiling) "
+                         f"and sps <= 128 (int8 index range); picked "
+                         f"s_tile={s_tile}, sps={sps}")
     odt = jnp.int8 if pack_out else jnp.int32
     rs = state_rows(phase_avg, k)
     if state_planes.shape != (rs, C):

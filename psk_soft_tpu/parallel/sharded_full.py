@@ -148,11 +148,15 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
         if mixed:
             planes0 = planes0.at[misc + 6].set(mode_planes[0])
             planes0 = planes0.at[misc + 7].set(mode_planes[1])
+        # pack_out=False: the sharded path reslices bits for the seam
+        # phase-origin correction below, so keep a single int32 contract
+        # across the differential/mixed/plain branches rather than a
+        # per-branch int8/int32 mix.
         soft_re, soft_im, phase, bits, idx, _ = demod_kernel.demod_full_tm(
             win_re, win_im, xk_re, xk_im, planes0, sps=sps, num_avg=num_avg,
             phase_avg=n, m=m, diff=cfg.differential, s_tile=k_tile,
             mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
-            in_scale=in_scale, interpret=interpret)
+            in_scale=in_scale, pack_out=False, interpret=interpret)
 
         # --- recover the absolute phase origin per shard (multiple of 2pi,
         # relative to shard 0) from overlap outputs ---

@@ -889,6 +889,16 @@ class FullKernelBatchEngine(_PipelinedPackets):
             raise ValueError(
                 f"state window is {state.win_re.shape}, engine needs "
                 f"{(rows, self.channels)} (config/channel mismatch)")
+        # Discard any in-flight stream state from before the restore --
+        # staged samples, pipelined blocks and the assembler clock belong
+        # to the OLD stream and must not mix with the resumed one.
+        self._pending.clear()
+        self._held.clear()
+        self._staging = [np.zeros(0, np.complex64)
+                         for _ in range(self.channels)]
+        self._plane_re, self._plane_im, self._plane_rows = [], [], 0
+        self._raw_tail = np.zeros((self.channels, 0), np.complex64)
+        self.assembler.reset()
         self._full_state = state
         self._warm_state = None
         self._consumed = self.cfg.num_avg + self.cfg.phase_avg
@@ -915,8 +925,13 @@ class FullKernelBatchEngine(_PipelinedPackets):
             try:
                 planes, fo = self._roll_fn(self._full_state.planes,
                                            *self._prev_planes, x_re, x_im)
-            except ValueError:
-                self._roll_ok = False   # config can't roll; fall through
+            except ValueError as e:
+                # Expected for configs the rolling DMA cannot serve
+                # (unaligned window / concat path); anything else still
+                # surfaces here, so record why before falling back.
+                logger.info("rolling-window mode unavailable, using the "
+                            "window-carry path: %s", e)
+                self._roll_ok = False
             else:
                 self._roll_ok = True
                 self._full_state = self._full_state._replace(planes=planes)
@@ -1249,7 +1264,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
         # Uniform 3-bit port layout for the heterogeneous bank.
         self.assembler = BankAssembler(
             dataclasses.replace(cfg, constellation_size=8,
-                                differential=False))
+                                differential=False),
+            skip_debug=not debug_ports)
 
     def _make_warm_fn(self, cfg: DemodConfig):
         from ..models.mixed import make_mixed_demod_fn

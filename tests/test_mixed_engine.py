@@ -159,3 +159,33 @@ def test_mixed_engine_i16_planes():
                                        np.asarray(o_ref.soft), atol=1e-5)
     assert eng.steady
     assert eng._full_state.win_re.dtype == jnp.int16
+
+
+def test_mixed_engine_debug_ports_off_all_phases():
+    """debug_ports=False holds for the MIXED engine through warm-up (ff
+    outputs DO carry phase), steady state, and the EOS drain -- the port
+    set never flaps (code-review finding: the mixed ctor's assembler
+    rebuild must preserve skip_debug)."""
+    import numpy as np
+    from psk_soft_tpu.models.mixed import MixedParams
+    from psk_soft_tpu.runtime.engine import MixedKernelBatchEngine
+    from psk_soft_tpu.runtime.streams import SRI, PORT_BITS, PORT_SOFT
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    params, xs = _mixed_bank(1024, seed=9)
+    eng = MixedKernelBatchEngine(params, cfg, C, block_symbols=128,
+                                 s_tile=128, interpret=True,
+                                 debug_ports=False)
+    eng.set_input_sri(SRI(stream_id="mx", xdelta=1e-6))
+    need = 128 * cfg.sps
+    seen = set()
+    for i in range(0, 1024 * 8, need):
+        for c in range(C):
+            eng.push(c, xs[c, i: i + need])
+        p = eng.step_packets()
+        if p:
+            seen |= set(p)
+    assert eng.steady
+    fp = eng.flush_packets()
+    seen |= set(fp)
+    assert seen == {PORT_SOFT, PORT_BITS}
