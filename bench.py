@@ -121,11 +121,13 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
         x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
+    soft_scale = 100.0 if getattr(args, "soft", "f32") == "i8" else None
     step = functools.partial(demod_block_full, cfg,
-                             mixed=mixed is not None, in_scale=in_scale)
+                             mixed=mixed is not None, in_scale=in_scale,
+                             soft_i8_scale=soft_scale)
 
     def chksum(out):
-        return (jnp.sum(out.phase) + jnp.sum(out.soft_re)
+        return (jnp.sum(out.phase) + jnp.sum(out.soft_re.astype(jnp.float32))
                 + jnp.sum(out.bits_packed) + jnp.sum(out.sample_index))
 
     # Rolling-window mode when the config supports it: the kernel reads its
@@ -138,7 +140,8 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         from psk_soft_tpu.models.full import demod_block_full_rolling
         roll_step = functools.partial(demod_block_full_rolling, cfg,
                                       mixed=mixed is not None,
-                                      in_scale=in_scale)
+                                      in_scale=in_scale,
+                                      soft_i8_scale=soft_scale)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def run_k_roll(planes, x_re, x_im, k):
@@ -308,7 +311,8 @@ def run_engine(args):
             eng = MixedKernelBatchEngine(
                 MixedParams.make(ms, rng.random(C) < 0.5), cfg, C,
                 block_symbols=S, pipeline_depth=depth,
-                ingest_scale=scale if i16 else None)
+                ingest_scale=scale if i16 else None,
+                soft_i8=args.soft == "i8")
             label = "mixed-bank engine"
             bank = NativePlaneBank(C, capacity_samples=4 * need,
                                    dtype="i16" if i16 else "f32")
@@ -325,9 +329,12 @@ def run_engine(args):
             # transposes; i16 additionally halves wire + upload bytes.
             eng = FullKernelBatchEngine(
                 cfg, C, block_symbols=S, pipeline_depth=depth,
-                ingest_scale=scale if i16 else None)
+                ingest_scale=scale if i16 else None,
+                soft_i8=args.soft == "i8")
             label = ("full-kernel engine i16-ingest" if i16
                      else "full-kernel engine")
+            if args.soft == "i8":
+                label += " soft-i8"
             bank = NativePlaneBank(C, capacity_samples=4 * need,
                                    dtype="i16" if i16 else "f32")
             frames = frames16 if i16 else frames32
@@ -395,6 +402,12 @@ def main():
                          "the XLA feed-forward pipeline, report the faster "
                          "(the tunneled device's throughput varies widely "
                          "between windows and the two degrade differently)")
+    ap.add_argument("--soft", choices=["f32", "i8"], default="f32",
+                    help="i8 = int8-quantized soft-decision planes "
+                         "(round(s*100), the SDR soft-bit wire format): the "
+                         "dominant output plane at 2 instead of 8 bytes/"
+                         "symbol/channel; applies to the fused-kernel "
+                         "pipelines and --engine")
     ap.add_argument("--ingest", choices=["f32", "i16"], default="f32",
                     help="i16 = int16 I/Q wire-format planes dequantized in "
                          "VMEM (half the f32 HBM input read); applies to "
@@ -451,6 +464,8 @@ def main():
                   f"falling back to ff", file=sys.stderr)
         label = ("full-kernel" if args.ingest == "f32"
                  else "full-kernel i16-ingest")
+        if args.soft == "i8":
+            label += " soft-i8"
         if args.pipeline == "full" and rate_full is not None:
             return emit(C, label, rate_full)
         if args.pipeline == "auto":

@@ -128,8 +128,13 @@ def cmd_demod_batch(args) -> int:
                                     ingest_scale=args.in_scale if i16
                                     else None,
                                     guard_nonfinite=args.guard_nonfinite,
-                                    debug_ports=not args.no_debug_ports)
+                                    debug_ports=not args.no_debug_ports,
+                                    soft_i8=args.soft_i8,
+                                    interpret=args.interpret)
     else:
+        if args.soft_i8:
+            raise SystemExit("--soft-i8 requires --pipeline full (the "
+                             "quantization runs inside the fused kernel)")
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
                           pipeline_depth=args.pipeline_depth,
                           guard_nonfinite=args.guard_nonfinite)
@@ -383,6 +388,17 @@ def main(argv=None) -> int:
     db.add_argument("--pipeline-depth", type=int, default=0,
                     help="deferred-assembly depth: dispatch block k, emit "
                          "block k-depth (device/host overlap); 0 = sync")
+    db.add_argument("--interpret", action="store_true",
+                    help="run the fused kernel in Pallas interpret mode "
+                         "(CPU development/debugging; the full pipeline "
+                         "otherwise needs the TPU)")
+    db.add_argument("--soft-i8", action="store_true",
+                    help="int8-quantized soft decisions on the device "
+                         "(round(s*100), the SDR soft-bit wire format): the "
+                         "dominant output plane crosses HBM and the host "
+                         "link at 2 bytes/symbol/channel; the .soft.cf32 "
+                         "file then carries the dequantized (grid-snapped) "
+                         "values (full pipeline only)")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

@@ -28,13 +28,27 @@ class FullState(NamedTuple):
 
 
 class FullOutputs(NamedTuple):
-    """Time-major symbol-rate planes (S, C); bits are packed LSB-first ints."""
+    """Time-major symbol-rate planes (S, C); bits are packed LSB-first ints.
+    soft_re/soft_im are float32, or int8 when the kernel ran with
+    ``soft_i8_scale`` (dequantize as ``plane / scale``)."""
 
     soft_re: jnp.ndarray
     soft_im: jnp.ndarray
     phase: jnp.ndarray
     bits_packed: jnp.ndarray
     sample_index: jnp.ndarray
+
+
+class QuantSoft(NamedTuple):
+    """Channel-major int8-quantized soft decisions inside DemodOutputs.soft
+    (kernel ``soft_i8_scale`` mode): dequantize as ``(re_q + 1j*im_q) /
+    scale``.  Kept quantized through the device->host fetch so the dominant
+    output plane crosses at 2 bytes/symbol/channel; the packet layer
+    dequantizes on the host (BankAssembler)."""
+
+    re_q: jnp.ndarray    # (C, S) int8
+    im_q: jnp.ndarray    # (C, S) int8
+    scale: float
 
 
 def full_from_ff(cfg: DemodConfig, ff_state, raw_win=None,
@@ -187,6 +201,7 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
                      s_tile: int = 256, double_buffer: bool | None = None,
                      mixed: bool = False, in_scale: float = 1.0,
                      pack_out: bool | None = None,
+                     soft_i8_scale: float | None = None,
                      debug_ports: bool = True,
                      interpret: bool = False):
     """One steady-state block through the fused kernel.
@@ -219,8 +234,8 @@ def demod_block_full(cfg: DemodConfig, state: FullState,
         num_avg=num_avg, phase_avg=cfg.phase_avg, m=cfg.constellation_size,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
         mf_taps=taps, timing_interp=cfg.timing_interp, mixed=mixed,
-        in_scale=in_scale, pack_out=pack_out, debug_ports=debug_ports,
-        interpret=interpret)
+        in_scale=in_scale, pack_out=pack_out, soft_i8_scale=soft_i8_scale,
+        debug_ports=debug_ports, interpret=interpret)
     new_state = FullState(
         win_re=x_re[x_re.shape[0] - keep:],
         win_im=x_im[x_im.shape[0] - keep:],
@@ -236,6 +251,7 @@ def demod_block_full_rolling(cfg: DemodConfig, planes: jnp.ndarray,
                              double_buffer: bool | None = None,
                              mixed: bool = False, in_scale: float = 1.0,
                              pack_out: bool | None = None,
+                             soft_i8_scale: float | None = None,
                              debug_ports: bool = True,
                              interpret: bool = False):
     """Steady-state block with the window read IN PLACE from the previous
@@ -276,8 +292,8 @@ def demod_block_full_rolling(cfg: DemodConfig, planes: jnp.ndarray,
         phase_avg=cfg.phase_avg, m=cfg.constellation_size,
         diff=cfg.differential, s_tile=s_tile, double_buffer=double_buffer,
         mf_taps=None, timing_interp=cfg.timing_interp, mixed=mixed,
-        in_scale=in_scale, pack_out=pack_out, win_offset=off,
-        debug_ports=debug_ports, interpret=interpret)
+        in_scale=in_scale, pack_out=pack_out, soft_i8_scale=soft_i8_scale,
+        win_offset=off, debug_ports=debug_ports, interpret=interpret)
     return planes2, FullOutputs(soft_re, soft_im, phase, bits, idx)
 
 
@@ -293,9 +309,11 @@ def _static_taps(cfg: DemodConfig):
 def make_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
                        in_scale: float = 1.0,
                        pack_out: bool | None = None,
+                       soft_i8_scale: float | None = None,
                        interpret: bool = False):
     return jax.jit(functools.partial(demod_block_full, cfg, s_tile=s_tile,
                                      in_scale=in_scale, pack_out=pack_out,
+                                     soft_i8_scale=soft_i8_scale,
                                      interpret=interpret))
 
 
@@ -312,12 +330,14 @@ def make_mixed_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
 def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
                                in_scale: float = 1.0,
                                pack_out: bool | None = None,
+                               soft_i8_scale: float | None = None,
                                interpret: bool = False):
     """Many kernel block-steps in ONE dispatch: fn(state, xs_re, xs_im) with
     (K, T, C) plane stacks, scanning the fused kernel over the leading axis
     and returning (state, stacked FullOutputs)."""
     step = functools.partial(demod_block_full, cfg, s_tile=s_tile,
                              in_scale=in_scale, pack_out=pack_out,
+                             soft_i8_scale=soft_i8_scale,
                              interpret=interpret)
 
     def run(state, xs_re, xs_im):
@@ -329,13 +349,29 @@ def make_scanned_full_demod_fn(cfg: DemodConfig, *, s_tile: int = 256,
     return jax.jit(run)
 
 
-def to_demod_outputs(cfg: DemodConfig, out: FullOutputs) -> DemodOutputs:
+def to_demod_outputs(cfg: DemodConfig, out: FullOutputs,
+                     soft_i8_scale: float | None = None) -> DemodOutputs:
     """Adapter to the standard channel-major DemodOutputs (for tests/tools;
     the packed-bits planes are the production interface).  phase and
     sample_index stay None when the kernel ran with debug_ports=False (the
     packet layer then omits those ports, like the reference with
-    unconnected ports)."""
-    soft = jax.lax.complex(out.soft_re.T, out.soft_im.T)
+    unconnected ports).
+
+    When the kernel ran with ``soft_i8_scale`` the soft planes are int8;
+    pass the same scale here and ``soft`` holds a :class:`QuantSoft` --
+    still quantized, so the device->host fetch stays at 2 bytes/symbol/
+    channel.  BankAssembler dequantizes on the host; library users call
+    ``dequantize_soft``.
+    """
+    if out.soft_re.dtype == jnp.int8:
+        if soft_i8_scale is None:
+            raise ValueError("kernel emitted int8 soft planes; pass the "
+                             "soft_i8_scale it ran with")
+        soft = QuantSoft(out.soft_re.T, out.soft_im.T, float(soft_i8_scale))
+        vshape = soft.re_q.shape
+    else:
+        soft = jax.lax.complex(out.soft_re.T, out.soft_im.T)
+        vshape = soft.shape
     packed = out.bits_packed.T
     bits = jnp.stack([(packed >> i) & 1 for i in range(3)],
                      axis=-1).astype(jnp.int8)
@@ -345,5 +381,17 @@ def to_demod_outputs(cfg: DemodConfig, out: FullOutputs) -> DemodOutputs:
         phase=None if out.phase is None else out.phase.T,
         sample_index=(None if out.sample_index is None
                       else out.sample_index.T),
-        valid=jnp.ones(soft.shape, bool),
+        valid=jnp.ones(vshape, bool),
     )
+
+
+def dequantize_soft(soft) -> np.ndarray:
+    """Host-side complex64 soft decisions from a (host) QuantSoft (identity
+    for already-complex arrays)."""
+    if isinstance(soft, QuantSoft):
+        inv = 1.0 / float(soft.scale)
+        out = np.empty(np.shape(soft.re_q), np.complex64)
+        out.real = np.asarray(soft.re_q, np.float32) * inv
+        out.imag = np.asarray(soft.im_q, np.float32) * inv
+        return out
+    return np.asarray(soft)

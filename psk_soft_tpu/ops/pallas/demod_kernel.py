@@ -192,7 +192,7 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
             k: int, n_time_tiles: int, split_dma: bool, tile_pad: int,
             double_buffer: bool, mf_extra: int, mf_chunk: int,
             timing_interp: bool, mixed: bool, grain: int, in_scale, pack_out,
-            win_offset,
+            soft_scale, win_offset,
             win_re_hbm, win_im_hbm, re_hbm, im_hbm, state_in, fir_mat,
             band_mat,
             soft_re, soft_im, phase_out, bits_out, idx_out, state_out,
@@ -466,8 +466,20 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
         ss = jnp.where(ss < -0.5, ss + 8.0, ss)
         bits = jnp.floor(ss + 0.5).astype(jnp.int32) & 7
 
-    soft_re[:] = s_r
-    soft_im[:] = s_i
+    if soft_scale is not None:
+        # int8 soft decisions (the SDR soft-bit wire format, e.g. 8-bit
+        # LLR-style symbols for a downstream FEC): round(s * scale) clipped
+        # to the int8 range.  The dominant output plane drops from 8 to 2
+        # bytes/symbol/channel on both the HBM write here and the
+        # device->host fetch; bits/phase are computed from the full-precision
+        # values above and are unchanged.
+        soft_re[:] = jnp.clip(jnp.round(s_r * soft_scale),
+                              -127.0, 127.0).astype(jnp.int8)
+        soft_im[:] = jnp.clip(jnp.round(s_i * soft_scale),
+                              -127.0, 127.0).astype(jnp.int8)
+    else:
+        soft_re[:] = s_r
+        soft_im[:] = s_i
     phase_out[:] = est          # no-op _NullRef when debug ports are off
     if pack_out:
         # int8 symbol-rate planes: bits are 0..7, sample indices 0..sps-1,
@@ -517,6 +529,7 @@ class _NullRef:
                                              "double_buffer", "mf_taps",
                                              "timing_interp", "mixed",
                                              "in_scale", "pack_out",
+                                             "soft_i8_scale",
                                              "win_offset", "debug_ports",
                                              "interpret"))
 def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
@@ -524,7 +537,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                   s_tile: int = 256, double_buffer: bool | None = None,
                   mf_taps: tuple | None = None, timing_interp: bool = False,
                   mixed: bool = False, in_scale: float = 1.0,
-                  pack_out: bool | None = None, win_offset: int = 0,
+                  pack_out: bool | None = None,
+                  soft_i8_scale: float | None = None, win_offset: int = 0,
                   debug_ports: bool = True,
                   interpret: bool = False):
     """Run the fully-fused kernel over time-major planes.
@@ -549,6 +563,14 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
         0..sps-1), cutting 6 of the 20 output bytes/symbol/channel.  None
         (default) packs automatically when the picked s_tile is 32-row
         aligned (int8 VMEM tiling); True raises if it is not.
+      soft_i8_scale: emit the soft-decision planes as int8,
+        ``clip(round(s * scale), -127, 127)`` -- the SDR soft-bit wire
+        format for downstream FEC.  The dominant output plane drops 8 -> 2
+        bytes/symbol/channel on the HBM write and the host fetch;
+        quantization error is <= 0.5/scale per component (outside the
+        golden 1e-3 tolerance at the default scale 100, hence explicit
+        opt-in, like int16 ingest).  Requires a 32-row-aligned s_tile.
+        bits/phase are computed pre-quantization and unchanged.
       debug_ports: False drops the phase and sampleIndex output planes
         entirely (returned as None) -- their stores vanish from the
         compiled kernel, like the reference not pushing to unconnected
@@ -653,6 +675,10 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                          f"and sps <= 128 (int8 index range); picked "
                          f"s_tile={s_tile}, sps={sps}")
     odt = jnp.int8 if pack_out else jnp.int32
+    if soft_i8_scale is not None and s_tile % 32:
+        raise ValueError(f"soft_i8_scale requires s_tile % 32 == 0 (i8 "
+                         f"tiling); picked s_tile={s_tile}")
+    sdt = jnp.float32 if soft_i8_scale is None else jnp.int8
     rs = state_rows(phase_avg, k)
     if state_planes.shape != (rs, C):
         raise ValueError(f"state_planes must be {(rs, C)}, got "
@@ -728,6 +754,8 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                                double_buffer, extra, MF_CHUNK, timing_interp,
                                mixed, grain,
                                float(in_scale) if in_i16 else None, pack_out,
+                               (None if soft_i8_scale is None
+                                else float(soft_i8_scale)),
                                win_offset)
     grid = (C // LANES, s_out // s_tile)
 
@@ -739,27 +767,27 @@ def demod_full_tm(win_re, win_im, x_re, x_im, state_planes, *, sps: int,
                               memory_space=pltpu.VMEM)
     if debug_ports:
         out_shape = [
-            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
-            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), sdt),
+            jax.ShapeDtypeStruct((s_out, C), sdt),
             jax.ShapeDtypeStruct((s_out, C), jnp.float32),
             jax.ShapeDtypeStruct((s_out, C), odt),
             jax.ShapeDtypeStruct((s_out, C), odt),
             jax.ShapeDtypeStruct((rs, C), jnp.float32),
         ]
-        out_specs = [sym_spec(jnp.float32) for _ in range(3)] + [
-            sym_spec(odt), sym_spec(odt), state_spec]
+        out_specs = [sym_spec(sdt), sym_spec(sdt), sym_spec(jnp.float32),
+                     sym_spec(odt), sym_spec(odt), state_spec]
     else:
         # Debug ports off: no phase/sampleIndex planes exist at all --
         # their stores go to _NullRef sinks and those symbol-rate bytes
         # never cross HBM (reference analogue: bulkio only pushes to
         # connected ports).
         out_shape = [
-            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
-            jax.ShapeDtypeStruct((s_out, C), jnp.float32),
+            jax.ShapeDtypeStruct((s_out, C), sdt),
+            jax.ShapeDtypeStruct((s_out, C), sdt),
             jax.ShapeDtypeStruct((s_out, C), odt),
             jax.ShapeDtypeStruct((rs, C), jnp.float32),
         ]
-        out_specs = [sym_spec(jnp.float32), sym_spec(jnp.float32),
+        out_specs = [sym_spec(sdt), sym_spec(sdt),
                      sym_spec(odt), state_spec]
         inner = kernel
 

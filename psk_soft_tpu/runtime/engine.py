@@ -417,7 +417,11 @@ class BankAssembler:
         v = valid[0] if valid.ndim > 1 else valid   # lockstep bank
         if not v.any():
             return self.assemble(None, eos=eos)
-        soft = np.asarray(out.soft)[:, v]
+        # soft_i8 engines fetch int8-quantized soft planes (QuantSoft, 2
+        # bytes/symbol/channel over the host link); PORT_SOFT packets carry
+        # the dequantized (grid-snapped) complex values either way.
+        from ..models.full import dequantize_soft
+        soft = dequantize_soft(out.soft)[:, v]
         bits3 = np.asarray(out.bits)[:, v]
         nb = self.cfg.bits_per_symbol
         bits = bits3[:, :, :nb].reshape(bits3.shape[0], -1).astype(np.int16)
@@ -733,7 +737,8 @@ class FullKernelBatchEngine(_PipelinedPackets):
                  interpret: bool = False, pipeline_depth: int = 0,
                  ingest_scale: float | None = None,
                  guard_nonfinite: bool = False,
-                 debug_ports: bool = True):
+                 debug_ports: bool = True,
+                 soft_i8: bool = False, soft_i8_scale: float = 100.0):
         import functools
         from ..models import full as full_mod
 
@@ -742,6 +747,11 @@ class FullKernelBatchEngine(_PipelinedPackets):
         if guard_nonfinite and pipeline_depth:
             raise ValueError("guard_nonfinite and pipeline_depth are "
                              "mutually exclusive")
+        if guard_nonfinite and soft_i8:
+            # The guard detects poisoned channels via isfinite on the soft
+            # planes; int8 planes quantize non-finites away.
+            raise ValueError("guard_nonfinite and soft_i8 are mutually "
+                             "exclusive")
         self._init_pipeline(pipeline_depth)
         self.guard_nonfinite = guard_nonfinite
         self.channel_resyncs = np.zeros(channels, np.int64)
@@ -761,8 +771,15 @@ class FullKernelBatchEngine(_PipelinedPackets):
         # layer never assembles them (reference: bulkio skips pushes on
         # ports without consumers).
         self.debug_ports = debug_ports
+        # soft_i8: the steady kernel emits int8-quantized soft planes
+        # (round(s * scale), the SDR soft-bit wire format) -- the dominant
+        # output plane crosses HBM and the host link at 2 bytes/symbol/
+        # channel instead of 8; PORT_SOFT packets are dequantized on the
+        # host (grid-snapped values, error <= 0.5/scale per component).
+        self._soft_scale = float(soft_i8_scale) if soft_i8 else None
         self._full_kwargs = dict(s_tile=s_tile,
                                  in_scale=self._ingest_scale or 1.0,
+                                 soft_i8_scale=self._soft_scale,
                                  debug_ports=debug_ports,
                                  interpret=interpret)
         self._warm_ops = _PipelineOps("ff")
@@ -1151,7 +1168,8 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 self._full_state, bad = self._guard_full_jit(
                     self._full_state, fo.soft_re, fo.soft_im, phase)
                 self._note_bad(bad)
-            out = self._full_mod.to_demod_outputs(self.cfg, fo)
+            out = self._full_mod.to_demod_outputs(
+                self.cfg, fo, soft_i8_scale=self._soft_scale)
         if self._pipe_depth == 0:
             self.metrics.symbols_out += int(np.asarray(out.valid).sum())
         return out
@@ -1194,7 +1212,8 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 x_re = jnp.asarray(np.ascontiguousarray(xp.real.T))
                 x_im = jnp.asarray(np.ascontiguousarray(xp.imag.T))
             fo = self._steady_step(x_re, x_im)
-            out = self._full_mod.to_demod_outputs(self.cfg, fo)
+            out = self._full_mod.to_demod_outputs(
+                self.cfg, fo, soft_i8_scale=self._soft_scale)
             # Output o's window covers carry rows [o, o+numAvg-1]; with a
             # full carry (steady) plus nsym real new rows, windows are fully
             # real for o < nsym -- exactly the outputs the reference would
@@ -1242,7 +1261,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
                  interpret: bool = False, pipeline_depth: int = 0,
                  ingest_scale: float | None = None,
                  guard_nonfinite: bool = False,
-                 debug_ports: bool = True):
+                 debug_ports: bool = True,
+                 soft_i8: bool = False, soft_i8_scale: float = 100.0):
         import dataclasses
 
         from ..models.mixed import MixedParams
@@ -1256,7 +1276,8 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
                          pipeline_depth=pipeline_depth,
                          ingest_scale=ingest_scale,
                          guard_nonfinite=guard_nonfinite,
-                         debug_ports=debug_ports)
+                         debug_ports=debug_ports,
+                         soft_i8=soft_i8, soft_i8_scale=soft_i8_scale)
         self._full_kwargs["mixed"] = True
         import functools
         self._full_fn = jax.jit(functools.partial(

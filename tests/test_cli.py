@@ -183,3 +183,35 @@ def test_cli_demod_batch_ci16_wire_format(tmp_path):
     b16 = np.fromfile(p16.with_suffix(".bits.i16"), np.int16)
     b32 = np.fromfile(p32.with_suffix(".bits.i16"), np.int16)
     np.testing.assert_array_equal(b16, b32)
+
+
+def test_cli_demod_batch_full_pipeline_soft_i8(tmp_path):
+    """demod-batch --pipeline full --interpret --soft-i8: the fused-kernel
+    CLI path on CPU (interpret mode).  The int8-quantized run's .soft.cf32
+    file holds grid-snapped values within 0.5/scale per component of the
+    f32 run; the bits file is identical (bits are sliced from the
+    full-precision values inside the kernel)."""
+    C, S, sps = 128, 384, 8
+    rng = np.random.default_rng(3)
+    pts = np.exp(2j * np.pi * rng.integers(0, 4, (C, S)) / 4
+                 + 2j * np.pi * 1e-4 * np.arange(S))
+    xs = np.repeat(pts, sps, axis=1).astype(np.complex64)
+    xs += (0.01 * rng.standard_normal(xs.shape)).astype(np.complex64)
+    infile = tmp_path / "bank.cf32"
+    infile.write_bytes(np.ascontiguousarray(xs.T).tobytes())
+
+    base = ["demod-batch", "--in", str(infile), "--channels", str(C),
+            "--sps", str(sps), "-M", "4", "--num-avg", "50",
+            "--phase-avg", "20", "--block-symbols", "128",
+            "--pipeline", "full", "--interpret"]
+    _run(base + ["--out-prefix", str(tmp_path / "f32")])
+    _run(base + ["--out-prefix", str(tmp_path / "i8"), "--soft-i8"])
+
+    a = np.fromfile(tmp_path / "f32.soft.cf32", np.complex64)
+    b = np.fromfile(tmp_path / "i8.soft.cf32", np.complex64)
+    assert a.size == b.size > 0
+    # complex |a-b| combines two 0.5/100 per-component quantization errors.
+    assert np.abs(a - b).max() <= 0.7072 / 100.0 + 1e-6
+    np.testing.assert_array_equal(
+        np.fromfile(tmp_path / "f32.bits.i16", np.int16),
+        np.fromfile(tmp_path / "i8.bits.i16", np.int16))
