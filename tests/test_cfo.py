@@ -1,0 +1,104 @@
+"""CFO estimation from the phase port (eval/cfo.py): the phase debug
+output's ramp slope recovers the injected carrier offset, per channel,
+across re-wraps, in mixed banks, and straight from engine packets."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.eval.cfo import cfo_from_packet, cfo_from_phase
+from psk_soft_tpu.models.blockpsk import ff_init, make_ff_demod_fn
+from psk_soft_tpu.runtime.engine import FullKernelBatchEngine
+from psk_soft_tpu.runtime.streams import SRI, PORT_PHASE
+
+C = 8
+
+
+def _bank(cfos, m=4, sps=8, ns=1200, seed=0):
+    """One channel per requested CFO (cycles/sample)."""
+    out = []
+    for i, f in enumerate(cfos):
+        rng = np.random.default_rng(seed + i)
+        j = rng.integers(0, m, ns)
+        pts = np.exp(2j * np.pi * j / m)
+        x = np.repeat(pts, sps).astype(np.complex64)
+        x = x * np.exp(2j * np.pi * f * np.arange(x.size))
+        x += (0.003 * rng.standard_normal(x.size)).astype(np.complex64)
+        out.append(x.astype(np.complex64))
+    return np.stack(out)
+
+
+def test_cfo_from_phase_recovers_injected_offsets():
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    cfos = np.array([0.0, 1e-4, -2e-4, 3e-4, -5e-5, 2.5e-4, 1.5e-4, -1e-4])
+    xs = _bank(cfos)
+    fn = make_ff_demod_fn(cfg, channels=len(cfos))
+    st, out = fn(ff_init(cfg, (len(cfos),)), jnp.asarray(xs))
+    v = np.asarray(out.valid)[0]
+    phase = np.asarray(out.phase)[:, v][:, 50:]   # settled tracker region
+    got = cfo_from_phase(phase, cfg.constellation_size, cfg.sps)
+    np.testing.assert_allclose(got, cfos, atol=1.5e-5)
+
+
+def test_cfo_handles_m2pi_rewraps():
+    """A large offset drives the estimate past M*2pi repeatedly; the
+    wrapped-difference slope must not notice the re-wrap jumps."""
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    f = 8e-4          # M*2pi every ~39 symbols
+    xs = _bank([f] * 2, ns=2000)
+    fn = make_ff_demod_fn(cfg, channels=2)
+    st = ff_init(cfg, (2,))
+    chunks = []
+    step = 200 * cfg.sps          # rewrap applies between calls
+    for i in range(0, xs.shape[1], step):
+        st, out = fn(st, jnp.asarray(xs[:, i: i + step]))
+        v = np.asarray(out.valid)[0]
+        if v.any():
+            chunks.append(np.asarray(out.phase)[:, v])
+    phase = np.concatenate(chunks, axis=-1)[:, 50:]
+    # the raw sequence really does jump (re-wrap happened)
+    assert np.abs(np.diff(phase, axis=-1)).max() > np.pi
+    got = cfo_from_phase(phase, 4, cfg.sps)
+    np.testing.assert_allclose(got, [f, f], atol=2e-5)
+
+
+def test_cfo_per_channel_m_and_plane_axis():
+    """Mixed-bank per-channel M, and kernel-layout (S, C) planes via
+    symbol_axis=0, give the same answers."""
+    phase_cs = np.cumsum(
+        np.array([[0.02], [0.06]]) * np.ones((2, 400)), axis=-1)
+    ms = np.array([2.0, 8.0])
+    got = cfo_from_phase(phase_cs, ms, sps=8)
+    exp = np.array([0.02, 0.06]) / (ms * 2 * np.pi * 8)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+    got_t = cfo_from_phase(phase_cs.T, ms, sps=8, symbol_axis=0)
+    np.testing.assert_allclose(got_t, exp, rtol=1e-12)
+
+
+def test_cfo_from_engine_packet():
+    """End to end: flagship engine -> PORT_PHASE packet -> Hz, using the
+    packet's own (rate-rescaled) SRI."""
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    cfos = np.array([1e-4, -2e-4] * 64)            # cycles/sample
+    xs = _bank(cfos, ns=1200, seed=3)
+    eng = FullKernelBatchEngine(cfg, 128, block_symbols=128, s_tile=128,
+                                interpret=True)
+    fs = 1e6
+    eng.set_input_sri(SRI(stream_id="cfo", xdelta=1.0 / fs))
+    need = 128 * cfg.sps
+    last = None
+    for i in range(0, xs.shape[1] - need + 1, need):
+        for c in range(128):
+            eng.push(c, xs[c, i: i + need])
+        p = eng.step_packets()
+        if p and eng.steady:
+            last = p
+    assert last is not None
+    got_hz = cfo_from_packet(last[PORT_PHASE], cfg)
+    np.testing.assert_allclose(got_hz, cfos * fs, atol=1.5e-5 * fs)
+
+
+def test_cfo_needs_two_symbols():
+    with pytest.raises(ValueError, match="at least 2"):
+        cfo_from_phase(np.zeros((4, 1)), 4, sps=8)
