@@ -353,6 +353,25 @@ def reconfigure_ff(old_cfg: DemodConfig, new_cfg: DemodConfig,
     )
 
 
+@dataclasses.dataclass
+class TMOutputs:
+    """Raw kernel block outputs on their way to packet assembly: the
+    device-resident time-major planes exactly as the fused kernel wrote
+    them, plus the flush-path row validity mask and the soft_i8 scale.
+
+    The packet fast path (BankAssembler.assemble_tm) fetches THESE planes
+    and builds the channel-major packet payloads as host views -- no
+    device-side transpose, lax.complex combine, or bit-unpack ever runs,
+    so the only device work per block is the kernel itself and the only
+    HBM traffic is its own outputs.  (step()'s array surface still returns
+    channel-major DemodOutputs via models/full.to_demod_outputs.)
+    """
+
+    fo: object                      # models/full.FullOutputs (device)
+    valid_rows: object = None       # np bool (S,) or None = all valid
+    soft_scale: float | None = None
+
+
 class BankAssembler:
     """SRI/timestamp packet assembly for the batch engines.
 
@@ -447,6 +466,61 @@ class BankAssembler:
             pkts[PORT_SAMPLE_INDEX] = pkt(sidx, PORT_SAMPLE_INDEX)
         return pkts
 
+    def assemble_tm(self, tm: TMOutputs, eos: bool = False) -> dict[str, Packet]:
+        """Packet assembly straight from the kernel's time-major planes
+        (see TMOutputs): fetch the raw planes, then build the SAME packet
+        payloads as :meth:`assemble` -- channel-major, identical dtypes,
+        values, timestamps -- with host-side views/unpacks instead of
+        device-side transforms."""
+        from ..utils.transfer import to_host
+
+        fo = tm.fo
+        s_re, s_im, phase_p, packed, sidx_p = to_host(
+            (fo.soft_re, fo.soft_im, fo.phase, fo.bits_packed,
+             fo.sample_index))
+        v = tm.valid_rows
+        if v is not None and not v.any():
+            return self.assemble(None, eos=eos)
+        if v is not None:
+            s_re, s_im, packed = s_re[v], s_im[v], packed[v]
+            phase_p = None if phase_p is None else phase_p[v]
+            sidx_p = None if sidx_p is None else sidx_p[v]
+        sv = s_re.shape[0]
+
+        sri = self.sri or SRI(stream_id="bank")
+        out_sri = propagate_sri(self.cfg, sri)
+        t_out = (self._t0 or 0.0) + sri.xdelta * self.cfg.sps * self._k0
+        self._k0 += sv
+        sric = self._dirty
+        self._dirty = False
+
+        soft_t = np.empty(s_re.shape, np.complex64)          # (Sv, C)
+        if tm.soft_scale:
+            inv = 1.0 / float(tm.soft_scale)
+            soft_t.real = s_re.astype(np.float32) * inv
+            soft_t.imag = s_im.astype(np.float32) * inv
+        else:
+            soft_t.real = s_re
+            soft_t.imag = s_im
+        nb = self.cfg.bits_per_symbol
+        bits = ((packed.T[:, :, None] >> np.arange(nb)) & 1).astype(
+            np.int16).reshape(packed.shape[1], -1)           # (C, Sv*nb)
+
+        def pkt(data, port):
+            return Packet(data=data, sri=out_sri[port], t=t_out,
+                          sri_changed=sric, eos=eos)
+
+        pkts = {
+            PORT_SOFT: pkt(soft_t.T, PORT_SOFT),             # (C, Sv) view
+            PORT_BITS: pkt(bits, PORT_BITS),
+        }
+        if not self.skip_debug and phase_p is not None:
+            pkts[PORT_PHASE] = pkt(phase_p.T.astype(np.float32), PORT_PHASE)
+        if not self.skip_debug and sidx_p is not None:
+            pkts[PORT_SAMPLE_INDEX] = pkt(sidx_p.T.astype(np.int16),
+                                          PORT_SAMPLE_INDEX)
+        return pkts
+
 
 class _PipelinedPackets:
     """Deferred-assembly packet pipelining shared by the batch engines.
@@ -480,8 +554,20 @@ class _PipelinedPackets:
                                 else np.concatenate([s, block[c]]))
         self.metrics.samples_in += block.size
 
+    def _step_for_packets(self):
+        """Block step feeding the packet path; engines with a raw
+        (time-major-plane) route override this to skip the channel-major
+        array conversion entirely."""
+        return self.step()
+
+    def _flush_for_packets(self):
+        return self.flush()
+
     def _emit(self, out, eos: bool = False) -> dict[str, Packet]:
-        pkts = self.assembler.assemble(out, eos=eos)
+        if isinstance(out, TMOutputs):
+            pkts = self.assembler.assemble_tm(out, eos=eos)
+        else:
+            pkts = self.assembler.assemble(out, eos=eos)
         if self._pipe_depth:
             # Depth 0 counts eagerly in step()/flush(); pipelined blocks are
             # only fetched (and hence countable) here.
@@ -509,7 +595,7 @@ class _PipelinedPackets:
         block ran but emitted nothing, e.g. still warming up)."""
         if self._held:
             return self._held.pop(0)
-        out = self.step()
+        out = self._step_for_packets()
         if self._pipe_depth == 0:
             return None if out is None else self._emit(out)
         if out is not None:
@@ -527,7 +613,7 @@ class _PipelinedPackets:
         self._held = []
         dicts += [p for p in (self._emit(o) for o in self._pending) if p]
         self._pending = []
-        dicts.append(self._emit(self.flush(), eos=True))
+        dicts.append(self._emit(self._flush_for_packets(), eos=True))
         return _merge_packet_dicts(dicts)
 
 
@@ -1121,8 +1207,10 @@ class FullKernelBatchEngine(_PipelinedPackets):
             return self._plane_rows >= need
         return all(s.size >= need for s in self._staging)
 
-    def step(self):
-        """Returns channel-major DemodOutputs (via the adapter) or None."""
+    def _step_core(self):
+        """One block: warm-up returns channel-major DemodOutputs; the
+        steady kernel returns raw TMOutputs (time-major planes, fetched and
+        converted only by whichever surface consumes them)."""
         from ..utils.transfer import to_device
 
         if not self.ready():
@@ -1168,13 +1256,45 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 self._full_state, bad = self._guard_full_jit(
                     self._full_state, fo.soft_re, fo.soft_im, phase)
                 self._note_bad(bad)
-            out = self._full_mod.to_demod_outputs(
-                self.cfg, fo, soft_i8_scale=self._soft_scale)
+            out = TMOutputs(fo=fo, soft_scale=self._soft_scale)
         if self._pipe_depth == 0:
-            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+            self.metrics.symbols_out += self._count_symbols(out)
         return out
 
+    def _count_symbols(self, out) -> int:
+        if isinstance(out, TMOutputs):
+            sv = (int(out.valid_rows.sum()) if out.valid_rows is not None
+                  else out.fo.bits_packed.shape[0])
+            return sv * self.channels
+        return int(np.asarray(out.valid).sum())
+
+    def _to_cmajor(self, out):
+        """TMOutputs -> channel-major DemodOutputs (the step()/flush()
+        array surface; the packet surface consumes TMOutputs directly)."""
+        if not isinstance(out, TMOutputs):
+            return out
+        do = self._full_mod.to_demod_outputs(self.cfg, out.fo,
+                                             soft_i8_scale=out.soft_scale)
+        if out.valid_rows is not None:
+            do = do._replace(
+                valid=do.valid & jnp.asarray(out.valid_rows)[None, :])
+        return do
+
+    def step(self):
+        """Returns channel-major DemodOutputs (via the adapter) or None."""
+        return self._to_cmajor(self._step_core())
+
+    def _step_for_packets(self):
+        return self._step_core()
+
+    def _flush_for_packets(self):
+        return self._flush_core()
+
     def flush(self):
+        """EOS drain (channel-major DemodOutputs surface)."""
+        return self._to_cmajor(self._flush_core())
+
+    def _flush_core(self):
         """EOS drain.  Before the steady handoff the flexible path handles
         any length; afterwards the remainder is zero-padded to a full block
         through the kernel and outputs whose timing window reaches into the
@@ -1212,8 +1332,6 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 x_re = jnp.asarray(np.ascontiguousarray(xp.real.T))
                 x_im = jnp.asarray(np.ascontiguousarray(xp.imag.T))
             fo = self._steady_step(x_re, x_im)
-            out = self._full_mod.to_demod_outputs(
-                self.cfg, fo, soft_i8_scale=self._soft_scale)
             # Output o's window covers carry rows [o, o+numAvg-1]; with a
             # full carry (steady) plus nsym real new rows, windows are fully
             # real for o < nsym -- exactly the outputs the reference would
@@ -1226,10 +1344,10 @@ class FullKernelBatchEngine(_PipelinedPackets):
                                           // self.cfg.sps)))
             mask = np.zeros(self.block_symbols, bool)
             mask[:nvalid] = True
-            out = out._replace(
-                valid=out.valid & jnp.asarray(mask)[None, :])
+            out = TMOutputs(fo=fo, valid_rows=mask,
+                            soft_scale=self._soft_scale)
         if self._pipe_depth == 0:
-            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+            self.metrics.symbols_out += self._count_symbols(out)
         return out
 
 
