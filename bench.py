@@ -122,13 +122,17 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
     soft_scale = 100.0 if getattr(args, "soft", "f32") == "i8" else None
+    debug_ports = not getattr(args, "no_debug_ports", False)
     step = functools.partial(demod_block_full, cfg,
                              mixed=mixed is not None, in_scale=in_scale,
-                             soft_i8_scale=soft_scale)
+                             soft_i8_scale=soft_scale,
+                             debug_ports=debug_ports)
 
     def chksum(out):
-        return (jnp.sum(out.phase) + jnp.sum(out.soft_re.astype(jnp.float32))
-                + jnp.sum(out.bits_packed) + jnp.sum(out.sample_index))
+        s = jnp.sum(out.soft_re.astype(jnp.float32)) + jnp.sum(out.bits_packed)
+        if out.phase is not None:       # debug planes compiled away otherwise
+            s = s + jnp.sum(out.phase) + jnp.sum(out.sample_index)
+        return s
 
     # Rolling-window mode when the config supports it: the kernel reads its
     # timing window in place from the previous block's HBM-resident planes
@@ -141,7 +145,8 @@ def run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
         roll_step = functools.partial(demod_block_full_rolling, cfg,
                                       mixed=mixed is not None,
                                       in_scale=in_scale,
-                                      soft_i8_scale=soft_scale)
+                                      soft_i8_scale=soft_scale,
+                                      debug_ports=debug_ports)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def run_k_roll(planes, x_re, x_im, k):
@@ -402,6 +407,10 @@ def main():
                          "the XLA feed-forward pipeline, report the faster "
                          "(the tunneled device's throughput varies widely "
                          "between windows and the two degrade differently)")
+    ap.add_argument("--no-debug-ports", action="store_true",
+                    help="compile the phase/sampleIndex output planes away "
+                         "(unconnected-debug-port production profile); "
+                         "fused-kernel pipelines only")
     ap.add_argument("--soft", choices=["f32", "i8"], default="f32",
                     help="i8 = int8-quantized soft-decision planes "
                          "(round(s*100), the SDR soft-bit wire format): the "
@@ -466,6 +475,8 @@ def main():
                  else "full-kernel i16-ingest")
         if args.soft == "i8":
             label += " soft-i8"
+        if args.no_debug_ports:
+            label += " no-debug-ports"
         if args.pipeline == "full" and rate_full is not None:
             return emit(C, label, rate_full)
         if args.pipeline == "auto":

@@ -575,6 +575,9 @@ class _PipelinedPackets:
             if soft is not None:
                 # (C, S) complex soft symbols: size == sum of valid flags.
                 self.metrics.symbols_out += int(soft.data.size)
+            bitsp = pkts.get(PORT_BITS)
+            if bitsp is not None:
+                self.metrics.bits_out += int(bitsp.data.size)
         return pkts
 
     def _drain_pending(self) -> None:
@@ -706,7 +709,9 @@ class BatchEngine(_PipelinedPackets):
                 self.channel_resyncs[nbad] += 1
                 self.metrics.resets += int(nbad.sum())
         if self._pipe_depth == 0:
-            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+            nv = int(np.asarray(out.valid).sum())
+            self.metrics.symbols_out += nv
+            self.metrics.bits_out += nv * self.assembler.cfg.bits_per_symbol
         return out
 
     def _guard(self, state, out):
@@ -763,7 +768,9 @@ class BatchEngine(_PipelinedPackets):
         with self.step_timer.measure():
             self._state, out = self._fn(self._state, to_device(x))
         if self._pipe_depth == 0:
-            self.metrics.symbols_out += int(np.asarray(out.valid).sum())
+            nv = int(np.asarray(out.valid).sum())
+            self.metrics.symbols_out += nv
+            self.metrics.bits_out += nv * self.assembler.cfg.bits_per_symbol
         return out
 
     def reset(self) -> None:
@@ -1258,7 +1265,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 self._note_bad(bad)
             out = TMOutputs(fo=fo, soft_scale=self._soft_scale)
         if self._pipe_depth == 0:
-            self.metrics.symbols_out += self._count_symbols(out)
+            nv = self._count_symbols(out)
+            self.metrics.symbols_out += nv
+            self.metrics.bits_out += nv * self.assembler.cfg.bits_per_symbol
         return out
 
     def _count_symbols(self, out) -> int:
@@ -1347,7 +1356,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
             out = TMOutputs(fo=fo, valid_rows=mask,
                             soft_scale=self._soft_scale)
         if self._pipe_depth == 0:
-            self.metrics.symbols_out += self._count_symbols(out)
+            nv = self._count_symbols(out)
+            self.metrics.symbols_out += nv
+            self.metrics.bits_out += nv * self.assembler.cfg.bits_per_symbol
         return out
 
 
