@@ -319,6 +319,10 @@ def run_engine(args):
                 ingest_scale=scale if i16 else None,
                 soft_i8=args.soft == "i8")
             label = "mixed-bank engine"
+            if i16:
+                label += " i16-ingest"
+            if args.soft == "i8":
+                label += " soft-i8"
             bank = NativePlaneBank(C, capacity_samples=4 * need,
                                    dtype="i16" if i16 else "f32")
             frames = frames16 if i16 else frames32

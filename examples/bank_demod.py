@@ -9,6 +9,11 @@ Run on CPU (interpret mode):
 On a TPU just run it plainly (drop interpret=True for compiled speed).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

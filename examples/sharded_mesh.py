@@ -10,6 +10,11 @@ Run:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
           python examples/sharded_mesh.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

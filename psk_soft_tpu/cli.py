@@ -135,6 +135,9 @@ def cmd_demod_batch(args) -> int:
         if args.soft_i8:
             raise SystemExit("--soft-i8 requires --pipeline full (the "
                              "quantization runs inside the fused kernel)")
+        if args.interpret:
+            raise SystemExit("--interpret requires --pipeline full (only "
+                             "the fused kernel has an interpret mode)")
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
                           pipeline_depth=args.pipeline_depth,
                           guard_nonfinite=args.guard_nonfinite)

@@ -415,6 +415,25 @@ class BankAssembler:
         self._k0 = 0
         self._t0 = None
 
+    def _advance_clock(self, sv: int, eos: bool):
+        """ONE place for the packet bookkeeping both assembly routes share:
+        output SRIs, this batch's head timestamp (symbol clock _k0 advanced
+        by sv emitted symbols), the sriChanged handshake, and the Packet
+        constructor.  assemble and assemble_tm MUST stay clock-identical --
+        test_tm_packets pins it."""
+        sri = self.sri or SRI(stream_id="bank")
+        out_sri = propagate_sri(self.cfg, sri)
+        t_out = (self._t0 or 0.0) + sri.xdelta * self.cfg.sps * self._k0
+        self._k0 += sv
+        sric = self._dirty
+        self._dirty = False
+
+        def pkt(data, port):
+            return Packet(data=data, sri=out_sri[port], t=t_out,
+                          sri_changed=sric, eos=eos)
+
+        return pkt
+
     def assemble(self, out, eos: bool = False) -> dict[str, Packet]:
         """Channel-major DemodOutputs -> {port: Packet} with propagated SRI,
         symbol-accurate timestamps, and EOS marking."""
@@ -445,14 +464,7 @@ class BankAssembler:
         nb = self.cfg.bits_per_symbol
         bits = bits3[:, :, :nb].reshape(bits3.shape[0], -1).astype(np.int16)
 
-        t_out = (self._t0 or 0.0) + sri.xdelta * self.cfg.sps * self._k0
-        self._k0 += int(v.sum())
-        sric = self._dirty
-        self._dirty = False
-
-        def pkt(data, port):
-            return Packet(data=data, sri=out_sri[port], t=t_out,
-                          sri_changed=sric, eos=eos)
+        pkt = self._advance_clock(int(v.sum()), eos)
 
         pkts = {
             PORT_SOFT: pkt(soft, PORT_SOFT),
@@ -485,30 +497,18 @@ class BankAssembler:
             s_re, s_im, packed = s_re[v], s_im[v], packed[v]
             phase_p = None if phase_p is None else phase_p[v]
             sidx_p = None if sidx_p is None else sidx_p[v]
-        sv = s_re.shape[0]
+        pkt = self._advance_clock(s_re.shape[0], eos)
 
-        sri = self.sri or SRI(stream_id="bank")
-        out_sri = propagate_sri(self.cfg, sri)
-        t_out = (self._t0 or 0.0) + sri.xdelta * self.cfg.sps * self._k0
-        self._k0 += sv
-        sric = self._dirty
-        self._dirty = False
-
-        soft_t = np.empty(s_re.shape, np.complex64)          # (Sv, C)
+        from ..models.full import QuantSoft, dequantize_soft
         if tm.soft_scale:
-            inv = 1.0 / float(tm.soft_scale)
-            soft_t.real = s_re.astype(np.float32) * inv
-            soft_t.imag = s_im.astype(np.float32) * inv
+            soft_t = dequantize_soft(QuantSoft(s_re, s_im, tm.soft_scale))
         else:
+            soft_t = np.empty(s_re.shape, np.complex64)      # (Sv, C)
             soft_t.real = s_re
             soft_t.imag = s_im
         nb = self.cfg.bits_per_symbol
         bits = ((packed.T[:, :, None] >> np.arange(nb)) & 1).astype(
             np.int16).reshape(packed.shape[1], -1)           # (C, Sv*nb)
-
-        def pkt(data, port):
-            return Packet(data=data, sri=out_sri[port], t=t_out,
-                          sri_changed=sric, eos=eos)
 
         pkts = {
             PORT_SOFT: pkt(soft_t.T, PORT_SOFT),             # (C, Sv) view
