@@ -15,6 +15,8 @@ QPSK, sps=8, numAvg=100, phaseAvg=50 -- the reference's test operating point
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -22,6 +24,37 @@ import numpy as np
 
 
 PER_CHIP_BASELINE = 10e9 / 16  # north-star aggregate / v5e-16 chips
+
+
+def _await_backend():
+    """Wait out tunneled-TPU outage windows before touching jax.
+
+    The axon backend has observed outages where init raises UNAVAILABLE
+    ("TPU backend setup/compile error") for tens of minutes.  This bench is
+    run unattended (once, at round end), so probe device init in a
+    SUBPROCESS (a failed init poisons the parent's backend cache) and
+    retry until it succeeds or PSK_BENCH_WAIT_S (default 900) elapses --
+    then proceed and let the real failure surface."""
+    max_wait = float(os.environ.get("PSK_BENCH_WAIT_S", "900"))
+    t0 = time.monotonic()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=600)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        waited = time.monotonic() - t0
+        if waited > max_wait:
+            print(f"backend probe still failing after {waited:.0f}s; "
+                  f"proceeding anyway", file=sys.stderr)
+            return
+        print(f"device backend unavailable ({waited:.0f}s elapsed); "
+              f"retrying in 60s", file=sys.stderr)
+        time.sleep(60)
 
 
 def emit(C, label, rate):
@@ -443,6 +476,7 @@ def main():
                          "virtual CPU mesh (xla_force_host_platform_"
                          "device_count) the full curve")
     args = ap.parse_args()
+    _await_backend()
 
     if args.engine:
         return run_engine(args)
