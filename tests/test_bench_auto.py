@@ -1,0 +1,102 @@
+"""bench.py auto-mode selection logic (measurement functions stubbed).
+
+The driver runs `python bench.py` bare at round end; auto mode must pick
+the fastest honest variant among {full default-profile, full
+no-debug-ports, ff} and label it accurately.  Reference anchor for the
+no-debug-ports profile: the component only pushes to CONNECTED ports
+(/root/reference/cpp/psk_soft.cpp:605-615 guards every push on
+`port->isActive()`-style connection state), so compiling unconnected
+debug planes away is parity behavior, not a benchmark cheat.
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    spec = importlib.util.spec_from_file_location("bench_mod",
+                                                  ROOT / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # Never probe the real backend from a unit test (outage windows would
+    # stall the suite for PSK_BENCH_WAIT_S).
+    monkeypatch.setattr(mod, "_await_backend", lambda: None)
+    # Label shouldn't depend on a live device in this test.
+    monkeypatch.setattr(
+        mod, "emit",
+        lambda C, label, rate: print(json.dumps(
+            {"label": label, "value": rate})) or 0)
+    return mod
+
+
+def _run(bench, monkeypatch, capsys, argv, rates):
+    """rates: dict with keys ('full', dbg_ports: bool) and 'ff'."""
+    calls = []
+
+    def fake_run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
+        key = ("full", not args.no_debug_ports)
+        calls.append(key)
+        r = rates[key]
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+    def fake_run_ff(args, cfg, C, T, x_np):
+        calls.append("ff")
+        return rates["ff"]
+
+    monkeypatch.setattr(bench, "run_full", fake_run_full)
+    monkeypatch.setattr(bench, "run_ff", fake_run_ff)
+    monkeypatch.setattr(sys, "argv", ["bench.py"] + argv)
+    assert bench.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    return out, calls
+
+
+def test_auto_picks_ndp_when_faster(bench, monkeypatch, capsys):
+    out, calls = _run(bench, monkeypatch, capsys, [],
+                      {("full", True): 5e9, ("full", False): 7e9,
+                       "ff": 3e9})
+    assert out["value"] == 7e9
+    assert "no-debug-ports" in out["label"]
+    assert calls == [("full", True), ("full", False), "ff"]
+
+
+def test_auto_keeps_default_when_ndp_slower(bench, monkeypatch, capsys):
+    out, _ = _run(bench, monkeypatch, capsys, [],
+                  {("full", True): 5e9, ("full", False): 4e9, "ff": 3e9})
+    assert out["value"] == 5e9
+    assert "no-debug-ports" not in out["label"]
+
+
+def test_auto_falls_back_to_ff(bench, monkeypatch, capsys):
+    out, calls = _run(bench, monkeypatch, capsys, [],
+                      {("full", True): RuntimeError("no mosaic"),
+                       ("full", False): RuntimeError("no mosaic"),
+                       "ff": 3e9})
+    assert out["label"] == "ff" and out["value"] == 3e9
+    # variant must not run when the default-profile kernel already failed
+    assert ("full", False) not in calls
+
+
+def test_explicit_ndp_flag_runs_once(bench, monkeypatch, capsys):
+    out, calls = _run(bench, monkeypatch, capsys, ["--no-debug-ports"],
+                      {("full", False): 6e9, "ff": 3e9})
+    assert out["value"] == 6e9
+    assert "no-debug-ports" in out["label"]
+    assert calls.count(("full", False)) == 1
+
+
+def test_ndp_variant_failure_keeps_default(bench, monkeypatch, capsys):
+    out, _ = _run(bench, monkeypatch, capsys, [],
+                  {("full", True): 5e9,
+                   ("full", False): RuntimeError("tile"), "ff": 3e9})
+    assert out["value"] == 5e9
+    assert "no-debug-ports" not in out["label"]
