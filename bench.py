@@ -57,11 +57,32 @@ def _await_backend():
         time.sleep(60)
 
 
+def _cpu_fallback(args):
+    """Last resort when every device pipeline failed (backend outage):
+    re-measure the ff pipeline on the CPU backend in a subprocess (the
+    parent's jax backend cache is poisoned by the failed init) so the
+    round still records a real, honestly-labeled data point."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # axon registration rides this
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PSK_BENCH_WAIT_S"] = "0"
+    env["PSK_BENCH_OUTAGE"] = "1"
+    cmd = [sys.executable, os.path.abspath(__file__), "--pipeline", "ff",
+           "--channels", str(min(args.channels, 256)),
+           "--symbols", str(min(args.symbols, 256)),
+           "--sps", str(args.sps),
+           "--iters", "20", "--reps", "3", "--warmup", "1"]
+    return subprocess.run(cmd, env=env, timeout=3600).returncode
+
+
 def emit(C, label, rate):
     import jax
+    kind = jax.devices()[0].device_kind
+    if os.environ.get("PSK_BENCH_OUTAGE"):
+        kind += "; TPU backend outage at measurement time"
     print(json.dumps({
         "metric": f"{C}-channel QPSK streaming demod throughput "
-                  f"({label}, {jax.devices()[0].device_kind})",
+                  f"({label}, {kind})",
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / PER_CHIP_BASELINE,
@@ -537,7 +558,18 @@ def main():
         if args.pipeline == "full" and rate_full is not None:
             return emit(C, label, rate_full)
         if args.pipeline == "auto":
-            rate_ff = run_ff(args, cfg, C, T, x_np)
+            try:
+                rate_ff = run_ff(args, cfg, C, T, x_np)
+            except Exception as e:  # pragma: no cover - platform-specific
+                if rate_full is not None:
+                    return emit(C, label, rate_full)
+                # Every device pipeline failed (observed axon outages last
+                # >1h: init raises/hangs for every program).  Emit a real
+                # CPU measurement rather than NO data point -- the label
+                # says exactly what happened.
+                print(f"ff pipeline failed too ({type(e).__name__}); "
+                      f"re-measuring on the CPU backend", file=sys.stderr)
+                return _cpu_fallback(args)
             if rate_full is not None and rate_full >= rate_ff:
                 return emit(C, label, rate_full)
             return emit(C, "ff", rate_ff)

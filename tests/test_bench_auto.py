@@ -50,7 +50,10 @@ def _run(bench, monkeypatch, capsys, argv, rates):
 
     def fake_run_ff(args, cfg, C, T, x_np):
         calls.append("ff")
-        return rates["ff"]
+        r = rates["ff"]
+        if isinstance(r, Exception):
+            raise r
+        return r
 
     monkeypatch.setattr(bench, "run_full", fake_run_full)
     monkeypatch.setattr(bench, "run_ff", fake_run_ff)
@@ -92,6 +95,32 @@ def test_explicit_ndp_flag_runs_once(bench, monkeypatch, capsys):
     assert out["value"] == 6e9
     assert "no-debug-ports" in out["label"]
     assert calls.count(("full", False)) == 1
+
+
+def test_total_outage_falls_back_to_cpu(bench, monkeypatch, capsys):
+    """When EVERY device pipeline fails (backend outage), bench must still
+    emit a data point via the CPU-subprocess fallback, never crash with no
+    JSON."""
+    called = {}
+
+    def fake_fallback(args):
+        called["yes"] = True
+        print(json.dumps({"label": "cpu-fallback", "value": 1.0}))
+        return 0
+
+    monkeypatch.setattr(bench, "_cpu_fallback", fake_fallback)
+    out, _ = _run(bench, monkeypatch, capsys, [],
+                  {("full", True): RuntimeError("UNAVAILABLE"),
+                   ("full", False): RuntimeError("UNAVAILABLE"),
+                   "ff": RuntimeError("UNAVAILABLE")})
+    assert called.get("yes") and out["label"] == "cpu-fallback"
+
+
+def test_ff_failure_with_full_ok_emits_full(bench, monkeypatch, capsys):
+    out, _ = _run(bench, monkeypatch, capsys, [],
+                  {("full", True): 5e9, ("full", False): 4e9,
+                   "ff": RuntimeError("flaky")})
+    assert out["value"] == 5e9
 
 
 def test_ndp_variant_failure_keeps_default(bench, monkeypatch, capsys):
