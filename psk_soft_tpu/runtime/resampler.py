@@ -1,0 +1,123 @@
+"""Streaming per-channel resampler bank: heterogeneous native rates in,
+one common-sps (T, C) plane block out.
+
+Host/device split (same philosophy as the native deframer): channels
+arrive at their own rates, so per-block consumption is RAGGED -- that
+bookkeeping (per-channel queues, window assembly, carry rebasing) stays on
+the host in numpy, while the device step (ops/resample.py) sees one
+static-shape (W, C) window every block and one compile for the bank's
+lifetime.  The output planes feed the batch engines directly
+(FullKernelBatchEngine.push_planes / BatchEngine), so a bank whose
+channels natively run at sps 7.3, 8.0 and 9.25 demodulates through ONE
+fused kernel at the common sps.
+
+Position bookkeeping is rebased every block (the carry stays within one
+tap-span of zero), so float32 phase accumulation never loses precision
+over unbounded stream lengths.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.resample import kaiser_sinc_table, resample_block
+
+
+class ResamplerBank:
+    """Convert C channels at per-channel input rates to a common output
+    rate, block-streaming.
+
+    ratios: input samples per output sample, per channel (in_rate/out_rate;
+      e.g. native sps 7.3 -> bank sps 8 is ratio 7.3/8).
+    block_out: output rows per step (= the downstream engine's T).
+    """
+
+    def __init__(self, ratios, block_out: int, n_phases: int = 128,
+                 taps_per_phase: int = 8, kaiser_beta: float = 8.0):
+        self.ratios = np.asarray(ratios, np.float64)
+        if self.ratios.ndim != 1 or not np.all(self.ratios > 0):
+            raise ValueError("ratios must be a 1-D array of positive "
+                             "in/out rate quotients")
+        self.channels = self.ratios.size
+        self.block_out = int(block_out)
+        self.K = int(taps_per_phase)
+        if self.K % 2 or self.K < 4:
+            raise ValueError(f"taps_per_phase must be even and >= 4, got "
+                             f"{self.K}")
+        # anti-alias margin for the largest downsampling ratio in the bank
+        cutoff = min(1.0, 1.0 / float(self.ratios.max()))
+        self._table = jnp.asarray(kaiser_sinc_table(
+            n_phases, self.K, cutoff=cutoff, beta=kaiser_beta))
+        # static device window: covers the worst-case block span + carry
+        self.window = (int(math.ceil((self.block_out - 1)
+                                     * float(self.ratios.max())))
+                       + 2 * self.K + 8)
+        self._ratio_dev = jnp.asarray(self.ratios.astype(np.float32))
+        # per-channel input queues (complex64 host buffers) + carry
+        self._buf = [np.zeros(0, np.complex64) for _ in range(self.channels)]
+        # first output sample position, relative to each buffer's row 0;
+        # starts at the earliest in-contract point so the filter's lead-in
+        # reads real (pushed) samples once enough arrive
+        self._pos = np.full(self.channels, self.K // 2 - 1, np.float64)
+
+    def push(self, channel: int, data: np.ndarray) -> None:
+        d = np.asarray(data)
+        if d.ndim != 1:
+            raise ValueError("per-channel input must be 1-D complex samples")
+        self._buf[channel] = np.concatenate(
+            [self._buf[channel], d.astype(np.complex64)])
+
+    def _need(self) -> np.ndarray:
+        last = self._pos + (self.block_out - 1) * self.ratios
+        return np.floor(last).astype(np.int64) + self.K // 2 + 1
+
+    def ready(self) -> bool:
+        need = self._need()
+        return all(len(b) >= n for b, n in zip(self._buf, need))
+
+    def pending(self) -> np.ndarray:
+        """Per-channel samples still missing for the next block (0 when
+        ready); observability for the feeder."""
+        need = self._need()
+        return np.maximum(0, need - np.array([len(b) for b in self._buf]))
+
+    def step_planes(self):
+        """One block: (y_re, y_im) time-major (block_out, C) float32 device
+        planes at the common rate, or None until every channel has enough
+        input."""
+        if not self.ready():
+            return None
+        need = self._need()
+        W = self.window
+        assert int(need.max()) <= W, "window sizing bug"
+        x_re = np.zeros((W, self.channels), np.float32)
+        x_im = np.zeros((W, self.channels), np.float32)
+        for c, b in enumerate(self._buf):
+            n = int(need[c])
+            x_re[:n, c] = b[:n].real
+            x_im[:n, c] = b[:n].imag
+        y_re, y_im, _ = resample_block(
+            jnp.asarray(x_re), jnp.asarray(x_im),
+            jnp.asarray(self._pos.astype(np.float32)), self._ratio_dev,
+            self._table, self.block_out)
+        # advance + rebase: drop rows the next block can no longer read
+        pos_end = self._pos + self.block_out * self.ratios
+        drop = np.maximum(
+            np.floor(pos_end).astype(np.int64) - (self.K // 2 - 1), 0)
+        for c in range(self.channels):
+            self._buf[c] = self._buf[c][int(drop[c]):]
+        self._pos = pos_end - drop
+        return y_re, y_im
+
+    def step(self):
+        """Like :meth:`step_planes` but returns a host (C, block_out)
+        complex64 array (BatchEngine.push-compatible per channel)."""
+        out = self.step_planes()
+        if out is None:
+            return None
+        y_re, y_im = out
+        return (np.asarray(y_re).T + 1j * np.asarray(y_im).T).astype(
+            np.complex64)

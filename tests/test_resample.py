@@ -1,0 +1,226 @@
+"""Per-channel polyphase resampler (ops/resample.py + runtime ResamplerBank).
+
+Accuracy against the continuous reconstruction, block-split invariance of
+the streaming wrapper, and the heterogeneous-rate end-to-end: a channel at
+NATIVE fractional sps (e.g. 7.3) resampled to the bank's common sps and
+demodulated must produce the same bits as a channel generated at the
+common rate directly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from psk_soft_tpu import DemodConfig, demod_init, make_demod_fn
+from psk_soft_tpu.ops.matched_filter import rrc_taps
+from psk_soft_tpu.ops.resample import (kaiser_sinc_table, resample_block,
+                                       resample_positions_valid)
+from psk_soft_tpu.runtime.resampler import ResamplerBank
+
+K, P = 8, 128
+
+
+def _sinc_interp(x, t, half=48):
+    """High-quality truncated-sinc reference interpolator (test oracle)."""
+    t = np.asarray(t, np.float64)
+    out = np.zeros(t.shape, np.complex128)
+    for i, ti in enumerate(t):
+        m0 = int(np.floor(ti)) - half
+        m = np.arange(m0, m0 + 2 * half)
+        m = m[(m >= 0) & (m < x.size)]
+        w = np.sinc(ti - m)
+        out[i] = np.dot(x[m], w)
+    return out
+
+
+def _bandlimited_qpsk(nsym, sps=8, seed=0, beta=0.35, span=8):
+    rng = np.random.default_rng(seed)
+    sym = rng.integers(0, 4, nsym)
+    pts = np.exp(2j * np.pi * sym / 4 + 1j * np.pi / 4)
+    up = np.zeros(nsym * sps, np.complex128)
+    up[::sps] = pts
+    x = np.convolve(up, rrc_taps(sps, beta, span).astype(np.float64),
+                    mode="same")
+    return x.astype(np.complex64), sym
+
+
+def test_table_phase0_is_identity():
+    tab = kaiser_sinc_table(P, K)
+    assert tab.shape == (P + 1, K)
+    want = np.zeros(K, np.float32)
+    want[K // 2 - 1] = 1.0
+    np.testing.assert_allclose(tab[0], want, atol=1e-7)
+    np.testing.assert_allclose(tab[P], np.roll(want, 1), atol=1e-7)
+    np.testing.assert_allclose(tab.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_integer_ratio_one_is_passthrough():
+    x = (np.random.default_rng(0).standard_normal((64, 3))
+         .astype(np.float32))
+    tab = jnp.asarray(kaiser_sinc_table(P, K))
+    pos0 = jnp.full(3, float(K // 2 - 1), jnp.float32)
+    y_re, y_im, pos_end = resample_block(
+        jnp.asarray(x), jnp.asarray(x), pos0, jnp.ones(3, jnp.float32),
+        tab, 32)
+    np.testing.assert_allclose(np.asarray(y_re),
+                               x[K // 2 - 1: K // 2 - 1 + 32], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pos_end), K // 2 - 1 + 32)
+
+
+@pytest.mark.parametrize("ratio", [0.8, 1.0, 1.25, 7.3 / 8])
+def test_tone_accuracy(ratio):
+    """Resampled complex exponential matches its continuous form."""
+    f = 0.11  # cycles per INPUT sample, well inside the table's passband
+    T_in, n_out = 512, 300
+    m = np.arange(T_in)
+    x = np.exp(2j * np.pi * f * m).astype(np.complex64)
+    pos0 = np.full(1, float(K // 2 - 1), np.float32)
+    r = np.full(1, ratio, np.float32)
+    assert resample_positions_valid(pos0, r, n_out, T_in, K)
+    tab = jnp.asarray(kaiser_sinc_table(P, K,
+                                        cutoff=min(1.0, 1.0 / ratio)))
+    y_re, y_im, _ = resample_block(
+        jnp.asarray(x.real[:, None]), jnp.asarray(x.imag[:, None]),
+        jnp.asarray(pos0), jnp.asarray(r), tab, n_out)
+    y = np.asarray(y_re)[:, 0] + 1j * np.asarray(y_im)[:, 0]
+    t = pos0[0] + np.arange(n_out) * ratio
+    want = np.exp(2j * np.pi * f * t)
+    err = np.abs(y - want).max()
+    assert err < 4e-3, err
+
+
+def test_per_channel_ratios_match_single_channel_runs():
+    """One (T, C) call with mixed ratios == per-channel individual calls."""
+    rng = np.random.default_rng(3)
+    ratios = np.array([0.8, 1.0, 1.25, 7.3 / 8], np.float32)
+    T_in, n_out = 400, 256
+    xs = (rng.standard_normal((T_in, 4)) +
+          1j * rng.standard_normal((T_in, 4))).astype(np.complex64)
+    tab = jnp.asarray(kaiser_sinc_table(P, K, cutoff=1.0 / 1.25))
+    pos0 = np.full(4, float(K // 2 - 1), np.float32)
+    y_re, y_im, _ = resample_block(
+        jnp.asarray(xs.real.copy()), jnp.asarray(xs.imag.copy()),
+        jnp.asarray(pos0), jnp.asarray(ratios), tab, n_out)
+    for c in range(4):
+        yr, yi, _ = resample_block(
+            jnp.asarray(np.ascontiguousarray(xs.real[:, c:c + 1])),
+            jnp.asarray(np.ascontiguousarray(xs.imag[:, c:c + 1])),
+            jnp.asarray(pos0[c:c + 1]), jnp.asarray(ratios[c:c + 1]),
+            tab, n_out)
+        # ULP-level differences only (XLA fuses the two shapes differently)
+        np.testing.assert_allclose(np.asarray(y_re)[:, c],
+                                   np.asarray(yr)[:, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y_im)[:, c],
+                                   np.asarray(yi)[:, 0], atol=1e-6)
+
+
+def test_bank_streaming_matches_oneshot():
+    """Feeding the bank in ragged pushes must equal one big device call."""
+    rng = np.random.default_rng(7)
+    ratios = [0.9, 1.0, 1.2]
+    C, B = len(ratios), 64
+    n_blocks = 5
+    total_need = int(np.ceil(B * n_blocks * max(ratios))) + 4 * K
+    xs = [(rng.standard_normal(total_need)
+           + 1j * rng.standard_normal(total_need)).astype(np.complex64)
+          for _ in range(C)]
+
+    bank = ResamplerBank(ratios, block_out=B, n_phases=P, taps_per_phase=K)
+    outs, fed = [], [0] * C
+    chunk = 37
+    while len(outs) < n_blocks:
+        got = bank.step()
+        if got is not None:
+            outs.append(got)
+            continue
+        for c in range(C):
+            bank.push(c, xs[c][fed[c]:fed[c] + chunk])
+            fed[c] += chunk
+    stream = np.concatenate(outs, axis=1)       # (C, B*n_blocks)
+
+    # one-shot oracle: same table, same positions, single device call
+    tab = jnp.asarray(kaiser_sinc_table(P, K, cutoff=1.0 / max(ratios)))
+    T_in = max(len(x) for x in xs)
+    x_re = np.zeros((T_in, C), np.float32)
+    x_im = np.zeros((T_in, C), np.float32)
+    for c, x in enumerate(xs):
+        x_re[:len(x), c] = x.real
+        x_im[:len(x), c] = x.imag
+    pos0 = np.full(C, float(K // 2 - 1), np.float32)
+    y_re, y_im, _ = resample_block(
+        jnp.asarray(x_re), jnp.asarray(x_im), jnp.asarray(pos0),
+        jnp.asarray(np.asarray(ratios, np.float32)), tab, B * n_blocks)
+    want = (np.asarray(y_re).T + 1j * np.asarray(y_im).T)
+    # the one-shot oracle accumulates positions as float32 n*ratio (rounds
+    # at ~1e-5 by n=320); the bank rebases per block in float64 host math
+    # and is the MORE accurate of the two.  A carry/rebase bug would be a
+    # tap-scale (>1e-1) error, far above this tolerance.
+    np.testing.assert_allclose(stream, want, atol=5e-4)
+
+
+def test_bank_pending_and_ready():
+    bank = ResamplerBank([1.0, 1.5], block_out=32)
+    assert not bank.ready()
+    p = bank.pending()
+    assert p.shape == (2,) and (p > 0).all() and p[1] > p[0]
+    assert bank.step() is None
+    bank.push(0, np.zeros(int(p[0]), np.complex64))
+    bank.push(1, np.zeros(int(p[1]), np.complex64))
+    assert bank.ready() and bank.step() is not None
+
+
+def test_bank_rejects_bad_args():
+    with pytest.raises(ValueError):
+        ResamplerBank([1.0, -0.5], block_out=32)
+    with pytest.raises(ValueError):
+        ResamplerBank([1.0], block_out=32, taps_per_phase=7)
+    bank = ResamplerBank([1.0], block_out=32)
+    with pytest.raises(ValueError):
+        bank.push(0, np.zeros((2, 2), np.complex64))
+
+
+def test_fractional_native_sps_demod_end_to_end():
+    """Native sps 7.3 channel -> ResamplerBank at ratio 7.3/8 -> demod at
+    sps 8: bits equal a channel generated at sps 8 directly."""
+    sps, nsym = 8, 320
+    ratio = 7.3 / 8.0   # native samples per common-rate sample
+    x8, _ = _bandlimited_qpsk(nsym + 16, sps=sps, seed=11)
+    # synthesize the native-rate stream: one native sample advances
+    # 1/ratio common-rate samples of time (sps 7.3 has FEWER samples per
+    # symbol than the common sps 8)
+    need = int(np.ceil(nsym * sps * ratio)) + 8 * K
+    t_native = np.arange(need) / ratio
+    x_native = _sinc_interp(x8.astype(np.complex128), t_native
+                            ).astype(np.complex64)
+
+    bank = ResamplerBank([ratio], block_out=64 * sps, n_phases=P,
+                         taps_per_phase=K)
+    bank.push(0, x_native)
+    blocks = []
+    while bank.ready():
+        blocks.append(bank.step()[0])
+    y = np.concatenate(blocks)
+    assert y.size >= 256 * sps
+
+    # the resampled stream reproduces the common-rate signal: output n sits
+    # at native position pos0 + n*ratio == common-rate time pos0/ratio + n
+    t0 = (K // 2 - 1) / ratio
+    ref_full = _sinc_interp(x8.astype(np.complex128),
+                            t0 + np.arange(y.size)).astype(np.complex64)
+    span = slice(4 * sps, y.size - 4 * sps)
+    assert np.abs(y[span] - ref_full[span]).max() < 5e-3
+
+    cfg = DemodConfig(sps=sps, num_avg=20, constellation_size=4,
+                      phase_avg=10, matched_filter="rrc")
+    fn = make_demod_fn(cfg)
+    n_use = (y.size // sps) * sps
+    _, out_r = fn(demod_init(cfg), jnp.asarray(y[:n_use]))
+    _, out_d = fn(demod_init(cfg), jnp.asarray(ref_full[:n_use]))
+    vr, vd = np.asarray(out_r.valid), np.asarray(out_d.valid)
+    np.testing.assert_array_equal(vr, vd)
+    bits_r = np.asarray(out_r.bits)[vr]
+    bits_d = np.asarray(out_d.bits)[vd]
+    # ignore the last few symbols where the truncated-sinc fixture itself
+    # (not the resampler) degrades at the stream tail
+    n = bits_r.shape[0] - 8
+    np.testing.assert_array_equal(bits_r[:n], bits_d[:n])
