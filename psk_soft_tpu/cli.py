@@ -121,11 +121,23 @@ def cmd_demod_batch(args) -> int:
     cfg = _config_from_args(args)
     C = args.channels
     i16 = args.in_format == "ci16"
+    resampler = None
+    if args.native_sps is not None:
+        from .runtime.resampler import ResamplerBank
+        vals = [float(v) for v in args.native_sps.split(",")]
+        if len(vals) == 1:
+            vals = vals * C
+        if len(vals) != C:
+            raise SystemExit(f"--native-sps needs 1 or {C} values, got "
+                             f"{len(vals)}")
+        resampler = ResamplerBank([v / cfg.sps for v in vals],
+                                  block_out=args.block_symbols * cfg.sps)
     if args.pipeline == "full":
         eng = FullKernelBatchEngine(cfg, channels=C,
                                     block_symbols=args.block_symbols,
                                     pipeline_depth=args.pipeline_depth,
-                                    ingest_scale=args.in_scale if i16
+                                    ingest_scale=args.in_scale
+                                    if (i16 and resampler is None)
                                     else None,
                                     guard_nonfinite=args.guard_nonfinite,
                                     debug_ports=not args.no_debug_ports,
@@ -178,18 +190,22 @@ def cmd_demod_batch(args) -> int:
     # takes the channel-major bank.
     need = args.block_symbols * cfg.sps
     bank = plane_bank = None
-    try:
-        if args.pipeline == "full":
-            from .runtime.native_bank import NativePlaneBank
-            plane_bank = NativePlaneBank(
-                C, capacity_samples=max(4 * need, 1 << 16),
-                dtype="i16" if i16 else "f32")
-        else:
-            from .runtime.native_bank import NativeChannelBank
-            bank = NativeChannelBank(C,
-                                     capacity_samples=max(4 * need, 1 << 16))
-    except Exception:
-        pass
+    # per-channel-rate ingest goes host dequant -> ResamplerBank ->
+    # common-rate planes; its ragged consumption can't ride the
+    # fixed-frame native rings, so those stay off when resampling.
+    if resampler is None:
+        try:
+            if args.pipeline == "full":
+                from .runtime.native_bank import NativePlaneBank
+                plane_bank = NativePlaneBank(
+                    C, capacity_samples=max(4 * need, 1 << 16),
+                    dtype="i16" if i16 else "f32")
+            else:
+                from .runtime.native_bank import NativeChannelBank
+                bank = NativeChannelBank(
+                    C, capacity_samples=max(4 * need, 1 << 16))
+        except Exception:
+            pass
 
     wire_dtype = np.int16 if i16 else np.float32
 
@@ -222,6 +238,21 @@ def cmd_demod_batch(args) -> int:
                 if r is None:
                     break
                 eng.push_block(r[0])
+        elif resampler is not None:
+            data = _dequant_cmajor(flat)
+            for c in range(C):
+                resampler.push(c, np.ascontiguousarray(data[c]))
+            while True:
+                if args.pipeline == "full":
+                    blk = resampler.step_planes()
+                    if blk is None:
+                        break
+                    eng.push_planes(np.asarray(blk[0]), np.asarray(blk[1]))
+                else:
+                    blk = resampler.step()
+                    if blk is None:
+                        break
+                    eng.push_block(blk)
         else:
             data = _dequant_cmajor(flat)
             for c in range(C):
@@ -247,6 +278,19 @@ def cmd_demod_batch(args) -> int:
                     r = bank.pop_block(bank.depth(), timeout=0)
                     if r is not None:
                         eng.push_block(r[0])
+                if resampler is not None:
+                    full = args.pipeline == "full"
+                    for blk in resampler.drain(planes=full):
+                        if full:
+                            eng.push_planes(np.asarray(blk[0]),
+                                            np.asarray(blk[1]))
+                        else:
+                            eng.push_block(blk)
+                    while True:
+                        pkts = eng.step_packets()
+                        if pkts is None:
+                            break
+                        write(pkts)
                 write(eng.flush_packets())
                 break
     finally:
@@ -402,6 +446,14 @@ def main(argv=None) -> int:
                          "link at 2 bytes/symbol/channel; the .soft.cf32 "
                          "file then carries the dequantized (grid-snapped) "
                          "values (full pipeline only)")
+    db.add_argument("--native-sps", default=None,
+                    help="per-channel NATIVE samples-per-baud at the "
+                         "capture rate, comma-separated (or one value for "
+                         "all): each channel is polyphase-resampled from "
+                         "its native (possibly fractional, e.g. 7.3) rate "
+                         "to the bank's common --sps before demod "
+                         "(runtime/resampler.py), so heterogeneous bauds "
+                         "share one kernel bank")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

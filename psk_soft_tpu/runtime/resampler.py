@@ -58,6 +58,8 @@ class ResamplerBank:
         self._ratio_dev = jnp.asarray(self.ratios.astype(np.float32))
         # per-channel input queues (complex64 host buffers) + carry
         self._buf = [np.zeros(0, np.complex64) for _ in range(self.channels)]
+        # real (non-padding) samples still queued, for EOS drain accounting
+        self._real = np.zeros(self.channels, np.int64)
         # first output sample position, relative to each buffer's row 0;
         # starts at the earliest in-contract point so the filter's lead-in
         # reads real (pushed) samples once enough arrive
@@ -69,6 +71,7 @@ class ResamplerBank:
             raise ValueError("per-channel input must be 1-D complex samples")
         self._buf[channel] = np.concatenate(
             [self._buf[channel], d.astype(np.complex64)])
+        self._real[channel] += d.size
 
     def _need(self) -> np.ndarray:
         last = self._pos + (self.block_out - 1) * self.ratios
@@ -109,6 +112,7 @@ class ResamplerBank:
             np.floor(pos_end).astype(np.int64) - (self.K // 2 - 1), 0)
         for c in range(self.channels):
             self._buf[c] = self._buf[c][int(drop[c]):]
+        self._real = np.maximum(self._real - drop, 0)
         self._pos = pos_end - drop
         return y_re, y_im
 
@@ -121,3 +125,23 @@ class ResamplerBank:
         y_re, y_im = out
         return (np.asarray(y_re).T + 1j * np.asarray(y_im).T).astype(
             np.complex64)
+
+    def drain(self, planes: bool = True):
+        """EOS: zero-pad every channel until all REAL queued samples have
+        been consumed, yielding the final full blocks (the downstream
+        engines then pad/flush their own sub-block tails).  Returns a list
+        of step_planes()/step() results."""
+        out = []
+        # a channel's tail is spent once fewer than a tap-span of real
+        # samples remains (the rest is filter lead-out)
+        while np.any(self._real > self.K):
+            pad = self.pending()
+            for c in range(self.channels):
+                if pad[c]:
+                    self._buf[c] = np.concatenate(
+                        [self._buf[c], np.zeros(int(pad[c]), np.complex64)])
+            blk = self.step_planes() if planes else self.step()
+            if blk is None:    # cannot happen after padding; stay safe
+                break
+            out.append(blk)
+        return out

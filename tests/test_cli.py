@@ -215,3 +215,84 @@ def test_cli_demod_batch_full_pipeline_soft_i8(tmp_path):
     np.testing.assert_array_equal(
         np.fromfile(tmp_path / "f32.bits.i16", np.int16),
         np.fromfile(tmp_path / "i8.bits.i16", np.int16))
+
+
+def test_cli_demod_batch_native_sps_resampling(tmp_path):
+    """demod-batch --native-sps: per-channel fractional native rates are
+    resampled to the bank sps before demod.  The CLI plumbing (dequant ->
+    ResamplerBank -> engine -> files, incl. the EOS drain) must match the
+    same in-process chain; the resampler's DSP correctness itself is gated
+    in test_resample.py."""
+    from psk_soft_tpu.ops.matched_filter import rrc_taps
+    from psk_soft_tpu.runtime.resampler import ResamplerBank
+
+    C, sps, nsym = 2, 8, 420
+    native = [7.3, 8.0]
+
+    def bandlimited(seed):
+        rng = np.random.default_rng(seed)
+        up = np.zeros((nsym + 16) * sps, np.complex128)
+        up[::sps] = np.exp(2j * np.pi * rng.integers(0, 4, nsym + 16) / 4
+                           + 1j * np.pi / 4)
+        return np.convolve(up, rrc_taps(sps, 0.35, 8).astype(np.float64),
+                           mode="same")
+
+    def sinc_at(x, t, half=48):
+        out = np.zeros(t.shape, np.complex128)
+        for i, ti in enumerate(t):
+            m = np.arange(int(np.floor(ti)) - half,
+                          int(np.floor(ti)) + half)
+            m = m[(m >= 0) & (m < x.size)]
+            out[i] = np.dot(x[m], np.sinc(ti - m))
+        return out
+
+    n_capture = nsym * sps  # same capture-sample count on every channel
+    # native sample m of channel c sits at common-rate time m / ratio_c
+    xs = np.stack([
+        sinc_at(bandlimited(20 + c),
+                np.arange(n_capture) / (native[c] / sps))
+        for c in range(C)]).astype(np.complex64)
+
+    infile = tmp_path / "hetero.cf32"
+    infile.write_bytes(np.ascontiguousarray(xs.T).tobytes())
+    prefix = tmp_path / "hetero_out"
+    proc = _run(["demod-batch", "--in", str(infile), "--channels", str(C),
+                 "--out-prefix", str(prefix), "--sps", str(sps), "-M", "4",
+                 "--num-avg", "20", "--phase-avg", "10",
+                 "--block-symbols", "64", "--chunk-samples", "333",
+                 "--native-sps", ",".join(str(v) for v in native)])
+    metrics = json.loads(proc.stderr.strip().splitlines()[-1])
+    soft = np.fromfile(prefix.with_suffix(".soft.cf32"),
+                       np.complex64).reshape(-1, C)
+    assert soft.shape[0] > 300
+    assert metrics["symbols_out"] == soft.shape[0] * C
+
+    # in-process oracle: identical chain
+    from psk_soft_tpu.runtime.engine import BatchEngine
+    from psk_soft_tpu.utils.transfer import to_host
+    rs = ResamplerBank([v / sps for v in native], block_out=64 * sps)
+    eng = BatchEngine(_cfg(), channels=C, block_symbols=64)
+    for c in range(C):
+        rs.push(c, xs[c])
+    ref = []
+
+    def pump():
+        while True:
+            out = eng.step()
+            if out is None:
+                return
+            out = to_host(out)
+            ref.append(out.soft[:, out.valid[0]])
+
+    while True:
+        blk = rs.step()
+        if blk is None:
+            break
+        eng.push_block(blk)
+    for blk in rs.drain(planes=False):
+        eng.push_block(blk)
+    pump()
+    ref = np.concatenate(ref, axis=1)
+    n = min(soft.shape[0], ref.shape[1])
+    assert n > 300
+    np.testing.assert_allclose(soft[:n], ref[:, :n].T, rtol=0, atol=1e-5)
