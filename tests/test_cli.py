@@ -296,3 +296,56 @@ def test_cli_demod_batch_native_sps_resampling(tmp_path):
     n = min(soft.shape[0], ref.shape[1])
     assert n > 300
     np.testing.assert_allclose(soft[:n], ref[:, :n].T, rtol=0, atol=1e-5)
+
+
+def test_cli_demod_batch_native_sps_full_pipeline(tmp_path):
+    """--native-sps with --pipeline full (interpret): the resampler's
+    plane-output branch (step_planes -> push_planes) and its EOS drain.
+    Channel count = kernel lane width; both channels at ratio != 1."""
+    from psk_soft_tpu.ops.matched_filter import rrc_taps
+
+    C, sps, nsym = 128, 8, 384
+    rng = np.random.default_rng(5)
+    native = np.round(rng.uniform(7.0, 9.5, C), 2)
+
+    # band-limited QPSK at the common rate, sampled at each native rate
+    taps = rrc_taps(sps, 0.35, 8).astype(np.float64)
+
+    def channel(c):
+        r = np.random.default_rng(100 + c)
+        up = np.zeros((nsym + 16) * sps, np.complex128)
+        up[::sps] = np.exp(2j * np.pi * r.integers(0, 4, nsym + 16) / 4)
+        x8 = np.convolve(up, taps, mode="same")
+        ratio = native[c] / sps
+        t = np.arange(nsym * sps) / ratio
+        base = np.floor(t).astype(np.int64)
+        # cheap linear interpolation is enough here: the CLI test gates
+        # PLUMBING equality against the in-process chain, which sees the
+        # identical input
+        b1 = np.minimum(base + 1, x8.size - 1)
+        fr = t - base
+        return ((1 - fr) * x8[np.minimum(base, x8.size - 1)]
+                + fr * x8[b1]).astype(np.complex64)
+
+    xs = np.stack([channel(c) for c in range(C)])
+    infile = tmp_path / "hetero_full.cf32"
+    infile.write_bytes(np.ascontiguousarray(xs.T).tobytes())
+    prefix = tmp_path / "hetero_full_out"
+    proc = _run(["demod-batch", "--in", str(infile), "--channels", str(C),
+                 "--out-prefix", str(prefix), "--sps", str(sps), "-M", "4",
+                 "--num-avg", "20", "--phase-avg", "10",
+                 "--matched-filter", "rrc",
+                 "--block-symbols", "64", "--pipeline", "full",
+                 "--interpret",
+                 "--native-sps", ",".join(str(v) for v in native)])
+    metrics = json.loads(proc.stderr.strip().splitlines()[-1])
+    soft = np.fromfile(prefix.with_suffix(".soft.cf32"),
+                       np.complex64).reshape(-1, C)
+    assert soft.shape[0] > 200
+    assert metrics["symbols_out"] == soft.shape[0] * C
+    assert np.all(np.isfinite(soft))
+    # every channel demodulates: mid-stream soft decisions near the QPSK
+    # circle (|s| ~ 1) once tracking converges
+    mags = np.abs(soft[64:-32])
+    assert np.median(mags) > 0.7
+    assert (np.abs(np.median(mags, axis=0) - 1.0) < 0.35).all()
