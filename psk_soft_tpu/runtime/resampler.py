@@ -33,6 +33,14 @@ class ResamplerBank:
     ratios: input samples per output sample, per channel (in_rate/out_rate;
       e.g. native sps 7.3 -> bank sps 8 is ratio 7.3/8).
     block_out: output rows per step (= the downstream engine's T).
+
+    Backpressure note: a step consumes ~block_out*ratio_c input samples per
+    channel, so when channels ARRIVE at a common capture rate but their
+    ratios differ, the lower-ratio channels' queues grow while the highest
+    ratio gates block cadence.  That skew is inherent to putting different
+    bauds on one output grid; for endless streams with widely different
+    bauds, group channels of similar baud into separate banks (GroupEngine
+    composition) and keep each bank's ratio spread small.
     """
 
     def __init__(self, ratios, block_out: int, n_phases: int = 128,

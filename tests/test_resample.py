@@ -224,3 +224,34 @@ def test_fractional_native_sps_demod_end_to_end():
     # (not the resampler) degrades at the stream tail
     n = bits_r.shape[0] - 8
     np.testing.assert_array_equal(bits_r[:n], bits_d[:n])
+
+
+def test_bank_drain_consumes_all_real_samples():
+    """drain(): zero-pads to finish blocks until every REAL queued sample
+    has been consumed, then stops (no infinite padding loop)."""
+    ratios = [0.85, 1.3]
+    B = 48
+    bank = ResamplerBank(ratios, block_out=B, taps_per_phase=K)
+    rng = np.random.default_rng(1)
+    # enough for ~2 blocks on ch0, ~1.2 blocks on ch1
+    n0 = int(2.4 * B * ratios[0])
+    n1 = int(1.2 * B * ratios[1])
+    bank.push(0, (rng.standard_normal(n0)
+                  + 1j * rng.standard_normal(n0)).astype(np.complex64))
+    bank.push(1, (rng.standard_normal(n1)
+                  + 1j * rng.standard_normal(n1)).astype(np.complex64))
+    n_live = 0
+    while bank.ready():
+        assert bank.step() is not None
+        n_live += 1
+    tail = bank.drain(planes=False)
+    assert len(tail) >= 1
+    assert (bank._real <= bank.K).all()
+    assert not bank.ready() or bank.pending().max() == 0
+    # a fresh drain on the spent bank yields nothing
+    assert bank.drain(planes=False) == []
+    total = (n_live + len(tail)) * B
+    # every real sample's output position was produced: outputs cover at
+    # least n_c/ratio_c common-rate samples per channel
+    for c, (n, r) in enumerate(zip((n0, n1), ratios)):
+        assert total >= (n - bank.K) / r
