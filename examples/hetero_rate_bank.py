@@ -33,16 +33,11 @@ def native_stream(nsym, native_sps, common_sps=8, seed=0):
                               + 1j * np.pi / 4)
     x8 = np.convolve(up, rrc_taps(common_sps, 0.35, 8).astype(np.float64),
                      mode="same")
+    from psk_soft_tpu.testing.signals import sinc_interp
     ratio = native_sps / common_sps          # native samples per common one
     n = int(nsym * common_sps * ratio)
     t = np.arange(n) / ratio                 # common-rate time of native m
-    out = np.zeros(n, np.complex128)
-    half = 48
-    for i, ti in enumerate(t):
-        m = np.arange(int(ti) - half, int(ti) + half)
-        m = m[(m >= 0) & (m < x8.size)]
-        out[i] = np.dot(x8[m], np.sinc(ti - m))
-    return out.astype(np.complex64)
+    return sinc_interp(x8, t).astype(np.complex64)
 
 
 def main():

@@ -153,8 +153,21 @@ def cmd_demod_batch(args) -> int:
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
                           pipeline_depth=args.pipeline_depth,
                           guard_nonfinite=args.guard_nonfinite)
-    eng.set_input_sri(SRI(stream_id=args.stream_id,
-                          xdelta=1.0 / args.sample_rate, mode=1))
+    xdelta = 1.0 / args.sample_rate
+    if resampler is not None:
+        rs_ratios = resampler.ratios
+        if np.allclose(rs_ratios, rs_ratios[0]):
+            # one resampled sample spans ratio/sample_rate seconds of
+            # capture time, so the packet clock rescales exactly
+            xdelta = float(rs_ratios[0]) / args.sample_rate
+        else:
+            print("warning: --native-sps values differ per channel; the "
+                  "bank packet clock (SRI xdelta/timestamps) follows the "
+                  "common grid and cannot be exact for every channel's "
+                  "wall-clock rate -- split rates into separate runs if "
+                  "downstream consumers need exact clocks", file=sys.stderr)
+            xdelta = float(np.median(rs_ratios)) / args.sample_rate
+    eng.set_input_sri(SRI(stream_id=args.stream_id, xdelta=xdelta, mode=1))
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
     # All four SCD ports (psk_soft.scd.xml:32-73), symbol-interleaved across
     # channels like the input sample order.
@@ -219,11 +232,14 @@ def cmd_demod_batch(args) -> int:
             re, im = pairs[..., 0], pairs[..., 1]
         return (re + 1j * im).astype(np.complex64).T
 
+    wire_samples = [0]    # capture-rate complex samples actually read
+
     def ingest(raw):
         usable = len(raw) - (len(raw) % frame_bytes)
         if not usable:
             return
         flat = np.frombuffer(raw[:usable], wire_dtype)
+        wire_samples[0] += flat.size // 2
         if plane_bank is not None:
             plane_bank.push_interleaved(flat)
             while True:
@@ -247,7 +263,8 @@ def cmd_demod_batch(args) -> int:
                     blk = resampler.step_planes()
                     if blk is None:
                         break
-                    eng.push_planes(np.asarray(blk[0]), np.asarray(blk[1]))
+                    # device-resident planes flow straight into the engine
+                    eng.push_planes(blk[0], blk[1])
                 else:
                     blk = resampler.step()
                     if blk is None:
@@ -282,8 +299,7 @@ def cmd_demod_batch(args) -> int:
                     full = args.pipeline == "full"
                     for blk in resampler.drain(planes=full):
                         if full:
-                            eng.push_planes(np.asarray(blk[0]),
-                                            np.asarray(blk[1]))
+                            eng.push_planes(blk[0], blk[1])
                         else:
                             eng.push_block(blk)
                     while True:
@@ -298,9 +314,14 @@ def cmd_demod_batch(args) -> int:
             f.close()
         if src is not sys.stdin.buffer:
             src.close()
-    print(json.dumps({"samples_in": eng.metrics.samples_in,
-                      "symbols_out": eng.metrics.symbols_out}),
-          file=sys.stderr)
+    metrics = {"samples_in": eng.metrics.samples_in,
+               "symbols_out": eng.metrics.symbols_out}
+    if resampler is not None:
+        # keep samples_in = wire samples read (consistent with every other
+        # mode); the engine's own counter sees post-resample samples
+        metrics["samples_in"] = wire_samples[0]
+        metrics["resampled_in"] = eng.metrics.samples_in
+    print(json.dumps(metrics), file=sys.stderr)
     return 0
 
 

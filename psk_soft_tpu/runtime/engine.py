@@ -1155,8 +1155,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
         kernel's exact input layout, so the steady path uploads with ZERO
         host transposes.  float32 planes, or int16 wire planes when the
         engine was built with ``ingest_scale``."""
-        re = np.asarray(re)
-        im = np.asarray(im)
+        if not isinstance(re, jax.Array):
+            re = np.asarray(re)
+            im = np.asarray(im)
         if re.shape != im.shape or re.ndim != 2 or re.shape[1] != self.channels:
             raise ValueError(f"expected (rows, {self.channels}) planes")
         if re.dtype == np.int16:
@@ -1194,14 +1195,23 @@ class FullKernelBatchEngine(_PipelinedPackets):
                 got = rows
         self._plane_rows -= rows
         if len(take_re) == 1:
+            if isinstance(take_re[0], jax.Array):
+                # device-resident planes (e.g. straight from the resampler)
+                # flow through without a host round trip; the steady step's
+                # jnp.asarray is then the identity
+                return take_re[0], take_im[0]
             return (np.ascontiguousarray(take_re[0]),
                     np.ascontiguousarray(take_im[0]))
-        return (np.concatenate(take_re, axis=0),
-                np.concatenate(take_im, axis=0))
+        return (np.concatenate([np.asarray(a) for a in take_re], axis=0),
+                np.concatenate([np.asarray(a) for a in take_im], axis=0))
 
     def _planes_to_cmajor(self, re, im) -> np.ndarray:
         """Channel-major complex view of a plane block (warm-up path only;
         the steady kernel consumes the planes directly)."""
+        # host numpy on purpose: eager complex arithmetic on device arrays
+        # would upload a complex scalar, which poisons the axon session
+        # (utils/transfer.py notes)
+        re, im = np.asarray(re), np.asarray(im)
         if re.dtype == np.int16:
             s = self._ingest_scale
             return ((re.T.astype(np.float32) * s)

@@ -44,7 +44,8 @@ class ResamplerBank:
     """
 
     def __init__(self, ratios, block_out: int, n_phases: int = 128,
-                 taps_per_phase: int = 8, kaiser_beta: float = 8.0):
+                 taps_per_phase: int = 8, kaiser_beta: float = 8.0,
+                 cutoff: float | None = None):
         self.ratios = np.asarray(ratios, np.float64)
         if self.ratios.ndim != 1 or not np.all(self.ratios > 0):
             raise ValueError("ratios must be a 1-D array of positive "
@@ -55,8 +56,24 @@ class ResamplerBank:
         if self.K % 2 or self.K < 4:
             raise ValueError(f"taps_per_phase must be even and >= 4, got "
                              f"{self.K}")
-        # anti-alias margin for the largest downsampling ratio in the bank
-        cutoff = min(1.0, 1.0 / float(self.ratios.max()))
+        if float(self.ratios.max()) > self.K / 2:
+            # Two reasons: (a) an interpolator spanning K input samples has
+            # no anti-alias stopband left at >K/2-fold decimation -- the
+            # output would be aliasing junk; (b) the step's row-drop would
+            # outrun the buffered window (drop-need grows like ratio-K) and
+            # silently desync.  Decimate with a proper FIR first.
+            raise ValueError(
+                f"max ratio {self.ratios.max():.3g} exceeds taps_per_phase/2"
+                f" = {self.K / 2:.3g}: a {self.K}-tap interpolation span "
+                f"cannot anti-alias that decimation; pre-decimate or raise "
+                f"taps_per_phase")
+        # anti-alias margin for the largest downsampling ratio in the bank.
+        # NOTE one table serves the whole bank: with a wide ratio spread the
+        # low-ratio (upsampling) channels are narrowed more than they need;
+        # pass an explicit cutoff, or split wide-spread banks (see the
+        # backpressure note above, same remedy).
+        if cutoff is None:
+            cutoff = min(1.0, 1.0 / float(self.ratios.max()))
         self._table = jnp.asarray(kaiser_sinc_table(
             n_phases, self.K, cutoff=cutoff, beta=kaiser_beta))
         # static device window: covers the worst-case block span + carry
@@ -119,6 +136,9 @@ class ResamplerBank:
         drop = np.maximum(
             np.floor(pos_end).astype(np.int64) - (self.K // 2 - 1), 0)
         for c in range(self.channels):
+            # guaranteed by the ratio <= K/2 bound checked in __init__
+            # (drop - need ~ ratio - K - 2 < 0) plus ready()'s len >= need
+            assert drop[c] <= len(self._buf[c]), "row-drop outran the buffer"
             self._buf[c] = self._buf[c][int(drop[c]):]
         self._real = np.maximum(self._real - drop, 0)
         self._pos = pos_end - drop

@@ -88,3 +88,21 @@ def gen_psk_channel(num_symbols: int, sps: int = 8, m: int = 4,
         sigma = 10 ** (-snr_db / 20.0) / np.sqrt(2.0)
         x = x + sigma * (rng.standard_normal(x.size) + 1j * rng.standard_normal(x.size))
     return x.astype(np.complex64), sym_idx
+
+
+def sinc_interp(x: np.ndarray, t, half: int = 48) -> np.ndarray:
+    """Truncated-sinc band-limited interpolation of ``x`` at (fractional)
+    sample positions ``t`` -- the test-fixture oracle for resampling
+    (ops/resample.py): O(len(t) * 2*half) host numpy, edge-clamped.
+
+    Positions within ``half`` samples of either end lose sinc terms and
+    degrade; fixtures skip those spans when asserting tolerances.
+    """
+    t = np.asarray(t, np.float64)
+    out = np.zeros(t.shape, np.complex128)
+    for i, ti in enumerate(t):
+        m0 = int(np.floor(ti)) - half
+        m = np.arange(m0, m0 + 2 * half)
+        m = m[(m >= 0) & (m < x.size)]
+        out[i] = np.dot(x[m], np.sinc(ti - m))
+    return out

@@ -92,7 +92,10 @@ def main():
     def run_k(xr, xi, p, k):
         def body(carry, _):
             yr, yi, pe = resample_block(xr, xi, carry, r2, tab, B)
-            return carry, jnp.sum(yr[0]) + jnp.sum(yi[0])
+            # thread a CHANGING carry (wrapped back in bounds) and checksum
+            # the FULL output so no iteration can be hoisted or DCE'd
+            nxt = pe - jnp.floor(pe) + 3.0
+            return nxt, jnp.sum(yr) + jnp.sum(yi)
         _, s = jax.lax.scan(body, p, None, length=k)
         return jnp.sum(s)
 

@@ -237,14 +237,7 @@ def test_cli_demod_batch_native_sps_resampling(tmp_path):
         return np.convolve(up, rrc_taps(sps, 0.35, 8).astype(np.float64),
                            mode="same")
 
-    def sinc_at(x, t, half=48):
-        out = np.zeros(t.shape, np.complex128)
-        for i, ti in enumerate(t):
-            m = np.arange(int(np.floor(ti)) - half,
-                          int(np.floor(ti)) + half)
-            m = m[(m >= 0) & (m < x.size)]
-            out[i] = np.dot(x[m], np.sinc(ti - m))
-        return out
+    from psk_soft_tpu.testing.signals import sinc_interp as sinc_at
 
     n_capture = nsym * sps  # same capture-sample count on every channel
     # native sample m of channel c sits at common-rate time m / ratio_c
@@ -266,6 +259,10 @@ def test_cli_demod_batch_native_sps_resampling(tmp_path):
                        np.complex64).reshape(-1, C)
     assert soft.shape[0] > 300
     assert metrics["symbols_out"] == soft.shape[0] * C
+    # samples_in keeps wire semantics (capture samples read); the engine's
+    # post-resample count is reported separately (review finding)
+    assert metrics["samples_in"] == xs.size
+    assert metrics["resampled_in"] > 0
 
     # in-process oracle: identical chain
     from psk_soft_tpu.runtime.engine import BatchEngine

@@ -369,3 +369,32 @@ def test_full_engine_debug_ports_off_packets():
     assert eng.steady
     fp = eng.flush_packets()
     assert set(fp) <= {PORT_SOFT, PORT_BITS}
+
+
+def test_device_resident_planes_match_host_planes():
+    """push_planes accepts device (jax) arrays -- the resampler's output --
+    without a host round trip; outputs equal the host-numpy plane path."""
+    cfg = _cfg()
+    xs = _bank_signal(768, seed0=5)
+    blocks = np.split(xs, 6, axis=1)
+
+    e1 = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                               interpret=True)
+    e2 = FullKernelBatchEngine(cfg, C, block_symbols=128, s_tile=128,
+                               interpret=True)
+
+    def feed_host(b):
+        e1.push_planes(np.ascontiguousarray(blocks[b].real.T),
+                       np.ascontiguousarray(blocks[b].imag.T))
+
+    def feed_device(b):
+        e2.push_planes(jnp.asarray(np.ascontiguousarray(blocks[b].real.T)),
+                       jnp.asarray(np.ascontiguousarray(blocks[b].imag.T)))
+
+    o1 = _collect(e1, feed_host, 6)
+    o2 = _collect(e2, feed_device, 6)
+    assert len(o1) == len(o2) > 0
+    for (s1, v1, b1), (s2, v2, b2) in zip(o1, o2):
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(b1, b2)

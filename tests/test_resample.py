@@ -16,21 +16,9 @@ from psk_soft_tpu.ops.matched_filter import rrc_taps
 from psk_soft_tpu.ops.resample import (kaiser_sinc_table, resample_block,
                                        resample_positions_valid)
 from psk_soft_tpu.runtime.resampler import ResamplerBank
+from psk_soft_tpu.testing.signals import sinc_interp as _sinc_interp
 
 K, P = 8, 128
-
-
-def _sinc_interp(x, t, half=48):
-    """High-quality truncated-sinc reference interpolator (test oracle)."""
-    t = np.asarray(t, np.float64)
-    out = np.zeros(t.shape, np.complex128)
-    for i, ti in enumerate(t):
-        m0 = int(np.floor(ti)) - half
-        m = np.arange(m0, m0 + 2 * half)
-        m = m[(m >= 0) & (m < x.size)]
-        w = np.sinc(ti - m)
-        out[i] = np.dot(x[m], w)
-    return out
 
 
 def _bandlimited_qpsk(nsym, sps=8, seed=0, beta=0.35, span=8):
@@ -255,3 +243,14 @@ def test_bank_drain_consumes_all_real_samples():
     # least n_c/ratio_c common-rate samples per channel
     for c, (n, r) in enumerate(zip((n0, n1), ratios)):
         assert total >= (n - bank.K) / r
+
+
+def test_bank_rejects_ratio_beyond_tap_span():
+    """ratio > taps_per_phase/2 must be rejected: no anti-alias stopband
+    AND the row-drop would outrun the buffered window (review finding)."""
+    with pytest.raises(ValueError, match="taps_per_phase"):
+        ResamplerBank([10.0], block_out=32, taps_per_phase=8)
+    # boundary: exactly K/2 is allowed
+    ResamplerBank([4.0], block_out=32, taps_per_phase=8)
+    # and a wider tap span re-admits the ratio
+    ResamplerBank([10.0], block_out=32, taps_per_phase=24)
