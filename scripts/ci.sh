@@ -24,6 +24,14 @@ python scripts/pycov.py --min 70 -m pytest tests/ -q
 echo "== CLI selftest =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m psk_soft_tpu selftest
 
+echo "== runnable examples =="
+for ex in examples/*.py; do
+    echo "-- $ex"
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+        python "$ex" > /dev/null
+done
+
 echo "== graft entry dry runs =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
     XLA_FLAGS="--xla_force_host_platform_device_count=8" \
