@@ -67,13 +67,14 @@ class ResamplerBank:
                 f" = {self.K / 2:.3g}: a {self.K}-tap interpolation span "
                 f"cannot anti-alias that decimation; pre-decimate or raise "
                 f"taps_per_phase")
+        self._max_ratio = float(self.ratios.max())   # set_ratio bound
         # anti-alias margin for the largest downsampling ratio in the bank.
         # NOTE one table serves the whole bank: with a wide ratio spread the
         # low-ratio (upsampling) channels are narrowed more than they need;
         # pass an explicit cutoff, or split wide-spread banks (see the
         # backpressure note above, same remedy).
         if cutoff is None:
-            cutoff = min(1.0, 1.0 / float(self.ratios.max()))
+            cutoff = min(1.0, 1.0 / self._max_ratio)
         self._table = jnp.asarray(kaiser_sinc_table(
             n_phases, self.K, cutoff=cutoff, beta=kaiser_beta))
         # static device window: covers the worst-case block span + carry
@@ -89,6 +90,24 @@ class ResamplerBank:
         # starts at the earliest in-contract point so the filter's lead-in
         # reads real (pushed) samples once enough arrive
         self._pos = np.full(self.channels, self.K // 2 - 1, np.float64)
+
+    def set_ratio(self, channel: int, ratio: float) -> None:
+        """Live per-channel rate change (C7-style property reactor): the
+        channel continues from its current stream position at the new rate
+        -- doppler/baud-drift tracking semantics, no resync, no recompile.
+
+        Bounded by the ratio the bank was sized for: the static device
+        window and the anti-alias cutoff were chosen from the construction-
+        time maximum, so a larger ratio needs a new bank.
+        """
+        r = float(ratio)
+        if not 0 < r <= self._max_ratio:
+            raise ValueError(
+                f"ratio {r:.6g} outside (0, {self._max_ratio:.6g}]: the "
+                f"window/table were sized for the construction-time "
+                f"maximum; build a new bank for a larger ratio")
+        self.ratios[channel] = r
+        self._ratio_dev = jnp.asarray(self.ratios.astype(np.float32))
 
     def push(self, channel: int, data: np.ndarray) -> None:
         d = np.asarray(data)

@@ -254,3 +254,40 @@ def test_bank_rejects_ratio_beyond_tap_span():
     ResamplerBank([4.0], block_out=32, taps_per_phase=8)
     # and a wider tap span re-admits the ratio
     ResamplerBank([10.0], block_out=32, taps_per_phase=24)
+
+
+def test_bank_live_ratio_change_tracks_tone():
+    """set_ratio mid-stream (doppler/baud-drift reactor): the channel
+    continues from its current position at the new rate, positions stay
+    continuous, and a resampled tone stays accurate through the change."""
+    f = 0.07                       # cycles per input sample
+    B = 64
+    r1, r2 = 1.0, 1.05
+    # construct at the maximum ratio the channel may reach (sizes the
+    # static window + cutoff), then retune downward/within it freely
+    bank = ResamplerBank([r2], block_out=B, taps_per_phase=K)
+    with pytest.raises(ValueError):
+        bank.set_ratio(0, 1.2)     # above the construction-time max
+    with pytest.raises(ValueError):
+        bank.set_ratio(0, 0.0)
+    bank.set_ratio(0, r1)
+
+    n_in = 800
+    x = np.exp(2j * np.pi * f * np.arange(n_in)).astype(np.complex64)
+    bank.push(0, x)
+    pos = float(bank._pos[0])      # absolute position of next output
+    outs, times = [], []
+    abs_pos = pos
+    for blk_i in range(6):
+        r = r1 if blk_i < 3 else r2
+        if blk_i == 3:
+            bank.set_ratio(0, r2)
+        got = bank.step()
+        assert got is not None
+        outs.append(got[0])
+        times.append(abs_pos + np.arange(B) * r)
+        abs_pos += B * r
+    y = np.concatenate(outs)
+    t = np.concatenate(times)
+    want = np.exp(2j * np.pi * f * t)
+    assert np.abs(y - want).max() < 4e-3
