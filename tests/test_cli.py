@@ -346,3 +346,41 @@ def test_cli_demod_batch_native_sps_full_pipeline(tmp_path):
     mags = np.abs(soft[64:-32])
     assert np.median(mags) > 0.7
     assert (np.abs(np.median(mags, axis=0) - 1.0) < 0.35).all()
+
+
+def test_cli_demod_batch_native_sps_ci16_wire(tmp_path):
+    """--native-sps composes with --in-format ci16: the host dequant feeds
+    the resampler (the engine's device-side ingest_scale must NOT also be
+    applied).  Plumbing-parity vs the cf32 run on the dequantized wire."""
+    C = 2
+    native = [7.5, 8.25]
+    xs = _signal(channels=C, symbols=300, seed=13)  # capture-rate streams
+    scale = float(max(np.abs(xs.real).max(), np.abs(xs.imag).max())) / 32000.0
+    inter = np.ascontiguousarray(xs.T)
+    wire = np.empty((inter.shape[0], C, 2), np.int16)
+    wire[..., 0] = np.round(inter.real / scale)
+    wire[..., 1] = np.round(inter.imag / scale)
+    deq = ((wire[..., 0].astype(np.float32) * scale)
+           + 1j * (wire[..., 1].astype(np.float32) * scale)).astype(
+               np.complex64)
+
+    f16 = tmp_path / "rs.ci16"
+    f16.write_bytes(wire.tobytes())
+    f32 = tmp_path / "rs.cf32"
+    f32.write_bytes(np.ascontiguousarray(deq).tobytes())
+
+    common = ["--channels", str(C), "--sps", "8", "-M", "4",
+              "--num-avg", "20", "--phase-avg", "10",
+              "--block-symbols", "64",
+              "--native-sps", ",".join(str(v) for v in native)]
+    p16 = tmp_path / "rs16"
+    p32 = tmp_path / "rs32"
+    _run(["demod-batch", "--in", str(f16), "--in-format", "ci16",
+          "--in-scale", repr(scale), "--out-prefix", str(p16), *common])
+    _run(["demod-batch", "--in", str(f32), "--out-prefix", str(p32),
+          *common])
+
+    s16 = np.fromfile(p16.with_suffix(".soft.cf32"), np.complex64)
+    s32 = np.fromfile(p32.with_suffix(".soft.cf32"), np.complex64)
+    assert s16.size == s32.size > 0
+    np.testing.assert_allclose(s16, s32, rtol=0, atol=1e-5)
