@@ -49,18 +49,28 @@ def shard_full_state(state: FullState, mesh: Mesh) -> FullState:
 
 def make_sharded_full_demod(cfg: DemodConfig, mesh: Mesh, *,
                             s_tile: int = 256, in_scale: float = 1.0,
+                            soft_i8_scale: float | None = None,
+                            debug_ports: bool = True,
+                            pack_out: bool | None = None,
                             interpret: bool = False):
     """Returns fn(state, x_re, x_im) -> (state, FullOutputs), with every
     (.., C) plane sharded over the mesh's 'chan' axis.  C per device must be
-    a multiple of 128."""
+    a multiple of 128.
+
+    The chan axis is communication-free, so every kernel output profile
+    (int8 soft, packed bits, compiled-away debug planes) shards through
+    unchanged."""
     body = functools.partial(demod_block_full, cfg, s_tile=s_tile,
-                             in_scale=in_scale, interpret=interpret)
+                             in_scale=in_scale, pack_out=pack_out,
+                             soft_i8_scale=soft_i8_scale,
+                             debug_ports=debug_ports, interpret=interpret)
     spec = P(None, "chan")
     state_specs = FullState(win_re=spec, win_im=spec, planes=spec)
+    dbg = spec if debug_ports else None   # None prunes with the output leaf
     inner = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_specs, spec, spec),
-        out_specs=(state_specs, FullOutputs(spec, spec, spec, spec, spec)),
+        out_specs=(state_specs, FullOutputs(spec, spec, dbg, spec, dbg)),
         check_vma=False,
     )
     return jax.jit(inner)
@@ -80,13 +90,15 @@ def _shift_rows(v: jnp.ndarray, from_left: bool) -> jnp.ndarray:
 def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
                                  total_symbols: int, *, s_tile: int = 256,
                                  mixed_params=None, in_scale: float = 1.0,
+                                 soft_i8_scale: float | None = None,
                                  interpret: bool = False):
     """Time+channel-sharded single-kernel demod (see module docstring).
 
     Returns fn(x_re, x_im) -> (soft_re, soft_im, phase, bits, idx, valid)
     with (T, C) inputs sharded P('time','chan') and (S, C) outputs likewise.
     The first ``discard`` symbols of the stream and the final numAvg-1
-    are masked invalid.
+    are masked invalid.  With ``soft_i8_scale`` the soft planes come back
+    int8 (quantized after the seam correction -- see the inline note).
 
     Supports every kernel profile: matched filter (the streaming FIR's
     filtered timeline lags raw by ``ntaps-1`` samples -- ops/matched_filter
@@ -205,7 +217,18 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
             packed = bits[sl]
         gsym = t_idx * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
         valid = (gsym >= discard) & (gsym < total_symbols - a1)
-        return (soft.real, soft.imag, phase_own, packed, idx[sl],
+        s_re, s_im = soft.real, soft.imag
+        if soft_i8_scale is not None:
+            # Quantize AFTER the seam correction: the phase-origin recovery
+            # above needs the full-precision phase plane and a float soft
+            # rotation, so (unlike the single-chip kernel) int8 cannot ride
+            # the kernel's own epilogue here -- but the dominant cost at
+            # bank scale, the device->host fetch, still drops to 2 bytes/
+            # symbol/channel, matching the wire format exactly.
+            s = float(soft_i8_scale)
+            s_re = jnp.clip(jnp.round(s_re * s), -127, 127).astype(jnp.int8)
+            s_im = jnp.clip(jnp.round(s_im * s), -127, 127).astype(jnp.int8)
+        return (s_re, s_im, phase_own, packed, idx[sl],
                 jnp.broadcast_to(valid[:, None], (s_loc, c_loc)))
 
     spec = P("time", "chan")

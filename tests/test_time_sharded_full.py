@@ -227,3 +227,30 @@ def test_time_sharded_i16_matches_f32():
     d = np.abs((np.asarray(o16[0]) + 1j * np.asarray(o16[1]))
                - (np.asarray(o32[0]) + 1j * np.asarray(o32[1])))[valid]
     assert d.max() < 1e-5, d.max()
+
+
+def test_time_sharded_soft_i8_quantizes_after_seam_correction():
+    """soft_i8_scale on the time-sharded path: int8 output planes whose
+    dequantized values sit within 0.5/scale of the f32 run (quantization
+    happens AFTER the seam phase-origin rotation, so bits/idx/valid are
+    identical to the f32 run by construction)."""
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=4, phase_avg=20)
+    xs = _signals(m=4, diff=False)
+    mesh = make_mesh(chan=2, time=4)
+    sh = NamedSharding(mesh, P("time", "chan"))
+    xr = jax.device_put(jnp.asarray(np.ascontiguousarray(xs.real.T)), sh)
+    xi = jax.device_put(jnp.asarray(np.ascontiguousarray(xs.imag.T)), sh)
+    run32 = make_time_sharded_full_demod(cfg, mesh, NS, s_tile=128,
+                                         interpret=True)
+    run8 = make_time_sharded_full_demod(cfg, mesh, NS, s_tile=128,
+                                        soft_i8_scale=100.0, interpret=True)
+    o32 = run32(xr, xi)
+    o8 = run8(xr, xi)
+    valid = np.asarray(o8[5])
+    np.testing.assert_array_equal(valid, np.asarray(o32[5]))
+    np.testing.assert_array_equal(np.asarray(o8[3]), np.asarray(o32[3]))
+    assert np.asarray(o8[0]).dtype == np.int8
+    for q, f in ((o8[0], o32[0]), (o8[1], o32[1])):
+        d = np.abs(np.asarray(q).astype(np.float32) / 100.0
+                   - np.clip(np.asarray(f), -1.27, 1.27))[valid]
+        assert d.max() <= 0.5 / 100.0 + 1e-6, d.max()
