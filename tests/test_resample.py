@@ -291,3 +291,48 @@ def test_bank_live_ratio_change_tracks_tone():
     t = np.concatenate(times)
     want = np.exp(2j * np.pi * f * t)
     assert np.abs(y - want).max() < 4e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bank_fuzz_streaming_equals_oneshot(seed):
+    """Property fuzz: random ratios / block sizes / ragged chunk patterns --
+    the streamed bank always equals the one-shot device call."""
+    rng = np.random.default_rng(100 + seed)
+    C = int(rng.integers(1, 5))
+    ratios = rng.uniform(0.6, 2.5, C)
+    B = int(rng.choice([32, 48, 80]))
+    n_blocks = int(rng.integers(2, 5))
+    total_need = int(np.ceil(B * n_blocks * ratios.max())) + 4 * K
+    xs = [(rng.standard_normal(total_need)
+           + 1j * rng.standard_normal(total_need)).astype(np.complex64)
+          for _ in range(C)]
+
+    bank = ResamplerBank(ratios, block_out=B, n_phases=P, taps_per_phase=K)
+    outs, fed = [], [0] * C
+    while len(outs) < n_blocks:
+        got = bank.step()
+        if got is not None:
+            outs.append(got)
+            continue
+        for c in range(C):
+            chunk = int(rng.integers(1, 64))
+            bank.push(c, xs[c][fed[c]:fed[c] + chunk])
+            fed[c] += chunk
+    stream = np.concatenate(outs, axis=1)
+
+    tab = jnp.asarray(kaiser_sinc_table(
+        P, K, cutoff=min(1.0, 1.0 / ratios.max())))
+    T_in = max(len(x) for x in xs)
+    x_re = np.zeros((T_in, C), np.float32)
+    x_im = np.zeros((T_in, C), np.float32)
+    for c, x in enumerate(xs):
+        x_re[:len(x), c] = x.real
+        x_im[:len(x), c] = x.imag
+    pos0 = np.full(C, float(K // 2 - 1), np.float32)
+    y_re, y_im, _ = resample_block(
+        jnp.asarray(x_re), jnp.asarray(x_im), jnp.asarray(pos0),
+        jnp.asarray(ratios.astype(np.float32)), tab, B * n_blocks)
+    want = (np.asarray(y_re).T + 1j * np.asarray(y_im).T)
+    # tolerance: float32 position accumulation in the one-shot oracle (the
+    # bank's rebased f64 positions are the more accurate side)
+    np.testing.assert_allclose(stream, want, atol=5e-4, err_msg=str(ratios))
