@@ -107,3 +107,82 @@ def resample_positions_valid(pos0: np.ndarray, ratio: np.ndarray,
     K = taps_per_phase
     last = pos0 + (n_out - 1) * ratio
     return bool(np.all(pos0 >= K // 2 - 1) and np.all(last < t_in - K // 2))
+
+
+def uniform_poly_matrix(num: int, den: int, taps_per_phase: int = 8,
+                        cutoff: float = 1.0, beta: float = 8.0,
+                        dtype=np.float32) -> np.ndarray:
+    """Banded polyphase selection matrix for a UNIFORM rational ratio
+    num/den (input samples per output sample).
+
+    Row j holds the taps that produce output phase j of a den-output cycle
+    from the cycle's (num + K)-row input window:
+    ``y[q*den + j] = sum_t S[j, t] * x[q*num + t]`` with the exact
+    fractional phases (no table quantization, unlike the gather path).
+
+    This is the MXU form: when every channel shares one ratio, the whole
+    resampler is two reshapes + one einsum against this matrix -- zero
+    gathers -- the same banded-matmul recast the demod kernel uses for its
+    sliding sums (docs/DESIGN.md).
+    """
+    if num <= 0 or den <= 0:
+        raise ValueError("num/den must be positive")
+    K = taps_per_phase
+    p0 = K // 2 - 1          # same start contract as resample_block
+    S = np.zeros((den, num + K), np.float64)
+    for j in range(den):
+        pos = p0 + j * num / den
+        base = int(np.floor(pos))
+        u = pos - base
+        i0 = base - (K // 2 - 1)
+        k = np.arange(K, dtype=np.float64)
+        t = K // 2 - 1 + u - k
+        h = cutoff * np.sinc(cutoff * t)
+        x = np.clip(t / (K / 2), -1.0, 1.0)
+        h *= np.i0(beta * np.sqrt(1.0 - x * x)) / np.i0(beta)
+        h /= h.sum()
+        S[j, i0: i0 + K] = h
+    return S.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num", "den"))
+def resample_block_uniform(x_re: jnp.ndarray, x_im: jnp.ndarray,
+                           S: jnp.ndarray, num: int, den: int):
+    """Uniform-ratio resample of (T_in, C) planes: every den outputs
+    consume num inputs, T_in = Q*num + K rows (Q full cycles + tap tail),
+    returns (Q*den, C) planes.
+
+    Streaming contract: output row 0 sits at input position K//2 - 1
+    (same as resample_block); after the call the caller keeps the last
+    T_in - Q*num input rows as the next block's head.  The rational grid
+    restarts each cycle exactly, so there is NO position carry and no
+    float drift by construction.
+    """
+    K = S.shape[1] - num
+    T_in = x_re.shape[0]
+    Q = (T_in - K) // num
+    if Q <= 0:
+        raise ValueError(f"need at least num+K={num + K} rows, got {T_in}")
+
+    # Overlapping (num+K)-row windows at stride num, built from a handful
+    # of shifted reshapes (2 when num >= K) -- no gathers.  Padded rows can
+    # only land in window columns >= K of the final cycle, which the band
+    # structure of S never touches.
+    m_shifts = -(-(num + K) // num)
+    need_rows = (m_shifts - 1) * num + Q * num
+    pad = max(0, need_rows - T_in)
+
+    def windows(x):
+        xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        parts = [xp[s * num: s * num + Q * num].reshape(Q, num, -1)
+                 for s in range(m_shifts)]
+        return jnp.concatenate(parts, axis=1)[:, :num + K]
+
+    w_re = windows(x_re)
+    w_im = windows(x_im)
+    y_re = jnp.einsum("jt,qtc->qjc", S, w_re,
+                      preferred_element_type=jnp.float32)
+    y_im = jnp.einsum("jt,qtc->qjc", S, w_im,
+                      preferred_element_type=jnp.float32)
+    C = x_re.shape[1]
+    return y_re.reshape(Q * den, C), y_im.reshape(Q * den, C)

@@ -336,3 +336,84 @@ def test_bank_fuzz_streaming_equals_oneshot(seed):
     # tolerance: float32 position accumulation in the one-shot oracle (the
     # bank's rebased f64 positions are the more accurate side)
     np.testing.assert_allclose(stream, want, atol=5e-4, err_msg=str(ratios))
+
+
+def test_uniform_matrix_matches_gather_path():
+    """The MXU (banded-matmul) uniform-ratio form equals the gather path
+    on the same signal (within the gather path's phase-table lerp error:
+    the matrix holds EXACT tap phases)."""
+    from psk_soft_tpu.ops.resample import (resample_block_uniform,
+                                           uniform_poly_matrix)
+    num, den = 73, 80          # ratio 7.3/8 exactly
+    rng = np.random.default_rng(5)
+    C = 4
+    Q = 6
+    T_in = Q * num + K
+    xs = (rng.standard_normal((T_in, C))
+          + 1j * rng.standard_normal((T_in, C))).astype(np.complex64)
+    S = uniform_poly_matrix(num, den, K)
+    yu_re, yu_im = resample_block_uniform(
+        jnp.asarray(xs.real.copy()), jnp.asarray(xs.imag.copy()),
+        jnp.asarray(S), num, den)
+    assert yu_re.shape == (Q * den, C)
+
+    tab = jnp.asarray(kaiser_sinc_table(P, K))
+    pos0 = np.full(C, float(K // 2 - 1), np.float32)
+    ratio = np.full(C, num / den, np.float32)
+    yg_re, yg_im, _ = resample_block(
+        jnp.asarray(xs.real.copy()), jnp.asarray(xs.imag.copy()),
+        jnp.asarray(pos0), jnp.asarray(ratio), tab, Q * den)
+    np.testing.assert_allclose(np.asarray(yu_re), np.asarray(yg_re),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(yu_im), np.asarray(yg_im),
+                               atol=3e-4)
+
+
+@pytest.mark.parametrize("num,den,kt", [(1, 4, 8), (4, 1, 64),
+                                         (73, 80, 8), (5, 4, 8)])
+def test_uniform_tone_accuracy(num, den, kt):
+    """Exact-phase banded form reconstructs a tone on any rational grid,
+    including strong upsampling (num < taps) via the multi-shift windows.
+    Decimation needs taps proportional to the factor (kt=64 at 4x: the
+    same physics behind the gather path's ratio <= K/2 bound)."""
+    from psk_soft_tpu.ops.resample import (resample_block_uniform,
+                                           uniform_poly_matrix)
+    ratio = num / den
+    f = 0.09
+    Q = max(4, 256 // den)
+    T_in = Q * num + kt
+    m = np.arange(T_in)
+    x = np.exp(2j * np.pi * f * m).astype(np.complex64)
+    S = uniform_poly_matrix(num, den, kt, cutoff=min(1.0, 1.0 / ratio))
+    y_re, y_im = resample_block_uniform(
+        jnp.asarray(x.real[:, None].copy()),
+        jnp.asarray(x.imag[:, None].copy()), jnp.asarray(S), num, den)
+    y = np.asarray(y_re)[:, 0] + 1j * np.asarray(y_im)[:, 0]
+    t = (kt // 2 - 1) + np.arange(Q * den) * ratio
+    keep = t < T_in - kt // 2         # tail rows read past the tap span
+    want = np.exp(2j * np.pi * f * t)
+    assert keep.sum() > Q * den - den - kt
+    assert np.abs(y[keep] - want[keep]).max() < 4e-3
+
+
+def test_uniform_streaming_carry_is_row_tail():
+    """Two chained uniform calls (keeping the T_in - Q*num row tail) equal
+    one big call -- the rational grid restarts exactly each cycle."""
+    from psk_soft_tpu.ops.resample import (resample_block_uniform,
+                                           uniform_poly_matrix)
+    num, den = 5, 4
+    rng = np.random.default_rng(9)
+    Q1, Q2 = 7, 9
+    T_in = (Q1 + Q2) * num + K
+    x = rng.standard_normal((T_in, 3)).astype(np.float32)
+    S = jnp.asarray(uniform_poly_matrix(num, den, K, cutoff=4 / 5))
+
+    y_all, _ = resample_block_uniform(jnp.asarray(x), jnp.asarray(x),
+                                      S, num, den)
+    y1, _ = resample_block_uniform(jnp.asarray(x[:Q1 * num + K]),
+                                   jnp.asarray(x[:Q1 * num + K]),
+                                   S, num, den)
+    y2, _ = resample_block_uniform(jnp.asarray(x[Q1 * num:]),
+                                   jnp.asarray(x[Q1 * num:]), S, num, den)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_allclose(got, np.asarray(y_all), atol=1e-6)
