@@ -23,7 +23,10 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.resample import kaiser_sinc_table, resample_block
+from fractions import Fraction
+
+from ..ops.resample import (kaiser_sinc_table, resample_block,
+                            resample_block_uniform, uniform_poly_matrix)
 
 
 class ResamplerBank:
@@ -45,7 +48,7 @@ class ResamplerBank:
 
     def __init__(self, ratios, block_out: int, n_phases: int = 128,
                  taps_per_phase: int = 8, kaiser_beta: float = 8.0,
-                 cutoff: float | None = None):
+                 cutoff: float | None = None, uniform: bool | None = None):
         self.ratios = np.asarray(ratios, np.float64)
         if self.ratios.ndim != 1 or not np.all(self.ratios > 0):
             raise ValueError("ratios must be a 1-D array of positive "
@@ -77,6 +80,27 @@ class ResamplerBank:
             cutoff = min(1.0, 1.0 / self._max_ratio)
         self._table = jnp.asarray(kaiser_sinc_table(
             n_phases, self.K, cutoff=cutoff, beta=kaiser_beta))
+        # One shared RATIONAL ratio -> the zero-gather MXU form (banded
+        # polyphase matmul, ops/resample.resample_block_uniform): measured
+        # ~30x the gather form's rate on CPU and gathers are the TPU's
+        # weakest op.  uniform=None auto-detects; False keeps the gather
+        # path (needed for set_ratio); True asserts eligibility.
+        self._uniform = None
+        self._fifo = None
+        if uniform is not False and np.all(self.ratios == self.ratios[0]):
+            fr = Fraction(float(self.ratios[0])).limit_denominator(512)
+            if (fr.numerator > 0
+                    and abs(float(fr) - float(self.ratios[0]))
+                    <= 1e-9 * float(self.ratios[0])):
+                self._uniform = (fr.numerator, fr.denominator)
+                self._S = jnp.asarray(uniform_poly_matrix(
+                    fr.numerator, fr.denominator, self.K, cutoff=cutoff,
+                    beta=kaiser_beta))
+                self._fifo = None     # carried (rows, C) device plane pair
+        if uniform is True and self._uniform is None:
+            raise ValueError("uniform=True needs one shared ratio "
+                             "expressible as a fraction with denominator "
+                             "<= 512")
         # static device window: covers the worst-case block span + carry
         self.window = (int(math.ceil((self.block_out - 1)
                                      * float(self.ratios.max())))
@@ -100,6 +124,11 @@ class ResamplerBank:
         window and the anti-alias cutoff were chosen from the construction-
         time maximum, so a larger ratio needs a new bank.
         """
+        if self._uniform is not None:
+            raise ValueError(
+                "this bank runs the uniform (banded-matmul) fast path, "
+                "which bakes the ratio into its phase matrix; construct "
+                "with uniform=False for live retuning")
         r = float(ratio)
         if not 0 < r <= self._max_ratio:
             raise ValueError(
@@ -117,7 +146,21 @@ class ResamplerBank:
             [self._buf[channel], d.astype(np.complex64)])
         self._real[channel] += d.size
 
+    def _fifo_rows(self) -> int:
+        return 0 if self._fifo is None else int(self._fifo[0].shape[0])
+
+    def _uniform_cycles(self) -> int:
+        """Full rational cycles the next uniform step must run so the
+        output FIFO can cover one block."""
+        short = self.block_out - self._fifo_rows()
+        den = self._uniform[1]
+        return max(-(-short // den), 0)
+
     def _need(self) -> np.ndarray:
+        if self._uniform is not None:
+            q = self._uniform_cycles()
+            n = q * self._uniform[0] + self.K if q else 0
+            return np.full(self.channels, n, np.int64)
         last = self._pos + (self.block_out - 1) * self.ratios
         return np.floor(last).astype(np.int64) + self.K // 2 + 1
 
@@ -137,6 +180,8 @@ class ResamplerBank:
         input."""
         if not self.ready():
             return None
+        if self._uniform is not None:
+            return self._step_uniform()
         need = self._need()
         W = self.window
         assert int(need.max()) <= W, "window sizing bug"
@@ -162,6 +207,39 @@ class ResamplerBank:
         self._real = np.maximum(self._real - drop, 0)
         self._pos = pos_end - drop
         return y_re, y_im
+
+    def _step_uniform(self):
+        """Uniform-ratio step: run Q rational cycles through the banded
+        matmul, stage outputs in a device FIFO, emit exactly block_out
+        rows.  Consumption is Q*num rows per channel (K-row tap tail
+        kept), no position carry at all."""
+        num, den = self._uniform
+        Q = self._uniform_cycles()
+        if Q:
+            need = Q * num + self.K
+            x_re = np.empty((need, self.channels), np.float32)
+            x_im = np.empty((need, self.channels), np.float32)
+            for c, b in enumerate(self._buf):
+                x_re[:, c] = b[:need].real
+                x_im[:, c] = b[:need].imag
+            y_re, y_im = resample_block_uniform(
+                jnp.asarray(x_re), jnp.asarray(x_im), self._S, num, den)
+            if self._fifo is None:
+                self._fifo = (y_re, y_im)
+            else:
+                self._fifo = (jnp.concatenate([self._fifo[0], y_re]),
+                              jnp.concatenate([self._fifo[1], y_im]))
+            drop = Q * num
+            for c in range(self.channels):
+                self._buf[c] = self._buf[c][drop:]
+            self._real = np.maximum(self._real - drop, 0)
+        f_re, f_im = self._fifo
+        out = (f_re[:self.block_out], f_im[:self.block_out])
+        if f_re.shape[0] > self.block_out:
+            self._fifo = (f_re[self.block_out:], f_im[self.block_out:])
+        else:
+            self._fifo = None
+        return out
 
     def step(self):
         """Like :meth:`step_planes` but returns a host (C, block_out)

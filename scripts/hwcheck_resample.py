@@ -111,6 +111,35 @@ def main():
     print(json.dumps({"check": "throughput", "channels": C2,
                       "out_samples_per_s": rate,
                       "gsps": rate / 1e9}))
+
+    # --- gather form vs the zero-gather MXU (uniform-ratio) form ---------
+    from psk_soft_tpu.ops.resample import (resample_block_uniform,
+                                           uniform_poly_matrix)
+    num, den = 73, 80                       # ratio 7.3/8
+    Qc = B // den                           # ~same output rows as above
+    T_u = Qc * num + 8
+    xr_u = jnp.asarray(rng.standard_normal((T_u, C2)).astype(np.float32))
+    xi_u = jnp.asarray(rng.standard_normal((T_u, C2)).astype(np.float32))
+    S = jnp.asarray(uniform_poly_matrix(num, den, 8))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_u(xr, xi, k):
+        def body(carry, _):
+            yr, yi = resample_block_uniform(xr + carry, xi, S, num, den)
+            return carry + 1e-12, jnp.sum(yr) + jnp.sum(yi)
+        _, s = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return jnp.sum(s)
+
+    float(run_u(xr_u, xi_u, k))             # warm
+    best_u = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_u(xr_u, xi_u, k))
+        best_u = min(best_u, time.perf_counter() - t0)
+    rate_u = C2 * Qc * den * k / best_u
+    print(json.dumps({"check": "throughput_uniform_mxu", "channels": C2,
+                      "gsps": rate_u / 1e9,
+                      "vs_gather": rate_u / rate}))
     if not ok:
         sys.exit(1)
 

@@ -265,7 +265,8 @@ def test_bank_live_ratio_change_tracks_tone():
     r1, r2 = 1.0, 1.05
     # construct at the maximum ratio the channel may reach (sizes the
     # static window + cutoff), then retune downward/within it freely
-    bank = ResamplerBank([r2], block_out=B, taps_per_phase=K)
+    bank = ResamplerBank([r2], block_out=B, taps_per_phase=K,
+                         uniform=False)   # retuning needs the gather path
     with pytest.raises(ValueError):
         bank.set_ratio(0, 1.2)     # above the construction-time max
     with pytest.raises(ValueError):
@@ -417,3 +418,39 @@ def test_uniform_streaming_carry_is_row_tail():
                                    jnp.asarray(x[Q1 * num:]), S, num, den)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     np.testing.assert_allclose(got, np.asarray(y_all), atol=1e-6)
+
+
+def test_bank_uniform_fast_path_detection_and_parity():
+    """One shared rational ratio auto-selects the banded-matmul path; the
+    streamed output matches the gather-path bank within the gather path's
+    phase-table quantization."""
+    ratio = 7.3 / 8.0
+    B = 96
+    fast = ResamplerBank([ratio, ratio], block_out=B, taps_per_phase=K)
+    slow = ResamplerBank([ratio, ratio], block_out=B, taps_per_phase=K,
+                         uniform=False)
+    assert fast._uniform == (73, 80) and slow._uniform is None
+    with pytest.raises(ValueError):
+        ResamplerBank([0.9, 1.1], block_out=B, uniform=True)
+
+    rng = np.random.default_rng(21)
+    n = int(4 * B * ratio) + 8 * K
+    xs = [(rng.standard_normal(n) + 1j * rng.standard_normal(n)
+           ).astype(np.complex64) for _ in range(2)]
+    for bank in (fast, slow):
+        for c in (0, 1):
+            bank.push(c, xs[c])
+    outs_f, outs_s = [], []
+    while fast.ready():
+        outs_f.append(fast.step())
+    while slow.ready():
+        outs_s.append(slow.step())
+    # the FIFO decouples cycles from blocks: same number of full blocks
+    assert len(outs_f) == len(outs_s) > 1
+    np.testing.assert_allclose(np.concatenate(outs_f, axis=1),
+                               np.concatenate(outs_s, axis=1), atol=3e-4)
+    # EOS drain on the uniform path consumes the real tail too
+    tail_f = fast.drain(planes=False)
+    tail_s = slow.drain(planes=False)
+    assert len(tail_f) == len(tail_s) >= 0
+    assert (fast._real <= fast.K).all()
