@@ -76,6 +76,7 @@ class ResamplerBank:
         # low-ratio (upsampling) channels are narrowed more than they need;
         # pass an explicit cutoff, or split wide-spread banks (see the
         # backpressure note above, same remedy).
+        user_cutoff = cutoff
         if cutoff is None:
             cutoff = min(1.0, 1.0 / self._max_ratio)
         self._table = jnp.asarray(kaiser_sinc_table(
@@ -87,6 +88,7 @@ class ResamplerBank:
         # path (needed for set_ratio); True asserts eligibility.
         self._uniform = None
         self._fifo = None
+        self._groups = None
         if uniform is not False and np.all(self.ratios == self.ratios[0]):
             fr = Fraction(float(self.ratios[0])).limit_denominator(512)
             if (fr.numerator > 0
@@ -96,11 +98,39 @@ class ResamplerBank:
                 self._S = jnp.asarray(uniform_poly_matrix(
                     fr.numerator, fr.denominator, self.K, cutoff=cutoff,
                     beta=kaiser_beta))
-                self._fifo = None     # carried (rows, C) device plane pair
         if uniform is True and self._uniform is None:
             raise ValueError("uniform=True needs one shared ratio "
                              "expressible as a fraction with denominator "
                              "<= 512")
+        # Heterogeneous but FEW distinct rational ratios -> grouped-uniform
+        # decomposition: one sub-bank (banded matmul) per distinct ratio,
+        # outputs scattered back to bank columns.  Same ~30x over gathers,
+        # paid once per group.
+        if (uniform is None and self._uniform is None
+                and self.channels > 1):
+            uniq = sorted(set(self.ratios.tolist()))
+            if len(uniq) <= 8:
+                frs = [Fraction(r).limit_denominator(512) for r in uniq]
+                if all(f.numerator > 0 and abs(float(f) - r) <= 1e-9 * r
+                       for f, r in zip(frs, uniq)):
+                    self._groups = []
+                    for r in uniq:
+                        idx = np.nonzero(self.ratios == r)[0]
+                        # per-group cutoff: each group gets exactly the
+                        # anti-alias margin ITS ratio needs (a shared
+                        # table would over-filter the upsampling groups)
+                        sub = ResamplerBank(
+                            [r] * len(idx), self.block_out,
+                            n_phases=n_phases, taps_per_phase=self.K,
+                            kaiser_beta=kaiser_beta,
+                            cutoff=(user_cutoff if user_cutoff is not None
+                                    else min(1.0, 1.0 / r)),
+                            uniform=True)
+                        self._groups.append((idx, sub))
+                    self._col_of = {int(ch): (gi, int(sl))
+                                    for gi, (idx, _) in
+                                    enumerate(self._groups)
+                                    for sl, ch in enumerate(idx)}
         # static device window: covers the worst-case block span + carry
         self.window = (int(math.ceil((self.block_out - 1)
                                      * float(self.ratios.max())))
@@ -124,10 +154,10 @@ class ResamplerBank:
         window and the anti-alias cutoff were chosen from the construction-
         time maximum, so a larger ratio needs a new bank.
         """
-        if self._uniform is not None:
+        if self._uniform is not None or self._groups is not None:
             raise ValueError(
-                "this bank runs the uniform (banded-matmul) fast path, "
-                "which bakes the ratio into its phase matrix; construct "
+                "this bank runs the uniform/grouped (banded-matmul) fast "
+                "path, which bakes ratios into phase matrices; construct "
                 "with uniform=False for live retuning")
         r = float(ratio)
         if not 0 < r <= self._max_ratio:
@@ -139,6 +169,10 @@ class ResamplerBank:
         self._ratio_dev = jnp.asarray(self.ratios.astype(np.float32))
 
     def push(self, channel: int, data: np.ndarray) -> None:
+        if self._groups is not None:
+            gi, slot = self._col_of[int(channel)]
+            self._groups[gi][1].push(slot, data)
+            return
         d = np.asarray(data)
         if d.ndim != 1:
             raise ValueError("per-channel input must be 1-D complex samples")
@@ -165,12 +199,19 @@ class ResamplerBank:
         return np.floor(last).astype(np.int64) + self.K // 2 + 1
 
     def ready(self) -> bool:
+        if self._groups is not None:
+            return all(sub.ready() for _, sub in self._groups)
         need = self._need()
         return all(len(b) >= n for b, n in zip(self._buf, need))
 
     def pending(self) -> np.ndarray:
         """Per-channel samples still missing for the next block (0 when
         ready); observability for the feeder."""
+        if self._groups is not None:
+            out = np.zeros(self.channels, np.int64)
+            for idx, sub in self._groups:
+                out[idx] = sub.pending()
+            return out
         need = self._need()
         return np.maximum(0, need - np.array([len(b) for b in self._buf]))
 
@@ -180,6 +221,9 @@ class ResamplerBank:
         input."""
         if not self.ready():
             return None
+        if self._groups is not None:
+            return self._scatter([sub.step_planes()
+                                  for _, sub in self._groups])
         if self._uniform is not None:
             return self._step_uniform()
         need = self._need()
@@ -251,11 +295,35 @@ class ResamplerBank:
         return (np.asarray(y_re).T + 1j * np.asarray(y_im).T).astype(
             np.complex64)
 
+    def _scatter(self, group_planes):
+        """Reassemble per-group (B, C_g) planes into bank (B, C) columns."""
+        y_re = jnp.zeros((self.block_out, self.channels), jnp.float32)
+        y_im = jnp.zeros_like(y_re)
+        for (idx, _), blk in zip(self._groups, group_planes):
+            y_re = y_re.at[:, idx].set(blk[0])
+            y_im = y_im.at[:, idx].set(blk[1])
+        return y_re, y_im
+
     def drain(self, planes: bool = True):
         """EOS: zero-pad every channel until all REAL queued samples have
         been consumed, yielding the final full blocks (the downstream
         engines then pad/flush their own sub-block tails).  Returns a list
         of step_planes()/step() results."""
+        if self._groups is not None:
+            tails = [sub.drain(planes=True) for _, sub in self._groups]
+            n = max((len(t) for t in tails), default=0)
+            out = []
+            for i in range(n):
+                blks = [t[i] if i < len(t) else
+                        (jnp.zeros((self.block_out, len(idx)), jnp.float32),
+                         jnp.zeros((self.block_out, len(idx)), jnp.float32))
+                        for (idx, _), t in zip(self._groups, tails)]
+                y = self._scatter(blks)
+                if not planes:
+                    y = (np.asarray(y[0]).T
+                         + 1j * np.asarray(y[1]).T).astype(np.complex64)
+                out.append(y)
+            return out
         out = []
         # a channel's tail is spent once fewer than a tap-span of real
         # samples remains (the rest is filter lead-out)

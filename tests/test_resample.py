@@ -113,7 +113,8 @@ def test_bank_streaming_matches_oneshot():
            + 1j * rng.standard_normal(total_need)).astype(np.complex64)
           for _ in range(C)]
 
-    bank = ResamplerBank(ratios, block_out=B, n_phases=P, taps_per_phase=K)
+    bank = ResamplerBank(ratios, block_out=B, n_phases=P, taps_per_phase=K,
+                         uniform=False)   # this test gates the gather path
     outs, fed = [], [0] * C
     chunk = 37
     while len(outs) < n_blocks:
@@ -454,3 +455,43 @@ def test_bank_uniform_fast_path_detection_and_parity():
     tail_s = slow.drain(planes=False)
     assert len(tail_f) == len(tail_s) >= 0
     assert (fast._real <= fast.K).all()
+
+
+def test_bank_grouped_uniform_decomposition():
+    """Few distinct rational ratios -> one banded-matmul sub-bank per
+    ratio, outputs scattered back to bank columns; matches the gather-path
+    bank within phase-table quantization.  Channels of the same ratio are
+    interleaved to exercise the column scatter."""
+    ratios = [73 / 80, 1.0, 73 / 80, 37 / 32]     # interleaved groups
+    B = 96
+    # explicit shared cutoff so both banks run the SAME filter on every
+    # channel (by default the grouped path gives each group its own
+    # cutoff, deliberately different from the gather bank's shared table)
+    co = 32 / 37
+    fast = ResamplerBank(ratios, block_out=B, taps_per_phase=K, cutoff=co)
+    slow = ResamplerBank(ratios, block_out=B, taps_per_phase=K,
+                         cutoff=co, uniform=False)
+    assert fast._groups is not None and len(fast._groups) == 3
+    assert slow._groups is None
+    with pytest.raises(ValueError):
+        fast.set_ratio(0, 1.0)
+
+    rng = np.random.default_rng(31)
+    n = int(4 * B * max(ratios)) + 8 * K
+    xs = [(rng.standard_normal(n) + 1j * rng.standard_normal(n)
+           ).astype(np.complex64) for _ in ratios]
+    for bank in (fast, slow):
+        for c in range(len(ratios)):
+            bank.push(c, xs[c])
+    outs_f, outs_s = [], []
+    while fast.ready():
+        outs_f.append(fast.step())
+    while slow.ready():
+        outs_s.append(slow.step())
+    assert len(outs_f) == len(outs_s) > 1
+    got = np.concatenate(outs_f, axis=1)
+    want = np.concatenate(outs_s, axis=1)
+    # identical filters -> only the gather path's phase-table lerp differs
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    tail = fast.drain(planes=False)
+    assert isinstance(tail, list)
