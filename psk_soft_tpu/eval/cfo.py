@@ -67,3 +67,37 @@ def cfo_from_packet(pkt, cfg: DemodConfig, in_xdelta: float | None = None,
     sym_dt = in_xdelta * cfg.sps if in_xdelta is not None else pkt.sri.xdelta
     mm = cfg.constellation_size if m is None else np.asarray(m)
     return cfo_from_phase(pkt.data, mm, sps=1, xdelta=sym_dt)
+
+
+def acquire_cfo(x, m, nfft: int | None = None, xdelta: float = 1.0
+                ) -> np.ndarray:
+    """Coarse per-channel CFO acquisition from the M-th-power spectrum.
+
+    Raising PSK to the M removes the modulation, leaving a tone at
+    ``M * cfo``; the FFT peak locates it.  Resolution is 1/(M*nfft)
+    cycles/sample -- plenty to pull the offset into the phase tracker's
+    lock range, after which ``cfo_from_phase`` refines from the phase
+    port.  Unambiguous range: |cfo| < 1/(2*M) cycles/sample (the M-th
+    power aliases beyond that).
+
+    Args:
+      x: complex baseband, (C, T) or (T,) host array.
+      m: constellation size (scalar or per-channel array).
+    Returns:
+      CFO per channel in Hz (cycles/sample when xdelta=1), shape (C,) or
+      scalar for 1-D input.
+    """
+    arr = np.asarray(x)
+    one = arr.ndim == 1
+    x2 = arr[None, :] if one else arr
+    m_arr = np.broadcast_to(np.asarray(m, np.float64), (x2.shape[0],))
+    if nfft is None:
+        nfft = 1 << int(np.ceil(np.log2(max(x2.shape[1], 2))))
+    out = np.empty(x2.shape[0], np.float64)
+    for mv in np.unique(m_arr):
+        rows = m_arr == mv
+        X = np.fft.fft(x2[rows] ** int(mv), n=nfft, axis=1)
+        k = np.argmax(np.abs(X), axis=1)
+        f = ((k / nfft + 0.5) % 1.0) - 0.5        # wrap to [-0.5, 0.5)
+        out[rows] = f / mv / xdelta
+    return out[0] if one else out

@@ -102,3 +102,96 @@ def test_cfo_from_engine_packet():
 def test_cfo_needs_two_symbols():
     with pytest.raises(ValueError, match="at least 2"):
         cfo_from_phase(np.zeros((4, 1)), 4, sps=8)
+
+
+def test_acquire_and_derotate_recovers_large_cfo():
+    """Closing the loop: a CFO far beyond the phase tracker's lock range
+    (per-symbol step M*2pi*f*sps > pi) breaks the bare demod; M-th-power
+    acquisition (eval/cfo.acquire_cfo) + NCO derotation (ops/mixer) in
+    front recovers the bits."""
+    import jax.numpy as jnp
+    from psk_soft_tpu import DemodConfig, demod_init, make_demod_fn
+    from psk_soft_tpu.eval.cfo import acquire_cfo
+    from psk_soft_tpu.ops.mixer import derotate_host
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10)
+    f_big = 0.02          # cycles/sample: step = 4*2pi*0.02*8 = 4.0 rad
+    x0, _ = gen_psk_channel(400, sps=8, m=4, seed=3, snr_db=30,
+                            timing_offset=1)
+    x = derotate_host(x0, -f_big)        # impose the offset
+    fn = make_demod_fn(cfg)
+
+    _, out_ref = fn(demod_init(cfg), jnp.asarray(x0))
+    _, out_bad = fn(demod_init(cfg), jnp.asarray(x))
+    v = np.asarray(out_ref.valid)
+    bits_ref = np.asarray(out_ref.bits)[v]
+    bits_bad = np.asarray(out_bad.bits)[np.asarray(out_bad.valid)]
+    n = min(len(bits_ref), len(bits_bad))
+    assert (bits_bad[:n] != bits_ref[:n]).mean() > 0.2, \
+        "fixture CFO unexpectedly within lock range"
+
+    est = acquire_cfo(x, 4)
+    assert abs(est - f_big) < 1.0 / (4 * 4096) + 1e-4
+    x_fix = derotate_host(x, est)
+    _, out_fix = fn(demod_init(cfg), jnp.asarray(x_fix))
+    # residual CFO < one FFT bin -> tracker locks.  A fixed constellation
+    # rotation may remain (absolute-phase M-fold ambiguity is inherent),
+    # so compare SYMBOL TRANSITIONS (rotation-invariant) via soft angles.
+    n = min(int(v.sum()), int(np.asarray(out_fix.valid).sum())) - 4
+    a_ref = np.angle(np.asarray(out_ref.soft)[v])[:n]
+    a_fix = np.angle(np.asarray(out_fix.soft)[
+        np.asarray(out_fix.valid)])[:n]
+    d = (np.diff(a_ref) - np.diff(a_fix) + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(d).max() < 0.5, "post-correction symbol transitions differ"
+
+
+def test_acquire_cfo_per_channel_and_range():
+    from psk_soft_tpu.eval.cfo import acquire_cfo
+    from psk_soft_tpu.ops.mixer import derotate_host
+    from psk_soft_tpu.testing.signals import gen_psk_channel
+
+    fs = [0.01, -0.03, 0.0]
+    xs = []
+    for i, f in enumerate(fs):
+        x, _ = gen_psk_channel(512, sps=8, m=4, seed=i, snr_db=25)
+        xs.append(derotate_host(x, -f))
+    est = acquire_cfo(np.stack(xs), 4, nfft=8192)
+    np.testing.assert_allclose(est, fs, atol=2e-4)
+    # Hz conversion
+    est_hz = acquire_cfo(np.stack(xs), 4, nfft=8192, xdelta=1e-6)
+    np.testing.assert_allclose(est_hz, np.asarray(fs) * 1e6, atol=200)
+
+
+def test_derotate_planes_matches_host_and_carries_phase():
+    import jax.numpy as jnp
+    from psk_soft_tpu.ops.mixer import derotate, derotate_host
+
+    rng = np.random.default_rng(2)
+    T, C = 96, 3
+    x = (rng.standard_normal((C, T))
+         + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+    freq = np.array([0.01, -0.004, 0.0], np.float32)
+    p0 = np.array([0.3, -1.0, 0.0], np.float32)
+
+    y_re, y_im, p_end = derotate(
+        jnp.asarray(np.ascontiguousarray(x.real.T)),
+        jnp.asarray(np.ascontiguousarray(x.imag.T)),
+        jnp.asarray(freq), jnp.asarray(p0))
+    want = np.stack([derotate_host(x[c], freq[c], p0[c]) for c in range(C)])
+    got = np.asarray(y_re).T + 1j * np.asarray(y_im).T
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # streaming: two chained blocks == one long block
+    half = T // 2
+    y1_re, y1_im, pm = derotate(
+        jnp.asarray(np.ascontiguousarray(x.real.T[:half])),
+        jnp.asarray(np.ascontiguousarray(x.imag.T[:half])),
+        jnp.asarray(freq), jnp.asarray(p0))
+    y2_re, y2_im, _ = derotate(
+        jnp.asarray(np.ascontiguousarray(x.real.T[half:])),
+        jnp.asarray(np.ascontiguousarray(x.imag.T[half:])),
+        jnp.asarray(freq), pm)
+    got2 = np.concatenate([np.asarray(y1_re), np.asarray(y2_re)]) \
+        + 1j * np.concatenate([np.asarray(y1_im), np.asarray(y2_im)])
+    np.testing.assert_allclose(got2.T, want, atol=4e-5)
