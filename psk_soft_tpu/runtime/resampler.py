@@ -14,16 +14,22 @@ fused kernel at the common sps.
 Position bookkeeping is rebased every block (the carry stays within one
 tap-span of zero), so float32 phase accumulation never loses precision
 over unbounded stream lengths.
+
+Fast paths: rational ratios auto-select the zero-gather banded-matmul
+(MXU) device step -- one matrix for a uniform bank, one per distinct
+ratio (with its own anti-alias cutoff) for a grouped bank -- with a
+device-side output FIFO decoupling the rational cycle from block_out.
+The per-(n, c) gather step remains for irrational or live-retuned
+(`set_ratio`) ratios.
 """
 
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import numpy as np
 import jax.numpy as jnp
-
-from fractions import Fraction
 
 from ..ops.resample import (kaiser_sinc_table, resample_block,
                             resample_block_uniform, uniform_poly_matrix)
