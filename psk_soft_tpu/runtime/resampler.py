@@ -344,3 +344,100 @@ class ResamplerBank:
                 break
             out.append(blk)
         return out
+
+
+class ResampledBankEngine:
+    """Heterogeneous-native-rate bank behind the standard engine surface:
+    ResamplerBank -> FullKernelBatchEngine (or BatchEngine), with the
+    packet clock rescaled to the common grid.
+
+    push() takes NATIVE-rate complex samples per channel; everything
+    downstream (step_packets / flush_packets / configure / reset /
+    metrics) is the wrapped engine's surface.  flush_packets returns a
+    LIST of per-port packet dicts (the resampler's EOS drain can complete
+    several engine blocks, each with its own timestamps) -- the one
+    deliberate signature difference from the single-rate engines.
+    """
+
+    def __init__(self, cfg, channels: int, native_sps, *,
+                 block_symbols: int = 512, pipeline: str = "full",
+                 resampler_kwargs: dict | None = None, **engine_kwargs):
+        from .engine import BatchEngine, FullKernelBatchEngine
+        vals = np.broadcast_to(np.asarray(native_sps, np.float64),
+                               (channels,))
+        self.resampler = ResamplerBank(
+            (vals / cfg.sps).tolist(), block_out=block_symbols * cfg.sps,
+            **(resampler_kwargs or {}))
+        self._full = pipeline == "full"
+        if self._full:
+            self.engine = FullKernelBatchEngine(
+                cfg, channels, block_symbols=block_symbols, **engine_kwargs)
+        else:
+            self.engine = BatchEngine(cfg, channels,
+                                      block_symbols=block_symbols,
+                                      **engine_kwargs)
+
+    # ---- ingest ----------------------------------------------------------
+    def push(self, channel: int, data: np.ndarray) -> None:
+        self.resampler.push(channel, data)
+
+    def pending(self) -> np.ndarray:
+        return self.resampler.pending()
+
+    def _feed(self, blk) -> None:
+        if self._full:
+            self.engine.push_planes(blk[0], blk[1])
+        else:
+            self.engine.push_block(blk)
+
+    def _pump(self) -> None:
+        while True:
+            blk = (self.resampler.step_planes() if self._full
+                   else self.resampler.step())
+            if blk is None:
+                return
+            self._feed(blk)
+
+    # ---- engine surface --------------------------------------------------
+    def set_input_sri(self, sri, t: float = 0.0) -> None:
+        """Input SRI at the CAPTURE rate; the engine sees the common-grid
+        clock (xdelta scaled by the ratio -- exact for uniform banks, the
+        median otherwise, same convention as the CLI)."""
+        import dataclasses
+        r = self.resampler.ratios
+        scale = float(r[0]) if np.allclose(r, r[0]) else float(np.median(r))
+        self.engine.set_input_sri(
+            dataclasses.replace(sri, xdelta=sri.xdelta * scale), t)
+
+    def step_packets(self):
+        self._pump()
+        return self.engine.step_packets()
+
+    def step(self):
+        self._pump()
+        return self.engine.step()
+
+    def flush_packets(self) -> list:
+        for blk in self.resampler.drain(planes=self._full):
+            self._feed(blk)
+        out = []
+        while True:
+            pkts = self.engine.step_packets()
+            if pkts is None:
+                break
+            out.append(pkts)
+        out.append(self.engine.flush_packets())
+        return out
+
+    def configure(self, new_cfg) -> None:
+        if new_cfg.sps != self.engine.cfg.sps:
+            raise ValueError("sps change alters every channel's ratio; "
+                             "rebuild the ResampledBankEngine instead")
+        self.engine.configure(new_cfg)
+
+    def reset(self) -> None:
+        self.engine.reset()
+
+    @property
+    def metrics(self):
+        return self.engine.metrics

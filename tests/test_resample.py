@@ -495,3 +495,79 @@ def test_bank_grouped_uniform_decomposition():
     np.testing.assert_allclose(got, want, atol=3e-4)
     tail = fast.drain(planes=False)
     assert isinstance(tail, list)
+
+
+def test_resampled_bank_engine_surface():
+    """ResampledBankEngine: native-rate push -> standard engine surface,
+    packets equal the manual ResamplerBank+engine composition, packet
+    clock rescaled by the (uniform) ratio."""
+    from psk_soft_tpu.runtime.engine import BatchEngine
+    from psk_soft_tpu.runtime.resampler import ResampledBankEngine
+    from psk_soft_tpu.runtime.streams import SRI, PORT_SOFT
+
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10)
+    C, B = 2, 64
+    native = 7.3
+    rng = np.random.default_rng(17)
+    n = int(6 * B * 8 * (native / 8)) + 64
+    xs = [(rng.standard_normal(n) + 1j * rng.standard_normal(n)
+           ).astype(np.complex64) for _ in range(C)]
+
+    eng = ResampledBankEngine(cfg, C, native, block_symbols=B,
+                              pipeline="ff")
+    eng.set_input_sri(SRI(stream_id="t", xdelta=1.0), 0.0)
+    assert eng.engine.assembler.sri.xdelta == pytest.approx(native / 8)
+    for c in range(C):
+        eng.push(c, xs[c])
+    got = []
+    while True:
+        pkts = eng.step_packets()
+        if pkts is None:
+            break
+        got.append(pkts)
+    got.extend(p for p in eng.flush_packets() if p)
+    assert eng.metrics.symbols_out > 0
+
+    # manual composition oracle
+    rs = ResamplerBank([native / 8] * C, block_out=B * 8)
+    ref_eng = BatchEngine(cfg, C, block_symbols=B)
+    ref_eng.set_input_sri(SRI(stream_id="t", xdelta=native / 8), 0.0)
+    for c in range(C):
+        rs.push(c, xs[c])
+    ref = []
+    while True:
+        blk = rs.step()
+        if blk is None:
+            break
+        ref_eng.push_block(blk)
+        while True:
+            pkts = ref_eng.step_packets()
+            if pkts is None:
+                break
+            ref.append(pkts)
+    for blk in rs.drain(planes=False):
+        ref_eng.push_block(blk)
+    while True:
+        pkts = ref_eng.step_packets()
+        if pkts is None:
+            break
+        ref.append(pkts)
+    ref.append(ref_eng.flush_packets())
+    ref = [p for p in ref if p]
+
+    assert len(got) == len(ref) > 0
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a[PORT_SOFT].data, b[PORT_SOFT].data)
+        assert a[PORT_SOFT].sri.xdelta == b[PORT_SOFT].sri.xdelta
+        assert a[PORT_SOFT].t == b[PORT_SOFT].t
+
+
+def test_resampled_bank_engine_configure_guard():
+    from psk_soft_tpu.runtime.resampler import ResampledBankEngine
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=10)
+    eng = ResampledBankEngine(cfg, 1, 7.3, block_symbols=32, pipeline="ff")
+    import dataclasses
+    with pytest.raises(ValueError):
+        eng.configure(dataclasses.replace(cfg, sps=10))
+    eng.configure(dataclasses.replace(cfg, constellation_size=8))
+    eng.reset()
