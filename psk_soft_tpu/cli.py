@@ -137,7 +137,8 @@ def cmd_demod_batch(args) -> int:
                                     block_symbols=args.block_symbols,
                                     pipeline_depth=args.pipeline_depth,
                                     ingest_scale=args.in_scale
-                                    if (i16 and resampler is None)
+                                    if (i16 and resampler is None
+                                        and not args.acquire_cfo)
                                     else None,
                                     guard_nonfinite=args.guard_nonfinite,
                                     debug_ports=not args.no_debug_ports,
@@ -153,6 +154,12 @@ def cmd_demod_batch(args) -> int:
         eng = BatchEngine(cfg, channels=C, block_symbols=args.block_symbols,
                           pipeline_depth=args.pipeline_depth,
                           guard_nonfinite=args.guard_nonfinite)
+    if args.acquire_cfo:
+        # NCO mixes BEFORE the engine, so wire-format dequant (when any)
+        # moves to the push site below and ingest_scale stays off.
+        from .runtime.autocfo import AutoCfoEngine
+        eng = AutoCfoEngine(eng, acq_samples=args.acq_samples,
+                            track=args.cfo_track)
     xdelta = 1.0 / args.sample_rate
     if resampler is not None:
         rs_ratios = resampler.ratios
@@ -234,6 +241,15 @@ def cmd_demod_batch(args) -> int:
 
     wire_samples = [0]    # capture-rate complex samples actually read
 
+    def _wire_planes(r):
+        """int16 wire planes dequantize on the host when the NCO sits in
+        front of the engine (mixing must see float32); otherwise they ride
+        the kernel's own int16 ingest untouched."""
+        if i16 and args.acquire_cfo:
+            return (np.asarray(r[0], np.float32) * args.in_scale,
+                    np.asarray(r[1], np.float32) * args.in_scale)
+        return r[0], r[1]
+
     def ingest(raw):
         usable = len(raw) - (len(raw) % frame_bytes)
         if not usable:
@@ -246,7 +262,7 @@ def cmd_demod_batch(args) -> int:
                 r = plane_bank.pop_planes(need, timeout=0)
                 if r is None:
                     break
-                eng.push_planes(r[0], r[1])
+                eng.push_planes(*_wire_planes(r))
         elif bank is not None and not i16:
             bank.push_interleaved(flat)
             while True:
@@ -290,7 +306,7 @@ def cmd_demod_batch(args) -> int:
                 if plane_bank is not None and plane_bank.depth():
                     r = plane_bank.pop_planes(plane_bank.depth(), timeout=0)
                     if r is not None:
-                        eng.push_planes(r[0], r[1])
+                        eng.push_planes(*_wire_planes(r))
                 if bank is not None and bank.depth():
                     r = bank.pop_block(bank.depth(), timeout=0)
                     if r is not None:
@@ -475,6 +491,21 @@ def main(argv=None) -> int:
                          "to the bank's common --sps before demod "
                          "(runtime/resampler.py), so heterogeneous bauds "
                          "share one kernel bank")
+    db.add_argument("--acquire-cfo", action="store_true",
+                    help="coarse carrier acquisition (M-th-power spectrum) "
+                         "on the first --acq-samples per channel, then "
+                         "phase-continuous NCO derotation in front of the "
+                         "demod (runtime/autocfo.py): recovers offsets far "
+                         "beyond the phase tracker's 1/(2*M*sps) lock "
+                         "range; nothing is dropped during acquisition")
+    db.add_argument("--acq-samples", type=int, default=4096,
+                    help="samples staged for coarse CFO acquisition "
+                         "(with --native-sps acquisition runs on the "
+                         "common grid, after resampling)")
+    db.add_argument("--cfo-track", action="store_true",
+                    help="fold phase-port residual drift back into the NCO "
+                         "whenever it nears the lock-range edge "
+                         "(doppler-slew immunity)")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

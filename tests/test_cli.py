@@ -384,3 +384,53 @@ def test_cli_demod_batch_native_sps_ci16_wire(tmp_path):
     s32 = np.fromfile(p32.with_suffix(".soft.cf32"), np.complex64)
     assert s16.size == s32.size > 0
     np.testing.assert_allclose(s16, s32, rtol=0, atol=1e-5)
+
+
+def test_cli_demod_batch_acquire_cfo(tmp_path):
+    """--acquire-cfo: a carrier 3x beyond the tracker's 1/(2*M*sps) lock
+    range demodulates through the CLI (acquisition + NCO in front of the
+    engine, runtime/autocfo.py); without the flag the same file fails."""
+    C = 2
+    sps, m, ns = 8, 4, 1400
+    f = 3.0 / (2 * m * sps)
+    rng = np.random.default_rng(21)
+    xs, syms = [], []
+    for c in range(C):
+        j = rng.integers(0, m, ns)
+        x = np.repeat(np.exp(2j * np.pi * j / m), sps)
+        x = x * np.exp(2j * np.pi * (f if c == 0 else -f)
+                       * np.arange(x.size))
+        x = x + 0.002 * (rng.standard_normal(x.size)
+                         + 1j * rng.standard_normal(x.size))
+        xs.append(x.astype(np.complex64))
+        syms.append(np.exp(2j * np.pi * j / m))
+    xs = np.stack(xs)
+    infile = tmp_path / "cfo.cf32"
+    infile.write_bytes(np.ascontiguousarray(xs.T).tobytes())
+
+    common = ["--in", str(infile), "--channels", str(C), "--sps", str(sps),
+              "-M", str(m), "--num-avg", "20", "--phase-avg", "10",
+              "--block-symbols", "64"]
+
+    def _ser(prefix, c):
+        soft = np.fromfile(prefix.with_suffix(".soft.cf32"),
+                           np.complex64).reshape(-1, C)[200:, c]
+        best = 1.0
+        for d in range(60):
+            e = syms[c][200 + d:200 + d + soft.size]
+            s = soft[:e.size]
+            for k in range(m):
+                rot = np.exp(2j * np.pi * k / m) * np.exp(1j * np.pi / 4)
+                best = min(best,
+                           float(np.mean(np.abs(s - e * rot) > 0.5)))
+        return best
+
+    p_on = tmp_path / "on"
+    _run(["demod-batch", *common, "--out-prefix", str(p_on),
+          "--acquire-cfo", "--acq-samples", "4096"])
+    p_off = tmp_path / "off"
+    _run(["demod-batch", *common, "--out-prefix", str(p_off)])
+
+    for c in range(C):
+        assert _ser(p_on, c) < 0.01
+    assert _ser(p_off, 0) > 0.2
