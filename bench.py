@@ -14,6 +14,7 @@ QPSK, sps=8, numAvg=100, phaseAvg=50 -- the reference's test operating point
 """
 
 import argparse
+import copy
 import json
 import os
 import subprocess
@@ -24,6 +25,27 @@ import numpy as np
 
 
 PER_CHIP_BASELINE = 10e9 / 16  # north-star aggregate / v5e-16 chips
+
+# Degraded tunnel windows show a per-block-step floor (~17 ms observed)
+# that is NOT proportional to block size, capping the default 512-symbol
+# block at ~0.25-2.3 Gsps while fast windows reach >40 Gsps on the same
+# program (README "measured ranges").  A full-kernel rate below this is
+# unambiguously a floor-dominated window -- retry with a bigger block to
+# amortize the floor.
+DEGRADED_RATE = 3e9
+
+
+def _qpsk_block(C, symbols, sps, seed=0):
+    """The bench's standard C-channel QPSK block (slow residual CFO, 1%
+    noise) -- one deterministic generator so every variant measures the
+    same signal content."""
+    rng = np.random.default_rng(seed)
+    sym = rng.integers(0, 4, size=(C, symbols))
+    pts = np.exp(1j * (2 * np.pi * sym / 4
+                       + 2 * np.pi * 1e-4 * np.arange(symbols)))
+    x = np.repeat(pts, sps, axis=1).astype(np.complex64)
+    x += (0.01 * rng.standard_normal(x.shape)).astype(np.complex64)
+    return x
 
 
 def _await_backend():
@@ -515,13 +537,7 @@ def main():
     cfg = DemodConfig(sps=args.sps, num_avg=100, constellation_size=4,
                       phase_avg=50)
     C, T = args.channels, args.symbols * args.sps
-
-    rng = np.random.default_rng(0)
-    sym = rng.integers(0, 4, size=(C, args.symbols))
-    pts = np.exp(1j * (2 * np.pi * sym / 4 + 2 * np.pi * 1e-4 *
-                       np.arange(args.symbols)))
-    x_np = np.repeat(pts, args.sps, axis=1).astype(np.complex64)
-    x_np += (0.01 * rng.standard_normal(x_np.shape)).astype(np.complex64)
+    x_np = _qpsk_block(C, args.symbols, args.sps)
 
     if args.pipeline in ("full", "auto"):
         rate_full = None
@@ -542,7 +558,6 @@ def main():
             # unconnected (the reference likewise skips output work for
             # unconnected ports): the planes compile away, cutting output
             # HBM writes.  Measured too, and the faster variant wins.
-            import copy
             args_ndp = copy.copy(args)
             args_ndp.no_debug_ports = True
             try:
@@ -555,6 +570,28 @@ def main():
                 if rate_ndp > rate_full:
                     rate_full = rate_ndp
                     label += " no-debug-ports"
+        if rate_full is not None and rate_full < DEGRADED_RATE \
+                and args.symbols < 4096:
+            # Floor-dominated window: re-measure the winning profile at an
+            # 8x bigger block so the per-step floor is split over 8x the
+            # samples.  Pure win if the floor is per-step (the blocksize
+            # sweep's hypothesis); harmless pick-best if it is not.
+            big = copy.copy(args)
+            big.symbols = min(4096, args.symbols * 8)
+            big.iters = max(20, args.iters // 8)
+            big.no_debug_ports = "no-debug-ports" in label
+            x_big = _qpsk_block(C, big.symbols, args.sps)
+            try:
+                rate_big = run_full(big, cfg, C, big.symbols * args.sps,
+                                    x_big)
+            except Exception as e:  # pragma: no cover - platform-specific
+                print(f"big-block variant failed ({type(e).__name__}); "
+                      f"keeping {args.symbols}-symbol block",
+                      file=sys.stderr)
+            else:
+                if rate_big > rate_full:
+                    rate_full = rate_big
+                    label += f" block={big.symbols}sym"
         if args.pipeline == "full" and rate_full is not None:
             return emit(C, label, rate_full)
         if args.pipeline == "auto":

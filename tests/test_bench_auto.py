@@ -123,6 +123,55 @@ def test_ff_failure_with_full_ok_emits_full(bench, monkeypatch, capsys):
     assert out["value"] == 5e9
 
 
+def _run_sym(bench, monkeypatch, capsys, argv, rate_by_symbols, ff_rate):
+    """Fake run_full keyed on the block size (args.symbols) to exercise
+    the degraded-window big-block retry."""
+    calls = []
+
+    def fake_run_full(args, cfg, C, T, x_np, raw_tail=False, mixed=None):
+        calls.append(args.symbols)
+        assert T == args.symbols * args.sps
+        assert x_np.shape == (C, T)
+        return rate_by_symbols[args.symbols]
+
+    monkeypatch.setattr(bench, "run_full", fake_run_full)
+    monkeypatch.setattr(bench, "run_ff",
+                        lambda args, cfg, C, T, x_np: ff_rate)
+    monkeypatch.setattr(sys, "argv", ["bench.py"] + argv)
+    assert bench.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    return out, calls
+
+
+def test_degraded_window_retries_big_block(bench, monkeypatch, capsys):
+    """Sub-DEGRADED_RATE full-kernel rate (floor-dominated window) must
+    trigger one 8x-block re-measurement; if faster it wins and the label
+    says so."""
+    out, calls = _run_sym(bench, monkeypatch, capsys, [],
+                          {512: 1.0e9, 4096: 5.0e9}, ff_rate=0.5e9)
+    assert out["value"] == 5.0e9
+    assert "block=4096sym" in out["label"]
+    # default profile + ndp variant at 512, then one big-block retry
+    assert calls == [512, 512, 4096]
+
+
+def test_degraded_big_block_slower_keeps_default(bench, monkeypatch, capsys):
+    out, calls = _run_sym(bench, monkeypatch, capsys, [],
+                          {512: 1.0e9, 4096: 0.8e9}, ff_rate=0.5e9)
+    assert out["value"] == 1.0e9
+    assert "block=" not in out["label"]
+    assert calls.count(4096) == 1
+
+
+def test_fast_window_skips_big_block(bench, monkeypatch, capsys):
+    """Above DEGRADED_RATE the retry must not run (extra compiles cost
+    30s-7min on the tunnel for no expected gain)."""
+    out, calls = _run_sym(bench, monkeypatch, capsys, [],
+                          {512: 40e9}, ff_rate=3e9)
+    assert out["value"] == 40e9
+    assert 4096 not in calls
+
+
 def test_ndp_variant_failure_keeps_default(bench, monkeypatch, capsys):
     out, _ = _run(bench, monkeypatch, capsys, [],
                   {("full", True): 5e9,
