@@ -132,12 +132,21 @@ def cmd_demod_batch(args) -> int:
                              f"{len(vals)}")
         resampler = ResamplerBank([v / cfg.sps for v in vals],
                                   block_out=args.block_symbols * cfg.sps)
+    chanfe = None
+    if args.channelize:
+        if args.native_sps is not None:
+            raise SystemExit("--channelize and --native-sps cannot combine "
+                             "in one run (channelize first, then resample "
+                             "in a second run if the band rates differ)")
+        from .runtime.channelizer import ChannelizerFrontEnd
+        chanfe = ChannelizerFrontEnd(C, taps_per_branch=args.chan_taps)
     if args.pipeline == "full":
         eng = FullKernelBatchEngine(cfg, channels=C,
                                     block_symbols=args.block_symbols,
                                     pipeline_depth=args.pipeline_depth,
                                     ingest_scale=args.in_scale
                                     if (i16 and resampler is None
+                                        and not args.channelize
                                         and not args.acquire_cfo)
                                     else None,
                                     guard_nonfinite=args.guard_nonfinite,
@@ -174,6 +183,9 @@ def cmd_demod_batch(args) -> int:
                   "wall-clock rate -- split rates into separate runs if "
                   "downstream consumers need exact clocks", file=sys.stderr)
             xdelta = float(np.median(rs_ratios)) / args.sample_rate
+    if chanfe is not None:
+        # each channel runs at sample_rate / C after the filterbank
+        xdelta = C / args.sample_rate
     eng.set_input_sri(SRI(stream_id=args.stream_id, xdelta=xdelta, mode=1))
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
     # All four SCD ports (psk_soft.scd.xml:32-73), symbol-interleaved across
@@ -185,7 +197,9 @@ def cmd_demod_batch(args) -> int:
     if not args.no_debug_ports:
         sinks[PORT_PHASE] = open(f"{args.out_prefix}.phase.f32", "wb")
         sinks[PORT_SAMPLE_INDEX] = open(f"{args.out_prefix}.index.i16", "wb")
-    frame_bytes = C * (4 if i16 else 8)
+    # --channelize reads ONE wideband stream: a "frame" is a single
+    # complex sample, not a C-channel row.
+    frame_bytes = (1 if chanfe is not None else C) * (4 if i16 else 8)
     chunk = args.chunk_samples * frame_bytes
     nb = cfg.bits_per_symbol
 
@@ -213,7 +227,7 @@ def cmd_demod_batch(args) -> int:
     # per-channel-rate ingest goes host dequant -> ResamplerBank ->
     # common-rate planes; its ragged consumption can't ride the
     # fixed-frame native rings, so those stay off when resampling.
-    if resampler is None:
+    if resampler is None and chanfe is None:
         try:
             if args.pipeline == "full":
                 from .runtime.native_bank import NativePlaneBank
@@ -256,7 +270,29 @@ def cmd_demod_batch(args) -> int:
             return
         flat = np.frombuffer(raw[:usable], wire_dtype)
         wire_samples[0] += flat.size // 2
-        if plane_bank is not None:
+        if chanfe is not None:
+            pairs = flat.reshape(-1, 2)
+            if i16:
+                w = (pairs[:, 0].astype(np.float32) * args.in_scale
+                     + 1j * (pairs[:, 1].astype(np.float32)
+                             * args.in_scale)).astype(np.complex64)
+            else:
+                w = (pairs[:, 0] + 1j * pairs[:, 1]).astype(np.complex64)
+            chanfe.push(w)
+            while True:
+                if args.pipeline == "full":
+                    # device-resident (rows, C) planes: the filterbank's
+                    # output layout IS the kernel's input layout
+                    r = chanfe.step_planes(need)
+                    if r is None:
+                        break
+                    eng.push_planes(*r)
+                else:
+                    blk = chanfe.step_block(need)
+                    if blk is None:
+                        break
+                    eng.push_block(blk)
+        elif plane_bank is not None:
             plane_bank.push_interleaved(flat)
             while True:
                 r = plane_bank.pop_planes(need, timeout=0)
@@ -311,6 +347,13 @@ def cmd_demod_batch(args) -> int:
                     r = bank.pop_block(bank.depth(), timeout=0)
                     if r is not None:
                         eng.push_block(r[0])
+                if chanfe is not None:
+                    r = chanfe.drain(planes=args.pipeline == "full")
+                    if r is not None:
+                        if args.pipeline == "full":
+                            eng.push_planes(*r)
+                        else:
+                            eng.push_block(r)
                 if resampler is not None:
                     full = args.pipeline == "full"
                     for blk in resampler.drain(planes=full):
@@ -491,6 +534,16 @@ def main(argv=None) -> int:
                          "to the bank's common --sps before demod "
                          "(runtime/resampler.py), so heterogeneous bauds "
                          "share one kernel bank")
+    db.add_argument("--channelize", action="store_true",
+                    help="input is ONE wideband stream at --sample-rate: "
+                         "split it into --channels equal bands with the "
+                         "polyphase DFT filterbank (ops/channelizer.py) and "
+                         "demodulate every band in the bank; channel m is "
+                         "centered at +m/C * sample_rate (FFT bin order), "
+                         "per-channel rate = sample_rate / channels")
+    db.add_argument("--chan-taps", type=int, default=8,
+                    help="prototype taps per polyphase branch for "
+                         "--channelize (filter length = taps * channels)")
     db.add_argument("--acquire-cfo", action="store_true",
                     help="coarse carrier acquisition (M-th-power spectrum) "
                          "on the first --acq-samples per channel, then "

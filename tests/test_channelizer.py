@@ -1,0 +1,178 @@
+"""Polyphase DFT channelizer: oracle parity, tone routing, streaming
+invariance, and wideband -> channelize -> demod-bank integration.
+
+The oracle is the direct per-channel DDC the bank replaces: downconvert by
+exp(-2j pi m l / C), FIR with the same prototype, decimate by C -- computed
+literally in numpy below (see ops/channelizer.py docstring identity).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.ops.channelizer import (channel_frequencies,
+                                          channelize_block,
+                                          channelizer_init, prototype_taps)
+
+
+def _oracle(taps, xx, C):
+    """y[t, m] = sum_l h[l] * xx[t*C + l] * e^{-2j pi m l / C}."""
+    L = taps.size
+    B = (xx.size - (L - C)) // C
+    l = np.arange(L)
+    y = np.empty((B, C), np.complex64)
+    for m in range(C):
+        w = taps * np.exp(-2j * np.pi * m * l / C)
+        for t in range(B):
+            y[t, m] = np.dot(w, xx[t * C: t * C + L])
+    return y
+
+
+def test_matches_direct_ddc_oracle():
+    C, K, B = 8, 6, 40
+    taps = prototype_taps(C, K)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(B * C)
+         + 1j * rng.standard_normal(B * C)).astype(np.complex64)
+    carry, y = channelize_block(jnp.asarray(taps), channelizer_init(C, K),
+                                jnp.asarray(x))
+    xx = np.concatenate([np.zeros((K - 1) * C, np.complex64), x])
+    np.testing.assert_allclose(np.asarray(y), _oracle(taps, xx, C),
+                               atol=2e-5)
+    # carry holds the last K-1 branch rows
+    np.testing.assert_array_equal(np.asarray(carry).ravel(),
+                                  x[-(K - 1) * C:])
+
+
+@pytest.mark.parametrize("m", [0, 1, 5, 12, 15])
+def test_tone_routes_to_its_bin(m):
+    """A tone at channel m's center comes out of bin m at amplitude ~1 and
+    is rejected everywhere else (prototype stopband)."""
+    C, K, B = 16, 8, 64
+    taps = prototype_taps(C, K)
+    n = np.arange(B * C)
+    x = np.exp(2j * np.pi * m * n / C).astype(np.complex64)
+    _, y = channelize_block(jnp.asarray(taps), channelizer_init(C, K),
+                            jnp.asarray(x))
+    y = np.asarray(y)[K:]                       # past the bank's fill-in
+    assert np.abs(np.abs(y[:, m]) - 1.0).max() < 1e-3
+    others = np.delete(np.abs(y), m, axis=1)
+    assert others.max() < 1e-3
+
+
+def test_half_channel_offset_lands_between_bins():
+    """A tone halfway between channel centers splits between the two
+    adjacent bins at the prototype's edge gain -- i.e. frequency mapping is
+    continuous, not off-by-one."""
+    C, K, B = 8, 8, 64
+    taps = prototype_taps(C, K)
+    n = np.arange(B * C)
+    x = np.exp(2j * np.pi * 2.5 * n / C).astype(np.complex64)
+    _, y = channelize_block(jnp.asarray(taps), channelizer_init(C, K),
+                            jnp.asarray(x))
+    mag = np.abs(np.asarray(y)[K:]).mean(axis=0)
+    top2 = set(np.argsort(mag)[-2:])
+    assert top2 == {2, 3}
+
+
+def test_streaming_equals_oneshot():
+    C, K = 8, 6
+    taps = jnp.asarray(prototype_taps(C, K))
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(200 * C)
+         + 1j * rng.standard_normal(200 * C)).astype(np.complex64)
+    _, ref = channelize_block(taps, channelizer_init(C, K), jnp.asarray(x))
+    carry = channelizer_init(C, K)
+    parts = []
+    i = 0
+    for nrows in (1, 7, 64, 3, 125):            # 200 rows total
+        carry, y = channelize_block(taps, carry,
+                                    jnp.asarray(x[i: i + nrows * C]))
+        parts.append(np.asarray(y))
+        i += nrows * C
+    np.testing.assert_allclose(np.concatenate(parts), np.asarray(ref),
+                               atol=1e-6)
+
+
+def test_channel_frequencies():
+    f = channel_frequencies(8, xdelta=1e-6)     # fs = 1 MHz
+    assert f[0] == 0.0
+    assert f[1] == pytest.approx(125e3)
+    assert f[7] == pytest.approx(-125e3)
+    assert f[4] == pytest.approx(500e3)         # Nyquist bin stays positive
+
+
+def test_wideband_to_demod_bank():
+    """End-to-end: C QPSK transmitters at distinct channel centers, summed
+    into one wideband stream -> channelizer -> BatchEngine bank -> every
+    channel locks and its soft decisions sit on the constellation."""
+    from psk_soft_tpu.runtime.engine import BatchEngine
+    from psk_soft_tpu.runtime.streams import PORT_SOFT, SRI
+    from psk_soft_tpu.testing.signals import sinc_interp
+
+    C, K, sps, S = 8, 8, 8, 260
+    cfg = DemodConfig(sps=sps, num_avg=50, constellation_size=4,
+                      phase_avg=20)
+    rng = np.random.default_rng(3)
+    n_rows = S * sps                            # channel-rate samples
+    wide = np.zeros(n_rows * C, np.complex64)
+    n = np.arange(n_rows * C)
+    for m in range(C):
+        pts = np.exp(2j * np.pi * rng.integers(0, 4, S) / 4)
+        bb = np.repeat(pts, sps).astype(np.complex64)
+        # band-limited upsample x C, then shift to channel m's center
+        up = sinc_interp(bb, np.arange(n_rows * C) / C)
+        wide += (up * np.exp(2j * np.pi * m * n / C)).astype(np.complex64)
+
+    taps = jnp.asarray(prototype_taps(C, K))
+    _, y = channelize_block(taps, channelizer_init(C, K),
+                            jnp.asarray(wide))
+    y = np.asarray(y)                           # (n_rows, C)
+
+    eng = BatchEngine(cfg, C, block_symbols=64)
+    eng.set_input_sri(SRI(stream_id="wb", xdelta=1.0))
+    eng.push_block(np.ascontiguousarray(y.T))
+    softs = []
+    while True:
+        pkts = eng.step_packets()
+        if pkts is None:
+            break
+        if pkts:
+            softs.append(pkts[PORT_SOFT].data)
+    soft = np.concatenate(softs, axis=-1)
+    assert soft.shape[0] == C and soft.shape[1] >= 100
+    # every channel's soft decisions on the QPSK constellation (global
+    # phase ambiguity folded out by the modulo)
+    ang = np.angle(soft[:, 5:] * np.exp(-1j * np.pi / 4)) % (np.pi / 2)
+    err = np.minimum(ang, np.pi / 2 - ang)
+    assert np.percentile(err, 99) < 0.1
+
+
+def test_frontend_planes_match_block():
+    """ChannelizerFrontEnd.step_planes (device, time-major -- the fused
+    kernel's input) and step_block (host, channel-major -- BatchEngine's
+    input) carry the same samples."""
+    from psk_soft_tpu.runtime.channelizer import ChannelizerFrontEnd
+
+    C, K = 8, 6
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(100 * C)
+         + 1j * rng.standard_normal(100 * C)).astype(np.complex64)
+    fe_p = ChannelizerFrontEnd(C, taps_per_branch=K)
+    fe_b = ChannelizerFrontEnd(C, taps_per_branch=K)
+    fe_p.push(x)
+    fe_b.push(x)
+    re, im = fe_p.step_planes(64)
+    blk = fe_b.step_block(64)
+    np.testing.assert_allclose(
+        np.asarray(re).T + 1j * np.asarray(im).T, blk, atol=0)
+    assert fe_p.available_rows() == fe_b.available_rows() == 36
+    # drain returns the remaining 36 rows, then nothing
+    assert fe_b.drain(planes=False).shape == (C, 36)
+    assert fe_b.drain(planes=False) is None
+    # reset clears history: a fresh identical push reproduces block 1
+    fe_b.reset()
+    fe_b.push(x)
+    np.testing.assert_array_equal(fe_b.step_block(64), blk)
