@@ -176,3 +176,70 @@ def test_frontend_planes_match_block():
     fe_b.reset()
     fe_b.push(x)
     np.testing.assert_array_equal(fe_b.step_block(64), blk)
+
+
+def test_frontend_feeds_full_kernel_engine():
+    """Device-resident filterbank planes flow straight into the flagship
+    FullKernelBatchEngine (interpret-mode kernel) and every band locks --
+    the production wideband path end to end."""
+    from psk_soft_tpu.runtime.channelizer import ChannelizerFrontEnd
+    from psk_soft_tpu.runtime.engine import FullKernelBatchEngine
+    from psk_soft_tpu.runtime.streams import PORT_SOFT, SRI
+    from psk_soft_tpu.testing.signals import sinc_interp
+
+    C, K, sps, S = 128, 8, 8, 200
+    cfg = DemodConfig(sps=sps, num_avg=50, constellation_size=4,
+                      phase_avg=20)
+    rng = np.random.default_rng(9)
+    n_rows = S * sps
+    n = np.arange(n_rows * C, dtype=np.float64)
+    wide = np.zeros(n_rows * C, np.complex64)
+    occupied = [0, 3, 40, 64, 100, 127]       # sparse: synthesis is O(rows*C)
+    for m in occupied:
+        pts = np.exp(2j * np.pi * rng.integers(0, 4, S) / 4)
+        up = sinc_interp(np.repeat(pts, sps).astype(np.complex64),
+                         np.arange(n_rows * C) / C)
+        wide += (up * np.exp(2j * np.pi * m * n / C)).astype(np.complex64)
+
+    fe = ChannelizerFrontEnd(C, taps_per_branch=K)
+    eng = FullKernelBatchEngine(cfg, C, block_symbols=64, s_tile=64,
+                                interpret=True)
+    eng.set_input_sri(SRI(stream_id="wb", xdelta=1.0))
+    fe.push(wide)
+    softs = []
+    while True:
+        r = fe.step_planes(64 * sps)
+        if r is None:
+            break
+        eng.push_planes(*r)
+        pkts = eng.step_packets()
+        if pkts:
+            softs.append(pkts[PORT_SOFT].data)
+    pkts = eng.flush_packets()
+    if pkts and pkts[PORT_SOFT].data.size:
+        softs.append(pkts[PORT_SOFT].data)
+    soft = np.concatenate(softs, axis=-1)
+    assert soft.shape[0] == C and soft.shape[1] >= 100
+    ang = np.angle(soft[occupied, 5:] * np.exp(-1j * np.pi / 4)) % (np.pi / 2)
+    err = np.minimum(ang, np.pi / 2 - ang)
+    assert np.percentile(err, 99) < 0.1
+
+
+@pytest.mark.parametrize("n_time", [2, 4, 8])
+def test_sharded_channelize_seam_invariance(n_time):
+    """Row-sharding the filterbank over the mesh's time axis (K-1-row halo
+    ppermute) reproduces the unsharded one-shot bit-for-bit at every seam."""
+    from psk_soft_tpu.parallel.mesh import make_mesh
+    from psk_soft_tpu.parallel.wideband import make_sharded_channelize
+
+    C, K, B = 16, 6, 64 * n_time
+    taps = prototype_taps(C, K)
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(B * C)
+         + 1j * rng.standard_normal(B * C)).astype(np.complex64)
+    _, ref = channelize_block(jnp.asarray(taps), channelizer_init(C, K),
+                              jnp.asarray(x))
+    mesh = make_mesh(chan=1, time=n_time)
+    run = make_sharded_channelize(jnp.asarray(taps), C, mesh)
+    y = run(jnp.asarray(x).reshape(B, C))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
