@@ -139,7 +139,8 @@ def cmd_demod_batch(args) -> int:
                              "in one run (channelize first, then resample "
                              "in a second run if the band rates differ)")
         from .runtime.channelizer import ChannelizerFrontEnd
-        chanfe = ChannelizerFrontEnd(C, taps_per_branch=args.chan_taps)
+        chanfe = ChannelizerFrontEnd(C, taps_per_branch=args.chan_taps,
+                                     oversample=args.chan_oversample)
     if args.pipeline == "full":
         eng = FullKernelBatchEngine(cfg, channels=C,
                                     block_symbols=args.block_symbols,
@@ -184,8 +185,8 @@ def cmd_demod_batch(args) -> int:
                   "downstream consumers need exact clocks", file=sys.stderr)
             xdelta = float(np.median(rs_ratios)) / args.sample_rate
     if chanfe is not None:
-        # each channel runs at sample_rate / C after the filterbank
-        xdelta = C / args.sample_rate
+        # each channel runs at sample_rate * oversample / C
+        xdelta = C / (args.sample_rate * args.chan_oversample)
     eng.set_input_sri(SRI(stream_id=args.stream_id, xdelta=xdelta, mode=1))
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
     # All four SCD ports (psk_soft.scd.xml:32-73), symbol-interleaved across
@@ -544,6 +545,12 @@ def main(argv=None) -> int:
     db.add_argument("--chan-taps", type=int, default=8,
                     help="prototype taps per polyphase branch for "
                          "--channelize (filter length = taps * channels)")
+    db.add_argument("--chan-oversample", type=int, choices=(1, 2),
+                    default=1,
+                    help="2 = oversampled-by-2 filterbank (hop C/2): each "
+                         "channel comes out at 2*sample_rate/C so "
+                         "occupancy near the band edge survives; --sps "
+                         "then counts samples at that doubled rate")
     db.add_argument("--acquire-cfo", action="store_true",
                     help="coarse carrier acquisition (M-th-power spectrum) "
                          "on the first --acq-samples per channel, then "

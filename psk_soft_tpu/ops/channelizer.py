@@ -45,17 +45,19 @@ def prototype_taps(channels: int, taps_per_branch: int = 8,
     """Kaiser-windowed-sinc prototype lowpass, length K*C.
 
     Cutoff is ``cutoff_scale / (2C)`` of the wideband rate (the critical
-    per-channel Nyquist edge; < 1 trades edge droop for alias rejection).
-    Normalized to unit passband gain through the bank (a tone at a channel
-    center comes out at amplitude 1).
+    per-channel Nyquist edge; < 1 trades edge droop for alias rejection;
+    > 1 only makes sense for the oversampled-by-2 bank, whose output rate
+    represents up to 2x the critical edge).  Normalized to unit passband
+    gain through the bank (a tone at a channel center comes out at
+    amplitude 1).
     """
     if channels < 2:
         raise ValueError(f"channels must be >= 2, got {channels}")
     if taps_per_branch < 2:
         raise ValueError(f"taps_per_branch must be >= 2, "
                          f"got {taps_per_branch}")
-    if not 0 < cutoff_scale <= 1:
-        raise ValueError(f"cutoff_scale must be in (0, 1], "
+    if not 0 < cutoff_scale <= 2:
+        raise ValueError(f"cutoff_scale must be in (0, 2], "
                          f"got {cutoff_scale}")
     L = channels * taps_per_branch
     n = np.arange(L, dtype=np.float64) - (L - 1) / 2
@@ -105,6 +107,60 @@ def channelize_block(taps: jnp.ndarray, carry: jnp.ndarray,
         v = v + hpoly[k, :] * z[k:k + B]
     y = jnp.fft.fft(v, axis=-1).astype(jnp.complex64)
     return z[B:], y
+
+
+def channelizer_os2_init(channels: int, taps_per_branch: int) -> jnp.ndarray:
+    """Fresh carry for the 2x-oversampled bank: 2K-1 zero half-rows of
+    (C/2,) complex64."""
+    from ..utils.transfer import complex_zeros
+    if channels % 2:
+        raise ValueError("oversampled-by-2 bank needs even channels")
+    return complex_zeros((2 * taps_per_branch - 1, channels // 2))
+
+
+@jax.jit
+def channelize_block_os2(taps: jnp.ndarray, carry: jnp.ndarray,
+                         x: jnp.ndarray):
+    """2x-oversampled analysis step: hop C/2 instead of C.
+
+    The critically-sampled bank's output Nyquist sits exactly at the
+    channel edge, so any occupancy near +-fs/(2C) aliases.  Halving the
+    hop doubles each channel's output rate to 2fs/C: the full band
+    survives, at the cost of the decimation no longer cancelling the
+    t-dependent twiddle -- odd output rows pick up e^{-j pi m} = (-1)^m
+    (applied as one sign plane; everything else is the same reshape +
+    K-shift FMA + batched FFT).
+
+    Args/returns as :func:`channelize_block`, except carry is (2K-1, C/2)
+    (``channelizer_os2_init``) and y has 2B rows per B*C-sample block.
+    Oracle identity (tests): ``y[t, m] == sum_l h[l] * xx[t*C/2 + l] *
+    exp(-2j*pi*m*(t*C/2 + l)/C)`` with xx = concat(carry_samples, x) --
+    i.e. a plain DDC decimated by C/2.
+    """
+    R = carry.shape[1]                        # C/2
+    C = 2 * R
+    K = (carry.shape[0] + 1) // 2
+    if x.ndim != 1 or x.shape[0] % C:
+        raise ValueError(f"block length must be a multiple of C={C}, "
+                         f"got shape {x.shape}")
+    B = 2 * (x.shape[0] // C)                 # output rows (even per block)
+    u = jnp.concatenate([carry, x.reshape(B, R)], axis=0)  # (B+2K-1, R)
+    hpoly = taps.reshape(K, C)
+    # branch p < R reads u[t + 2k, p]; branch p >= R reads u[t + 2k + 1,
+    # p - R]: two half-width shift chains, concatenated on the branch axis.
+    lo = hpoly[0, :R] * u[0:B]
+    hi = hpoly[0, R:] * u[1:B + 1]
+    for k in range(1, K):
+        lo = lo + hpoly[k, :R] * u[2 * k:2 * k + B]
+        hi = hi + hpoly[k, R:] * u[2 * k + 1:2 * k + 1 + B]
+    v = jnp.concatenate([lo, hi], axis=1)     # (B, C)
+    y = jnp.fft.fft(v, axis=-1).astype(jnp.complex64)
+    # odd rows: e^{-j pi m t} twiddle (the hop no longer spans a full DFT
+    # period).  B is even, so block parity never leaks into the carry.
+    alt = jnp.where((jnp.arange(C) % 2) == 1, -1.0, 1.0).astype(jnp.float32)
+    sign = jnp.where((jnp.arange(B)[:, None] % 2) == 1, alt[None, :], 1.0)
+    y = y * sign
+    return u[B:], y
 
 
 def channel_frequencies(channels: int, xdelta: float) -> np.ndarray:

@@ -32,17 +32,30 @@ class ChannelizerFrontEnd:
     """
 
     def __init__(self, channels: int, taps_per_branch: int = 8,
-                 beta: float = 9.0, cutoff_scale: float = 1.0):
+                 beta: float = 9.0, cutoff_scale: float = 1.0,
+                 oversample: int = 1):
         import jax.numpy as jnp
 
+        if oversample not in (1, 2):
+            raise ValueError(f"oversample must be 1 or 2, got {oversample}")
         self.channels = int(channels)
         self.taps_per_branch = int(taps_per_branch)
+        # oversample=2: hop C/2 (channelize_block_os2) -- each channel
+        # comes out at 2*fs/C so occupancy near the +-fs/(2C) band edge
+        # survives; pair with ResamplerBank (or sps*2) downstream.
+        self.oversample = int(oversample)
         self._taps = jnp.asarray(
             prototype_taps(channels, taps_per_branch, beta=beta,
                            cutoff_scale=cutoff_scale))
-        self._carry = channelizer_init(channels, taps_per_branch)
+        self._carry = self._fresh_carry()
         self._staged: list[np.ndarray] = []
         self._staged_n = 0
+
+    def _fresh_carry(self):
+        if self.oversample == 2:
+            from ..ops.channelizer import channelizer_os2_init
+            return channelizer_os2_init(self.channels, self.taps_per_branch)
+        return channelizer_init(self.channels, self.taps_per_branch)
 
     def push(self, x: np.ndarray) -> None:
         x = np.asarray(x, np.complex64).ravel()
@@ -52,7 +65,7 @@ class ChannelizerFrontEnd:
 
     def available_rows(self) -> int:
         """Channel-rate rows ready to emit."""
-        return self._staged_n // self.channels
+        return self._staged_n // self.channels * self.oversample
 
     def _take(self, n: int) -> np.ndarray:
         out = np.empty(n, np.complex64)
@@ -72,8 +85,15 @@ class ChannelizerFrontEnd:
     def _channelize(self, rows: int):
         from ..utils.transfer import to_device
 
-        x = to_device(self._take(rows * self.channels))
-        self._carry, y = channelize_block(self._taps, self._carry, x)
+        if rows % self.oversample:
+            raise ValueError(f"rows must be a multiple of "
+                             f"oversample={self.oversample}")
+        x = to_device(self._take(rows // self.oversample * self.channels))
+        if self.oversample == 2:
+            from ..ops.channelizer import channelize_block_os2
+            self._carry, y = channelize_block_os2(self._taps, self._carry, x)
+        else:
+            self._carry, y = channelize_block(self._taps, self._carry, x)
         return y
 
     def step_planes(self, rows: int):
@@ -107,7 +127,7 @@ class ChannelizerFrontEnd:
 
     def reset(self) -> None:
         """Clear staging and filter history (upstream flush semantics)."""
-        self._carry = channelizer_init(self.channels, self.taps_per_branch)
+        self._carry = self._fresh_carry()
         self._staged = []
         self._staged_n = 0
 
