@@ -29,7 +29,9 @@ def _add_demod_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-avg", type=int, default=100,
                    help="timing window in symbols (numAvg)")
     p.add_argument("-M", "--constellation", type=int, default=4,
-                   choices=(2, 4, 8), help="constellation size")
+                   choices=(2, 4, 8, 16, 32),
+                   help="constellation size (16/32 are an extension "
+                        "beyond the reference's {2,4,8})")
     p.add_argument("--phase-avg", type=int, default=50,
                    help="phase tracker window (phaseAvg)")
     p.add_argument("--differential", action="store_true")

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 
 
-_BITS_PER_SYMBOL = {2: 1, 4: 2, 8: 3}
+_BITS_PER_SYMBOL = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,8 +28,12 @@ class DemodConfig:
         default 10, recommended 8-10).
       num_avg: symbols averaged for timing recovery ("numAvg",
         psk_soft.prf.xml:29-34, default 100).
-      constellation_size: M in {2, 4, 8} ("constelationSize",
-        psk_soft.prf.xml:35-41, default 4).
+      constellation_size: M in {2, 4, 8, 16, 32} ("constelationSize",
+        psk_soft.prf.xml:35-41, default 4).  The reference supports only
+        {2, 4, 8} and warns on anything else (cpp/psk_soft.cpp:565-566);
+        16/32-PSK are an extension using the same generalized mapping the
+        reference's 8-PSK slicer implements (phase k*2pi/M -> binary k,
+        LSB-first).
       phase_avg: points in the sliding linear fit of unwrapped phase
         ("phaseAvg", psk_soft.prf.xml:42-48, default 50).
       differential: differential decoding mode ("differentialDecoding",
@@ -60,7 +64,8 @@ class DemodConfig:
     def __post_init__(self):
         if self.constellation_size not in _BITS_PER_SYMBOL:
             raise ValueError(
-                f"constellation_size must be 2, 4, or 8; got {self.constellation_size}"
+                f"constellation_size must be one of {sorted(_BITS_PER_SYMBOL)}; "
+                f"got {self.constellation_size}"
             )
         if self.sps < 1:
             raise ValueError(f"sps must be >= 1; got {self.sps}")

@@ -373,7 +373,8 @@ def to_demod_outputs(cfg: DemodConfig, out: FullOutputs,
         soft = jax.lax.complex(out.soft_re.T, out.soft_im.T)
         vshape = soft.shape
     packed = out.bits_packed.T
-    bits = jnp.stack([(packed >> i) & 1 for i in range(3)],
+    bits = jnp.stack([(packed >> i) & 1
+                      for i in range(max(3, cfg.bits_per_symbol))],
                      axis=-1).astype(jnp.int8)
     return DemodOutputs(
         soft=soft,

@@ -32,7 +32,7 @@ from ..ops import phase as phase_ops, slicers
 class MixedParams(NamedTuple):
     """Per-channel demod mode (traced)."""
 
-    m: jnp.ndarray     # (C,) int32 in {2, 4, 8}
+    m: jnp.ndarray     # (C,) int32 in {2, 4, 8, 16, 32}
     diff: jnp.ndarray  # (C,) bool
 
     @classmethod
@@ -41,10 +41,23 @@ class MixedParams(NamedTuple):
 
     @property
     def bits_per_symbol(self):
-        return jnp.where(self.m == 2, 1, jnp.where(self.m == 4, 2, 3))
+        # log2(m) for power-of-two m: 2->1, 4->2, 8->3, 16->4, 32->5
+        # (generalizes cpp/psk_soft.cpp:384-390 beyond the reference's set).
+        mi = self.m.astype(jnp.int32)
+        b = jnp.zeros_like(mi)
+        for k in (2, 4, 8, 16):   # count set high bits: log2 via shifts
+            b = b + (mi > k)
+        return b + 1
+
+    @property
+    def max_bits(self) -> int:
+        """Static bit-plane width for this bank (concrete m only)."""
+        import numpy as np
+        return max(3, int(np.max(np.asarray(self.m))).bit_length() - 1)
 
 
-def _mixed_chain(cfg: DemodConfig, m, diff, st: FFState, x: jnp.ndarray):
+def _mixed_chain(cfg: DemodConfig, max_bits: int, m, diff, st: FFState,
+                 x: jnp.ndarray):
     """One chain with traced (m, diff); vmapped over channels."""
     sps = cfg.sps
     S = x.shape[0] // sps
@@ -93,7 +106,7 @@ def _mixed_chain(cfg: DemodConfig, m, diff, st: FFState, x: jnp.ndarray):
     phasor = jax.lax.complex(jnp.cos(correction), jnp.sin(correction))
     base = jnp.where(diff, sel / prev, sel)
     soft = (base * phasor).astype(jnp.complex64)
-    bits = slicers.slice_bits_dynamic(m, soft)
+    bits = slicers.slice_bits_dynamic(m, soft, max_bits=max_bits)
 
     new_state = FFState(
         win_samples=fe["new_win_samples"], win_energy=fe["new_win_energy"],
@@ -109,10 +122,15 @@ def _mixed_chain(cfg: DemodConfig, m, diff, st: FFState, x: jnp.ndarray):
     return new_state, outputs
 
 
-def make_mixed_demod_fn(cfg: DemodConfig, jit: bool = True):
+def make_mixed_demod_fn(cfg: DemodConfig, jit: bool = True,
+                        max_bits: int = 3):
     """Returns fn(params: MixedParams, state: FFState[C], x: (C, T)) ->
-    (state, DemodOutputs[C, S])."""
-    chain = functools.partial(_mixed_chain, cfg)
+    (state, DemodOutputs[C, S]).
+
+    ``max_bits`` is the static bit-plane width: 3 covers {2, 4, 8} banks;
+    pass ``params.max_bits`` (4/5) for banks with 16/32-PSK channels.
+    """
+    chain = functools.partial(_mixed_chain, cfg, max_bits)
     fn = jax.vmap(chain, in_axes=(0, 0, 0, 0))
 
     def run(params: MixedParams, state: FFState, x: jnp.ndarray):

@@ -375,12 +375,18 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
         dvec = st[misc + 7]                                  # (128,) 0/1
         is2 = (mvec == 2.0)[None]
         is4 = (mvec == 4.0)[None]
+        is8 = (mvec == 8.0)[None]
+        is16 = (mvec == 16.0)[None]
         z2r = sel_re_v * sel_re_v - sel_im_v * sel_im_v
         z2i = 2.0 * sel_re_v * sel_im_v
         z4r, z4i = z2r * z2r - z2i * z2i, 2.0 * z2r * z2i
         z8r, z8i = z4r * z4r - z4i * z4i, 2.0 * z4r * z4i
-        zr = jnp.where(is2, z2r, jnp.where(is4, z4r, z8r))
-        zi = jnp.where(is2, z2i, jnp.where(is4, z4i, z8i))
+        z16r, z16i = z8r * z8r - z8i * z8i, 2.0 * z8r * z8i
+        z32r, z32i = z16r * z16r - z16i * z16i, 2.0 * z16r * z16i
+        zr = jnp.where(is2, z2r, jnp.where(is4, z4r, jnp.where(
+            is8, z8r, jnp.where(is16, z16r, z32r))))
+        zi = jnp.where(is2, z2i, jnp.where(is4, z4i, jnp.where(
+            is8, z8i, jnp.where(is16, z16i, z32i))))
     else:
         zr, zi = sel_re_v, sel_im_v
         for _ in range(m.bit_length() - 1):                  # log2(m) squarings
@@ -449,11 +455,16 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
         sgn_r = (s_r < 0).astype(jnp.int32)
         sgn_i = (s_i < 0).astype(jnp.int32)
         bits4 = (sgn_r ^ sgn_i) + 2 * sgn_i
+        # Generalized m >= 8 code with the per-lane m: theta*m/(2pi), wrap
+        # below -0.5 up by +m, round, alias m -> 0 (cpp/psk_soft.cpp:528-564
+        # with 8 replaced by m; 16/32-PSK are an extension).
         th = atan2_poly(s_i, s_r)
-        ss = th * (4.0 / jnp.pi)
-        ss = jnp.where(ss < -0.5, ss + 8.0, ss)
-        bits8 = jnp.floor(ss + 0.5).astype(jnp.int32) & 7
-        bits = jnp.where(is2, bits2, jnp.where(is4, bits4, bits8))
+        ss = th * (mvec[None] * (0.5 / jnp.pi))
+        ss = jnp.where(ss < -0.5, ss + mvec[None], ss)
+        bitsm = jnp.floor(ss + 0.5).astype(jnp.int32)
+        mi = mvec[None].astype(jnp.int32)
+        bitsm = jnp.where(bitsm >= mi, bitsm - mi, bitsm)
+        bits = jnp.where(is2, bits2, jnp.where(is4, bits4, bitsm))
     elif m == 2:
         bits = (s_r < 0).astype(jnp.int32)
     elif m == 4:
@@ -462,9 +473,9 @@ def _kernel(s_tile: int, sps: int, num_avg: int, n: int, m: int, diff: bool,
         bits = (sgn_r ^ sgn_i) + 2 * sgn_i
     else:
         th = atan2_poly(s_i, s_r)
-        ss = th * (4.0 / jnp.pi)
-        ss = jnp.where(ss < -0.5, ss + 8.0, ss)
-        bits = jnp.floor(ss + 0.5).astype(jnp.int32) & 7
+        ss = th * (m / (2.0 * jnp.pi))
+        ss = jnp.where(ss < -0.5, ss + float(m), ss)
+        bits = jnp.floor(ss + 0.5).astype(jnp.int32) & (m - 1)
 
     if soft_scale is not None:
         # int8 soft decisions (the SDR soft-bit wire format, e.g. 8-bit

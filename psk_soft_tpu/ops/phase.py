@@ -19,32 +19,32 @@ TWO_PI = 2.0 * jnp.pi
 
 
 def mth_power_phase(sample: jnp.ndarray, m: int) -> jnp.ndarray:
-    """arg(sample**m) for m in {2, 4, 8} via repeated squaring.
+    """arg(sample**m) for power-of-two m (2..32) via repeated squaring.
 
     Matches ``arg(pow(sample, numSyms))`` at cpp/psk_soft.cpp:474 but avoids
-    the transcendental complex pow: three squarings at most, then one atan2.
+    the transcendental complex pow: log2(m) squarings, then one atan2.
     """
-    s = sample
-    if m == 2:
-        s = s * s
-    elif m == 4:
-        s = s * s
-        s = s * s
-    elif m == 8:
-        s = s * s
-        s = s * s
-        s = s * s
-    else:
+    if m < 2 or (m & (m - 1)) != 0:
         raise ValueError(f"unsupported constellation size {m}")
+    s = sample
+    k = m
+    while k > 1:
+        s = s * s
+        k >>= 1
     return jnp.arctan2(s.imag, s.real).astype(jnp.float32)
 
 
 def mth_power_phase_dynamic(sample: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """M-th-power phase with traced per-element m in {2, 4, 8}."""
+    """M-th-power phase with traced per-element m in {2, 4, 8, 16, 32}."""
     s2 = sample * sample
     s4 = s2 * s2
     s8 = s4 * s4
-    s = jnp.where(m == 2, s2, jnp.where(m == 4, s4, s8))
+    s16 = s8 * s8
+    s32 = s16 * s16
+    s = jnp.where(m == 2, s2,
+                  jnp.where(m == 4, s4,
+                            jnp.where(m == 8, s8,
+                                      jnp.where(m == 16, s16, s32))))
     return jnp.arctan2(s.imag, s.real).astype(jnp.float32)
 
 

@@ -1,4 +1,4 @@
-"""Symbol -> bit slicers for BPSK / QPSK / 8-PSK.
+"""Symbol -> bit slicers for BPSK / QPSK / 8-PSK (+ 16/32-PSK extension).
 
 Implements the *documented* sign-based Gray-ish mapping from the reference's
 port description (``psk_soft.scd.xml:42-63``), emitting bits LSB-first like
@@ -59,26 +59,97 @@ def slice_8psk(soft: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([b0, b1, b2], axis=-1)
 
 
+def mpsk_code(m: int, soft: jnp.ndarray) -> jnp.ndarray:
+    """Generalized M-PSK symbol index for power-of-two m >= 8.
+
+    The same mapping the reference's 8-PSK slicer implements
+    (cpp/psk_soft.cpp:528-564) with 8 replaced by m: phase k*2pi/M -> binary
+    k.  ``theta/(2pi/m)`` lands symbol k near k; values below -0.5 wrap up by
+    +m; round to nearest; m aliases to 0 via the low-bits mask.  16/32-PSK
+    are an extension beyond the reference (which warns "unsupported M",
+    cpp/psk_soft.cpp:565-566).
+    """
+    theta = jnp.arctan2(soft.imag, soft.real)
+    softsym = theta * (m / (2.0 * jnp.pi))
+    softsym = jnp.where(softsym < -0.5, softsym + m, softsym)
+    return jnp.floor(softsym + 0.5).astype(jnp.int32) & (m - 1)
+
+
+def slice_mpsk(m: int, soft: jnp.ndarray) -> jnp.ndarray:
+    """Generalized M-PSK slicer (power-of-two m >= 8), LSB-first bit planes.
+
+    Returns ``(..., max(3, log2 m))`` int8 to stay layout-compatible with the
+    3-wide planes of the {2, 4, 8} slicers.
+    """
+    nb = max(3, (m - 1).bit_length())
+    sym = mpsk_code(m, soft)
+    return jnp.stack([((sym >> i) & 1).astype(jnp.int8) for i in range(nb)],
+                     axis=-1)
+
+
 def slice_bits(constellation_size: int, soft: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch on the (static) constellation size."""
+    """Dispatch on the (static) constellation size.
+
+    Output width is 3 for M in {2, 4, 8} (zero-padded past bits_per_symbol)
+    and log2(M) for the 16/32-PSK extension.
+    """
     if constellation_size == 2:
         return slice_bpsk(soft)
     if constellation_size == 4:
         return slice_qpsk(soft)
-    if constellation_size == 8:
-        return slice_8psk(soft)
+    if constellation_size in (8, 16, 32):
+        return slice_mpsk(constellation_size, soft)
     raise ValueError(f"unsupported constellation size {constellation_size}")
 
 
-def slice_bits_dynamic(m_size: jnp.ndarray, soft: jnp.ndarray) -> jnp.ndarray:
-    """Slicer with a *traced* per-element constellation size in {2, 4, 8}.
+def slice_code(constellation_size: int, soft: jnp.ndarray) -> jnp.ndarray:
+    """Packed (LSB-first) symbol code for a static M."""
+    if constellation_size == 2:
+        return (soft.real < 0).astype(jnp.int32)
+    if constellation_size == 4:
+        sr = (soft.real < 0).astype(jnp.int32)
+        si = (soft.imag < 0).astype(jnp.int32)
+        return (sr ^ si) + 2 * si
+    if constellation_size in (8, 16, 32):
+        return mpsk_code(constellation_size, soft)
+    raise ValueError(f"unsupported constellation size {constellation_size}")
+
+
+def slice_code_dynamic(m_size: jnp.ndarray, soft: jnp.ndarray) -> jnp.ndarray:
+    """Packed symbol code with a *traced* per-element constellation size.
+
+    Branch-free: each branch produces a packed symbol code and the traced M
+    selects -- the same structure the fused Mosaic kernel uses
+    (ops/pallas/demod_kernel.py C6 stage).  ``m_size`` broadcasts against
+    ``soft``.
+    """
+    m = jnp.broadcast_to(m_size, soft.shape)
+    code2 = (soft.real < 0).astype(jnp.int32)
+    sr = (soft.real < 0).astype(jnp.int32)
+    si = (soft.imag < 0).astype(jnp.int32)
+    code4 = (sr ^ si) + 2 * si
+    # Generalized m >= 8 code with the traced m: theta*m/(2pi), wrap below
+    # -0.5 up by +m, round, alias m -> 0.
+    theta = jnp.arctan2(soft.imag, soft.real)
+    mf = m.astype(jnp.float32)
+    ss = theta * (mf / (2.0 * jnp.pi))
+    ss = jnp.where(ss < -0.5, ss + mf, ss)
+    codem = jnp.floor(ss + 0.5).astype(jnp.int32)
+    mi = m.astype(jnp.int32)
+    codem = jnp.where(codem >= mi, codem - mi, codem)
+    return jnp.where(m == 2, code2, jnp.where(m == 4, code4, codem))
+
+
+def slice_bits_dynamic(m_size: jnp.ndarray, soft: jnp.ndarray,
+                       max_bits: int = 3) -> jnp.ndarray:
+    """Slicer with a *traced* per-element constellation size.
 
     Used by the mixed-mode multi-channel path (BASELINE.json config 4), where
     each channel carries its own M.  ``m_size`` broadcasts against ``soft``.
+    ``max_bits`` is the (static) output plane width: 3 covers banks of
+    {2, 4, 8}; pass 4/5 (e.g. ``MixedParams.max_bits``) when the bank
+    contains 16/32-PSK channels.
     """
-    m_size = jnp.broadcast_to(m_size, soft.shape)
-    b2 = slice_bpsk(soft)
-    b4 = slice_qpsk(soft)
-    b8 = slice_8psk(soft)
-    m = m_size[..., None]
-    return jnp.where(m == 2, b2, jnp.where(m == 4, b4, b8))
+    code = slice_code_dynamic(m_size, soft)
+    return jnp.stack([((code >> i) & 1).astype(jnp.int8)
+                      for i in range(max_bits)], axis=-1)

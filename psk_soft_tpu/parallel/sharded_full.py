@@ -202,17 +202,14 @@ def make_time_sharded_full_demod(cfg: DemodConfig, mesh: Mesh,
             is_diff = mode_planes[1] > 0.5
             soft = jnp.where(is_diff[None, :], soft, rot_soft)
             m_int = mode_planes[0].astype(jnp.int32)
-            bits3 = slicers.slice_bits_dynamic(m_int[:, None], soft.T)
-            resliced = (bits3[..., 0] + 2 * bits3[..., 1]
-                        + 4 * bits3[..., 2]).T.astype(jnp.int32)
+            resliced = slicers.slice_code_dynamic(m_int[:, None], soft.T
+                                                  ).T.astype(jnp.int32)
             packed = jnp.where(is_diff[None, :], bits[sl], resliced)
         elif not cfg.differential:
             rot = -delta / float(m)
             soft = soft * jax.lax.complex(jnp.cos(rot), jnp.sin(rot))[None, :]
             # bits follow the corrected constellation
-            bits3 = slicers.slice_bits(m, soft.T)      # (C, S, 3)
-            packed = (bits3[..., 0] + 2 * bits3[..., 1]
-                      + 4 * bits3[..., 2]).T.astype(jnp.int32)
+            packed = slicers.slice_code(m, soft.T).T.astype(jnp.int32)
         else:
             packed = bits[sl]
         gsym = t_idx * s_loc + jnp.arange(s_loc, dtype=jnp.int32)

@@ -1292,7 +1292,9 @@ class FullKernelBatchEngine(_PipelinedPackets):
         array surface; the packet surface consumes TMOutputs directly)."""
         if not isinstance(out, TMOutputs):
             return out
-        do = self._full_mod.to_demod_outputs(self.cfg, out.fo,
+        # Mixed high-order banks widen the bit planes past the shared cfg's
+        # width; the assembler cfg carries the port layout either way.
+        do = self._full_mod.to_demod_outputs(self.assembler.cfg, out.fo,
                                              soft_i8_scale=out.soft_scale)
         if out.valid_rows is not None:
             do = do._replace(
@@ -1421,17 +1423,31 @@ class MixedKernelBatchEngine(FullKernelBatchEngine):
         import functools
         self._full_fn = jax.jit(functools.partial(
             self._full_mod.demod_block_full, cfg, **self._full_kwargs))
-        # Uniform 3-bit port layout for the heterogeneous bank.
+        # Uniform bit-plane port layout for the heterogeneous bank: wide
+        # enough for the bank's largest M (3 planes for {2,4,8} banks,
+        # 4/5 when 16/32-PSK channels are present).
         self.assembler = BankAssembler(
-            dataclasses.replace(cfg, constellation_size=8,
+            dataclasses.replace(cfg,
+                                constellation_size=1 << self.params.max_bits,
                                 differential=False),
             skip_debug=not debug_ports)
 
     def _make_warm_fn(self, cfg: DemodConfig):
         from ..models.mixed import make_mixed_demod_fn
 
-        fn = make_mixed_demod_fn(cfg)
+        fn = make_mixed_demod_fn(cfg, max_bits=self.params.max_bits)
         return lambda st, x: fn(self.params, st, x)
+
+    def configure(self, new_cfg: DemodConfig) -> None:
+        """Shared-property change; the port layout stays as wide as the
+        bank's largest M (the base configure narrows the assembler to the
+        shared cfg, which a 16/32-PSK bank must override)."""
+        import dataclasses
+
+        super().configure(new_cfg)
+        self.assembler.reconfigure(dataclasses.replace(
+            new_cfg, constellation_size=1 << self.params.max_bits,
+            differential=False))
 
     def _handoff(self, raw):
         return self._full_mod.full_from_ff(self.cfg, self._warm_state,
