@@ -43,19 +43,24 @@ def theoretical_ber(m: int, esn0_db: np.ndarray) -> np.ndarray:
         return qfunc(np.sqrt(2 * esn0))
     if m == 4:
         return qfunc(np.sqrt(esn0))
-    if m == 8:
-        return (2.0 / 3.0) * qfunc(np.sqrt(2 * esn0) * np.sin(np.pi / 8))
+    if m in (8, 16, 32):
+        # Standard high-SNR M-PSK approximation P_s ~ 2Q(sqrt(2 Es/N0)
+        # sin(pi/M)), one bit flip per adjacent-symbol error (Gray-style
+        # lower bound; the documented M>=8 natural-binary mapping averages
+        # slightly more flips, so measured BER sits a little above this).
+        nb = int(np.log2(m))
+        return (2.0 / nb) * qfunc(np.sqrt(2 * esn0) * np.sin(np.pi / m))
     raise ValueError(m)
 
 
 def _bit_map(m: int) -> np.ndarray:
     """(m, bits_per_symbol) mapping of constellation index -> bits, from the
-    documented slicers (psk_soft.scd.xml:42-63)."""
+    documented slicers (psk_soft.scd.xml:42-63; generalized for M=16/32)."""
     idx = np.arange(m)
     theta = 2 * np.pi * idx / m + (np.pi / 4 if m == 4 else 0.0)
     pts = jnp.asarray(np.exp(1j * theta).astype(np.complex64))
     bits = np.asarray(slicers.slice_bits(m, pts))
-    nb = {2: 1, 4: 2, 8: 3}[m]
+    nb = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[m]
     return bits[:, :nb]
 
 

@@ -178,6 +178,23 @@ def test_full_kernel_high_order(m):
                                   np.asarray(out_ff.bits)[..., :nb])
 
 
+def test_ber_harness_high_order():
+    """BER harness at M=16: theoretical curve finite/monotone, and a
+    high-SNR measurement lands near-error-free with the documented
+    mapping."""
+    from psk_soft_tpu.eval.ber import measure_ber, theoretical_ber
+
+    th16 = theoretical_ber(16, np.array([10.0, 15.0, 20.0]))
+    th32 = theoretical_ber(32, np.array([15.0, 20.0, 25.0]))
+    assert np.all(np.diff(th16) < 0) and np.all(th16 > 0)
+    assert np.all(np.diff(th32) < 0) and np.all(th32 > 0)
+
+    cfg = DemodConfig(sps=8, num_avg=50, constellation_size=16, phase_avg=20)
+    pt = measure_ber(cfg, esn0_db=25.0, num_symbols=4000, seed=1)
+    assert pt.n_bits > 10000
+    assert pt.ber < 1e-3
+
+
 def test_mixed_kernel_engine_high_order():
     """MixedKernelBatchEngine with 16/32-PSK channels in the bank: the fused
     kernel's mode planes, the warm-up XLA path, and the packet layer must
