@@ -150,7 +150,8 @@ def cmd_demod_batch(args) -> int:
                                     ingest_scale=args.in_scale
                                     if (i16 and resampler is None
                                         and not args.channelize
-                                        and not args.acquire_cfo)
+                                        and not args.acquire_cfo
+                                        and not args.agc)
                                     else None,
                                     guard_nonfinite=args.guard_nonfinite,
                                     debug_ports=not args.no_debug_ports,
@@ -172,6 +173,14 @@ def cmd_demod_batch(args) -> int:
         from .runtime.autocfo import AutoCfoEngine
         eng = AutoCfoEngine(eng, acq_samples=args.acq_samples,
                             track=args.cfo_track)
+    if args.agc:
+        # Outermost: level-normalize (and squelch) before CFO/demod.
+        from .ops.agc import AgcConfig
+        from .runtime.agc import AgcFrontEnd
+        eng = AgcFrontEnd(eng, AgcConfig(target_rms=args.agc_target,
+                                         alpha=args.agc_alpha,
+                                         chunk=cfg.sps,
+                                         squelch_power=args.squelch))
     xdelta = 1.0 / args.sample_rate
     if resampler is not None:
         rs_ratios = resampler.ratios
@@ -262,7 +271,7 @@ def cmd_demod_batch(args) -> int:
         """int16 wire planes dequantize on the host when the NCO sits in
         front of the engine (mixing must see float32); otherwise they ride
         the kernel's own int16 ingest untouched."""
-        if i16 and args.acquire_cfo:
+        if i16 and (args.acquire_cfo or args.agc):
             return (np.asarray(r[0], np.float32) * args.in_scale,
                     np.asarray(r[1], np.float32) * args.in_scale)
         return r[0], r[1]
@@ -568,6 +577,20 @@ def main(argv=None) -> int:
                     help="fold phase-port residual drift back into the NCO "
                          "whenever it nears the lock-range edge "
                          "(doppler-slew immunity)")
+    db.add_argument("--agc", action="store_true",
+                    help="automatic gain control in front of the demod "
+                         "(runtime/agc.py): per-symbol gain from a chunked "
+                         "power EMA pins soft-decision amplitudes to "
+                         "--agc-target regardless of input level")
+    db.add_argument("--agc-target", type=float, default=1.0,
+                    help="AGC output RMS target")
+    db.add_argument("--agc-alpha", type=float, default=0.05,
+                    help="AGC per-symbol EMA weight (time constant "
+                         "sps/alpha samples)")
+    db.add_argument("--squelch", type=float, default=0.0,
+                    help="mean-square power threshold; channels tracking "
+                         "below it are muted until they return (0 = off; "
+                         "implies --agc)")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")
