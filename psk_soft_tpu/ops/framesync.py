@@ -1,0 +1,258 @@
+"""Unique-word frame synchronization + M-fold ambiguity resolution.
+
+Extension beyond the reference: M-th-power carrier recovery
+(cpp/psk_soft.cpp:474-481) is inherently ambiguous to rotations of
+2*pi/M -- the reference's own tests accept any of the M rotations
+(tests/test_psk_soft.py:223-238) and leave resolution to a downstream
+component.  Every real deployment resolves it with a known unique word
+(UW / preamble / sync marker) embedded in the symbol stream; this module
+provides that, plus frame alignment, TPU-first:
+
+- **Correlation** c[t] = sum_u conj(uw[u]) * s[t+u] over the (C, S) soft
+  plane runs as U static-shifted fused multiply-adds (the channelizer's
+  branch-FMA pattern, ops/channelizer.py) -- no gathers, no dynamic
+  shapes, one jitted launch for the whole bank.
+- **Normalization**: |c[t]| / sqrt(U * E[t]) with the windowed energy
+  E[t] = sum_u |s[t+u]|^2 from the cumsum-diff trick (ops/timing.py), so
+  the detection statistic is scale-free in [0, 1] (Cauchy-Schwarz) and a
+  threshold transfers across signal levels.
+- **Ambiguity resolution**: at a detected peak the correlation's phase is
+  the channel's constellation rotation; quantizing to the M-fold grid
+  gives the integer ambiguity k = round(angle(c) * M / 2pi) mod M and a
+  residual fine-phase estimate.  Payload symbols are derotated by
+  exp(-j*2pi*k/M) and re-sliced, so payload bits come out in the
+  transmitted labeling no matter which of the M rotations the tracker
+  locked to.
+
+UW contract: symbol indices in *decoded*-symbol space (what the soft port
+carries) -- for differential mode that is the differentially decoded
+stream.  :func:`uw_points` reproduces the soft-port constellation
+convention, including the QPSK +pi/4 rotation the reference applies in
+both modes (cpp/psk_soft.cpp:496-498).
+
+Peak *extraction* (data-dependent count) runs on the host over the fetched
+(C, S) detection plane -- small, O(S) numpy -- while the heavy correlation
+stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import slicers
+
+_MAX_UW = 256
+
+
+def psk_points(idx, m: int) -> np.ndarray:
+    """Ideal soft-port constellation points for symbol indices.
+
+    Mirrors the demod output convention: angle 2*pi*k/M, plus pi/4 for
+    QPSK (cpp/psk_soft.cpp:496-498; applied in differential mode too).
+    """
+    idx = np.asarray(idx, np.int64)
+    if (idx < 0).any() or (idx >= m).any():
+        raise ValueError(f"symbol indices must lie in [0, {m})")
+    rot = np.pi / 4 if m == 4 else 0.0
+    return np.exp(1j * (2 * np.pi * idx / m + rot)).astype(np.complex64)
+
+
+def uw_points(uw, m: int) -> np.ndarray:
+    """:func:`psk_points` with UW shape validation."""
+    uw = np.asarray(uw, np.int64)
+    if uw.ndim != 1 or uw.size == 0:
+        raise ValueError("uw must be a non-empty 1-D index sequence")
+    if uw.size > _MAX_UW:
+        raise ValueError(f"uw longer than {_MAX_UW} symbols")
+    return psk_points(uw, m)
+
+
+@functools.partial(jax.jit, static_argnames=("u_len",))
+def _correlate(soft, uw_conj, u_len: int):
+    s = soft.shape[-1]
+    w = s - u_len + 1
+    acc = jnp.zeros(soft.shape[:-1] + (w,), jnp.complex64)
+    for u in range(u_len):           # static unroll: U shifted FMAs
+        acc = acc + uw_conj[u] * jax.lax.slice_in_dim(soft, u, u + w,
+                                                      axis=-1)
+    # Windowed energy by cumsum-diff (ops/timing.py recast).
+    p = (soft.real * soft.real + soft.imag * soft.imag).astype(jnp.float32)
+    cs = jnp.cumsum(p, axis=-1)
+    zero = jnp.zeros(soft.shape[:-1] + (1,), jnp.float32)
+    cs = jnp.concatenate([zero, cs], axis=-1)
+    energy = cs[..., u_len:] - cs[..., :-u_len]
+    norm = jnp.abs(acc) / jnp.sqrt(
+        jnp.maximum(u_len * energy, 1e-20)).astype(jnp.float32)
+    return acc, norm
+
+
+def correlate_uw(soft: jnp.ndarray, uw_pts: np.ndarray):
+    """Sliding UW correlation over the last axis.
+
+    Args:
+      soft: (..., S) complex soft symbols, S >= len(uw_pts).
+      uw_pts: (U,) complex unit UW points (see :func:`uw_points`).
+
+    Returns:
+      (corr, norm): (..., S-U+1) complex correlation and its scale-free
+      magnitude in [0, 1].
+    """
+    uw_pts = np.asarray(uw_pts, np.complex64)
+    u = uw_pts.size
+    if soft.shape[-1] < u:
+        raise ValueError(f"stream shorter ({soft.shape[-1]}) than the "
+                         f"UW ({u})")
+    return _correlate(jnp.asarray(soft), jnp.asarray(np.conj(uw_pts)), u)
+
+
+def resolve_rotation(corr_value, m: int):
+    """Correlation-peak phase -> (k, residual): the M-fold ambiguity index
+    and the leftover fine phase in (-pi/M, pi/M]."""
+    phi = np.angle(np.asarray(corr_value))
+    k = np.round(phi * m / (2 * np.pi)).astype(np.int64) % m
+    residual = np.angle(np.exp(1j * (phi - 2 * np.pi * k / m)))
+    return k, residual.astype(np.float32)
+
+
+def detect_peaks(norm: np.ndarray, threshold: float,
+                 min_sep: int) -> list[np.ndarray]:
+    """Local-max peak extraction (host side, vectorized).
+
+    ``t`` is a peak iff norm[t] >= threshold, norm[t] strictly exceeds
+    every value in the ``min_sep - 1`` positions before it, and is >= every
+    value in the ``min_sep - 1`` positions after it (first-max tie-break,
+    matching the kernel argmax convention).  This definition is *local*:
+    whether t is a peak depends only on norm[t-min_sep+1 : t+min_sep], so
+    streaming detection with enough lookahead is exactly one-shot
+    detection (runtime/framesync.py relies on this).
+
+    Returns one int64 index array per channel row.
+    """
+    norm = np.atleast_2d(np.asarray(norm))
+    c, s = norm.shape
+    if s == 0:
+        return [np.zeros(0, np.int64)] * c
+    k = max(int(min_sep), 1)
+    pad = np.full((c, k - 1), -np.inf, norm.dtype)
+    ext = np.concatenate([pad, norm, pad], axis=1)
+    win = np.lib.stride_tricks.sliding_window_view(ext, 2 * k - 1, axis=1)
+    center = norm
+    left = win[:, :, :k - 1].max(axis=2) if k > 1 else \
+        np.full_like(norm, -np.inf)
+    right = win[:, :, k:].max(axis=2) if k > 1 else \
+        np.full_like(norm, -np.inf)
+    is_peak = (center >= threshold) & (center > left) & (center >= right)
+    return [np.flatnonzero(is_peak[i]).astype(np.int64) for i in range(c)]
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameFormat:
+    """Frame structure: UW symbol indices + payload length (symbols).
+
+    Attributes:
+      uw: tuple of symbol indices in [0, M) (decoded-symbol space).
+      payload: payload symbols following the UW.
+      m: constellation size the stream was demodulated with.
+      threshold: normalized-correlation detection threshold in (0, 1].
+        Against random M-PSK fill the off-peak statistic is approximately
+        Rayleigh with sigma = 1/sqrt(2U) (complex random walk of U unit
+        steps), so the false-alarm rate per position is
+        exp(-(threshold^2) * U); size the UW so that
+        threshold^2 * U >~ 14 (e.g. U=32 at 0.7) for < 1e-6/position.
+        BPSK fill is real-valued (binomial, heavier tail): use U >= 32
+        and threshold >= 0.8.
+      min_sep: minimum symbols between detected frame starts (default:
+        the whole frame, UW + payload).
+    """
+
+    uw: tuple
+    payload: int
+    m: int = 4
+    threshold: float = 0.6
+    min_sep: int | None = None
+
+    def __post_init__(self):
+        uw_points(self.uw, self.m)       # validates
+        if self.payload < 0:
+            raise ValueError("payload must be >= 0")
+        if not (0.0 < self.threshold <= 1.0):
+            raise ValueError("threshold must be in (0, 1]")
+
+    @property
+    def uw_len(self) -> int:
+        return len(self.uw)
+
+    @property
+    def frame_len(self) -> int:
+        return self.uw_len + self.payload
+
+    @property
+    def separation(self) -> int:
+        return self.min_sep if self.min_sep is not None else self.frame_len
+
+    @functools.cached_property
+    def points(self) -> np.ndarray:
+        return uw_points(self.uw, self.m)
+
+
+@dataclasses.dataclass
+class Frame:
+    """One synchronized frame.
+
+    start is the absolute symbol index of the UW's first symbol in the
+    channel's soft stream; rotation is the resolved M-fold ambiguity
+    index k (payload was derotated by exp(-j*2pi*k/M) before slicing).
+    """
+
+    channel: int
+    start: int
+    rotation: int
+    corr: float
+    residual_phase: float
+    soft: np.ndarray       # (payload,) derotated complex payload symbols
+    bits: np.ndarray       # (payload * log2(M),) int8, LSB-first per symbol
+
+
+def extract_frames(fmt: FrameFormat, soft: np.ndarray,
+                   base: int = 0) -> list[Frame]:
+    """One-shot frame extraction from a (C, S) soft block.
+
+    Only frames fully contained in the block are returned; for streaming
+    use runtime/framesync.FrameSyncer, which carries the seam.
+    """
+    soft = np.atleast_2d(np.asarray(soft))
+    if soft.shape[-1] < fmt.frame_len:
+        return []
+    corr, norm = correlate_uw(soft, fmt.points)
+    corr, norm = np.asarray(corr), np.asarray(norm)
+    # A frame starting at t needs payload through t + frame_len - 1.
+    # Detect on the FULL norm (local-max context), then filter to starts
+    # whose payload is contained -- keeps streaming == one-shot.
+    scan = soft.shape[-1] - fmt.frame_len + 1
+    peaks = [ts[ts < scan] for ts in
+             detect_peaks(norm, fmt.threshold, fmt.separation)]
+    nb = int(np.log2(fmt.m))
+    heads = [(c, int(t)) for c, ts in enumerate(peaks) for t in ts]
+    if not heads:
+        return []
+    # Derotate and slice every detected payload in ONE launch per block
+    # (not one per frame): (N, payload) payload matrix.
+    ks, ress, payloads = [], [], []
+    for c, t in heads:
+        k, res = resolve_rotation(corr[c, t], fmt.m)
+        derot = np.exp(-2j * np.pi * int(k) / fmt.m).astype(np.complex64)
+        ks.append(int(k))
+        ress.append(float(res))
+        payloads.append(soft[c, t + fmt.uw_len: t + fmt.frame_len] * derot)
+    pm = np.asarray(payloads, np.complex64).reshape(len(heads), fmt.payload)
+    bits3 = np.asarray(slicers.slice_bits(fmt.m, jnp.asarray(pm)))
+    bits = bits3[:, :, :nb].reshape(len(heads), -1).astype(np.int8)
+    return [Frame(channel=c, start=base + t, rotation=ks[i],
+                  corr=float(norm[c, t]), residual_phase=ress[i],
+                  soft=pm[i], bits=bits[i])
+            for i, (c, t) in enumerate(heads)]
