@@ -1,0 +1,118 @@
+"""Adaptive-equalizer front-end wrapped around the bank engines.
+
+Extension beyond the reference (see ops/equalizer.py): per-channel blind
+CMA equalization in front of demodulation, the way a REDHAWK deployment
+chains an equalizer component ahead of psk_soft on multipath links.
+Mirrors the AgcFrontEnd wrapper contract (runtime/agc.py): the batched
+device paths (``push_block``/``push_planes``) pass through equalized;
+everything else delegates to the wrapped engine.
+
+The weight-update schedule is one block-CMA step per pushed block, so the
+front-end is deterministic for a given push sequence; with ``freeze=True``
+(or after calling :meth:`freeze`) the weights hold and the data path is a
+pure per-channel FIR.  Per-channel ragged ``push`` is rejected: block CMA
+is defined on the lockstep bank (pushing ragged would silently desynchronize
+the shared update schedule).  int16 wire planes are rejected like the other
+front-ends: equalizing before dequantization would change the wire contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops.equalizer import EqConfig, eq_init, make_eq_fn
+
+
+class EqFrontEnd:
+    """Blind CMA equalizer in front of any bank engine.
+
+    Args:
+      engine: wrapped bank engine (BatchEngine, FullKernelBatchEngine,
+        MixedKernelBatchEngine, ...).
+      eq_cfg: equalizer configuration; ``stride`` defaults to 1
+        (rectangular pulses -- set sps for band-limited ones).
+    """
+
+    def __init__(self, engine, eq_cfg: EqConfig | None = None):
+        self.engine = engine
+        self.eq_cfg = eq_cfg if eq_cfg is not None else EqConfig()
+        self._state = eq_init(self.eq_cfg, (engine.channels,))
+        self._fn = make_eq_fn(self.eq_cfg)
+        self._frozen_fn = None
+        self._last_cm_err = np.zeros(engine.channels, np.float32)
+        self.updates = 0
+
+    def _run(self, x):
+        import jax.numpy as jnp
+
+        self._state, y, info = self._fn(self._state,
+                                        jnp.asarray(x, jnp.complex64))
+        self._last_cm_err = np.asarray(info["cm_err"], np.float32)
+        if not self.eq_cfg.freeze:
+            self.updates += 1
+        return np.asarray(y)
+
+    # -- data paths ----------------------------------------------------------
+
+    def push(self, channel: int, data) -> None:
+        raise ValueError("EqFrontEnd is lockstep-only (block CMA shares one "
+                         "update schedule across the bank); use push_block "
+                         "or push_planes")
+
+    def push_block(self, x) -> None:
+        """Lockstep (C, T) block: equalize on device, then the wrapped
+        engine's per-channel ingest."""
+        y = self._run(np.asarray(x))
+        for c in range(self.engine.channels):
+            self.engine.push(c, y[c])
+
+    def push_planes(self, re, im) -> None:
+        """Time-major (T, C) f32 planes, equalized on device."""
+        if getattr(self.engine, "_ingest_scale", None) is not None:
+            raise ValueError("equalizing before int16 dequantization would "
+                             "change the wire contract; build the inner "
+                             "engine without ingest_scale")
+        x = np.asarray(re).T + 1j * np.asarray(im).T
+        y = self._run(x)
+        if hasattr(self.engine, "push_planes"):
+            self.engine.push_planes(
+                np.ascontiguousarray(y.real.T, np.float32),
+                np.ascontiguousarray(y.imag.T, np.float32))
+        else:                       # plane-less engines take channel pushes
+            for c in range(self.engine.channels):
+                self.engine.push(c, y[c])
+
+    # -- control / observability ----------------------------------------------
+
+    def freeze(self) -> None:
+        """Hold the current weights (production mode after convergence)."""
+        if not self.eq_cfg.freeze:
+            self.eq_cfg = dataclasses.replace(self.eq_cfg, freeze=True)
+            self._fn = make_eq_fn(self.eq_cfg)
+
+    def adapt(self) -> None:
+        """Resume weight adaptation."""
+        if self.eq_cfg.freeze:
+            self.eq_cfg = dataclasses.replace(self.eq_cfg, freeze=False)
+            self._fn = make_eq_fn(self.eq_cfg)
+
+    @property
+    def weights(self) -> np.ndarray:
+        """(C, L) current per-channel equalizer taps."""
+        return np.asarray(self._state.w)
+
+    @property
+    def cm_err(self) -> np.ndarray:
+        """(C,) CMA cost E[(|y|^2 - R2)^2] of the last block (convergence
+        observable; ~0 when the channel is inverted)."""
+        return self._last_cm_err.copy()
+
+    def reset_eq(self) -> None:
+        self._state = eq_init(self.eq_cfg, (self.engine.channels,))
+        self._last_cm_err = np.zeros(self.engine.channels, np.float32)
+        self.updates = 0
+
+    def __getattr__(self, name):
+        return getattr(self.engine, name)
