@@ -173,14 +173,35 @@ def cmd_demod_batch(args) -> int:
         from .runtime.autocfo import AutoCfoEngine
         eng = AutoCfoEngine(eng, acq_samples=args.acq_samples,
                             track=args.cfo_track)
+    if args.equalize:
+        # Between AGC and the NCO: the CMA cost is rotation-invariant, so
+        # residual CFO passes through the converged equalizer untouched
+        # for the downstream stages to absorb.
+        from .ops.equalizer import EqConfig
+        from .runtime.equalizer import EqFrontEnd
+        eng = EqFrontEnd(eng, EqConfig(taps=args.eq_taps, mu=args.eq_mu,
+                                       stride=args.eq_stride))
     if args.agc:
-        # Outermost: level-normalize (and squelch) before CFO/demod.
+        # Outermost front-end: level-normalize (and squelch) before
+        # equalization/CFO/demod.
         from .ops.agc import AgcConfig
         from .runtime.agc import AgcFrontEnd
         eng = AgcFrontEnd(eng, AgcConfig(target_rms=args.agc_target,
                                          alpha=args.agc_alpha,
                                          chunk=cfg.sps,
                                          squelch_power=args.squelch))
+    monitor = None
+    if args.quality_report:
+        from .runtime.quality import QualityMonitor
+        eng = monitor = QualityMonitor(eng)
+    syncer = None
+    if args.uw:
+        from .ops.framesync import FrameFormat
+        from .runtime.framesync import FrameSyncer
+        eng = syncer = FrameSyncer(eng, FrameFormat(
+            uw=tuple(int(v) for v in args.uw.split(",")),
+            payload=args.frame_payload, m=cfg.constellation_size,
+            threshold=args.uw_threshold))
     xdelta = 1.0 / args.sample_rate
     if resampler is not None:
         rs_ratios = resampler.ratios
@@ -214,6 +235,18 @@ def cmd_demod_batch(args) -> int:
     frame_bytes = (1 if chanfe is not None else C) * (4 if i16 else 8)
     chunk = args.chunk_samples * frame_bytes
     nb = cfg.bits_per_symbol
+
+    frames_sink = open(f"{args.out_prefix}.frames.jsonl", "w") \
+        if args.uw else None
+
+    def drain_frames():
+        for f in syncer.pop_frames():
+            frames_sink.write(json.dumps({
+                "channel": f.channel, "start": f.start,
+                "rotation": f.rotation, "corr": round(f.corr, 4),
+                "residual_phase": round(f.residual_phase, 4),
+                "bits": f.bits.tolist(),
+            }) + "\n")
 
     def write(pkts):
         for port, pkt in pkts.items():
@@ -348,6 +381,8 @@ def cmd_demod_batch(args) -> int:
                 if pkts is None:
                     break
                 write(pkts)
+            if syncer is not None:
+                drain_frames()
             if len(raw) < chunk:
                 # EOS: drain the native ring's sub-block remainder, then the
                 # engine's staged tail.
@@ -379,14 +414,29 @@ def cmd_demod_batch(args) -> int:
                             break
                         write(pkts)
                 write(eng.flush_packets())
+                if syncer is not None:
+                    drain_frames()
                 break
     finally:
         for f in sinks.values():
             f.close()
+        if frames_sink is not None:
+            frames_sink.close()
         if src is not sys.stdin.buffer:
             src.close()
     metrics = {"samples_in": eng.metrics.samples_in,
                "symbols_out": eng.metrics.symbols_out}
+    if syncer is not None:
+        metrics["frames_synced"] = syncer.frames_synced
+    if monitor is not None:
+        snap = {k: (v.tolist() if hasattr(v, "tolist") else v)
+                for k, v in monitor.snapshot().items()}
+        report = json.dumps(snap)
+        if args.quality_report == "-":
+            print(report, file=sys.stderr)
+        else:
+            with open(args.quality_report, "w") as qf:
+                qf.write(report + "\n")
     if resampler is not None:
         # keep samples_in = wire samples read (consistent with every other
         # mode); the engine's own counter sees post-resample samples
@@ -591,6 +641,36 @@ def main(argv=None) -> int:
                     help="mean-square power threshold; channels tracking "
                          "below it are muted until they return (0 = off; "
                          "implies --agc)")
+    db.add_argument("--equalize", action="store_true",
+                    help="blind CMA multipath equalization in front of the "
+                         "demod (runtime/equalizer.py): Block-LMS schedule, "
+                         "phase-blind (composes with the M-th-power "
+                         "recovery's ambiguity); targets constant-envelope "
+                         "streams -- for band-limited pulses set "
+                         "--eq-stride to the symbol period")
+    db.add_argument("--eq-taps", type=int, default=15,
+                    help="equalizer FIR length")
+    db.add_argument("--eq-mu", type=float, default=5e-5,
+                    help="CMA step per error sample (keep mu * block "
+                         "error count <~ 0.25 at unit power)")
+    db.add_argument("--eq-stride", type=int, default=1,
+                    help="error-sample spacing (1 = every sample for "
+                         "rectangular pulses; sps for RRC)")
+    db.add_argument("--quality-report", metavar="PATH",
+                    help="write a per-channel link-quality JSON snapshot "
+                         "(EVM / M2M4 SNR / carrier lock, "
+                         "runtime/quality.py) at EOS; '-' = stderr")
+    db.add_argument("--uw", metavar="K,K,...",
+                    help="unique-word symbol indices: detect frames in the "
+                         "soft stream, resolve the M-fold carrier "
+                         "ambiguity per frame, and write aligned payloads "
+                         "to <out-prefix>.frames.jsonl "
+                         "(runtime/framesync.py)")
+    db.add_argument("--frame-payload", type=int, default=0,
+                    help="payload symbols following the UW")
+    db.add_argument("--uw-threshold", type=float, default=0.7,
+                    help="normalized-correlation detection threshold "
+                         "(size the UW so threshold^2 * len >= ~14)")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

@@ -7,13 +7,15 @@ Mirrors the AgcFrontEnd wrapper contract (runtime/agc.py): the batched
 device paths (``push_block``/``push_planes``) pass through equalized;
 everything else delegates to the wrapped engine.
 
-The weight-update schedule is one block-CMA step per pushed block, so the
-front-end is deterministic for a given push sequence; with ``freeze=True``
-(or after calling :meth:`freeze`) the weights hold and the data path is a
-pure per-channel FIR.  Per-channel ragged ``push`` is rejected: block CMA
-is defined on the lockstep bank (pushing ragged would silently desynchronize
-the shared update schedule).  int16 wire planes are rejected like the other
-front-ends: equalizing before dequantization would change the wire contract.
+The weight-update schedule is one block-CMA step per lockstep device step,
+so the front-end is deterministic for a given push sequence; with
+``freeze=True`` (or after calling :meth:`freeze`) the weights hold and the
+data path is a pure per-channel FIR.  Per-channel ragged ``push`` is staged
+to the lockstep grid (block CMA shares one update schedule across the
+bank), so upstream wrappers that forward per channel -- AgcFrontEnd,
+AutoCfoEngine -- compose unchanged.  int16 wire planes are rejected like
+the other front-ends: equalizing before dequantization would change the
+wire contract.
 """
 
 from __future__ import annotations
@@ -40,8 +42,9 @@ class EqFrontEnd:
         self.eq_cfg = eq_cfg if eq_cfg is not None else EqConfig()
         self._state = eq_init(self.eq_cfg, (engine.channels,))
         self._fn = make_eq_fn(self.eq_cfg)
-        self._frozen_fn = None
         self._last_cm_err = np.zeros(engine.channels, np.float32)
+        self._staged = [np.zeros(0, np.complex64)
+                        for _ in range(engine.channels)]
         self.updates = 0
 
     def _run(self, x):
@@ -57,13 +60,37 @@ class EqFrontEnd:
     # -- data paths ----------------------------------------------------------
 
     def push(self, channel: int, data) -> None:
-        raise ValueError("EqFrontEnd is lockstep-only (block CMA shares one "
-                         "update schedule across the bank); use push_block "
-                         "or push_planes")
+        """Per-channel push, staged to the lockstep grid.
+
+        Block CMA shares one update schedule across the bank, so ragged
+        pushes are held per channel and the common prefix (stride-aligned,
+        >= taps samples) runs as one lockstep device step -- upstream
+        wrappers that forward per channel (AgcFrontEnd, AutoCfoEngine)
+        compose unchanged.  Constant push sizes keep the compiled block
+        shape stable."""
+        self._staged[channel] = np.concatenate(
+            [self._staged[channel], np.asarray(data, np.complex64).ravel()])
+        self._drain_staged()
+
+    def _drain_staged(self) -> None:
+        cfg = self.eq_cfg
+        m = min(s.size for s in self._staged)
+        m -= m % cfg.stride
+        if m < max(cfg.taps, cfg.stride):
+            return
+        x = np.stack([s[:m] for s in self._staged])
+        self._staged = [s[m:] for s in self._staged]
+        y = self._run(x)
+        for c in range(self.engine.channels):
+            self.engine.push(c, y[c])
 
     def push_block(self, x) -> None:
         """Lockstep (C, T) block: equalize on device, then the wrapped
         engine's per-channel ingest."""
+        if any(s.size for s in self._staged):
+            # Ragged remainders would reorder against the lockstep block.
+            raise ValueError("staged ragged pushes pending; keep one push "
+                             "style per stream")
         y = self._run(np.asarray(x))
         for c in range(self.engine.channels):
             self.engine.push(c, y[c])
@@ -74,6 +101,9 @@ class EqFrontEnd:
             raise ValueError("equalizing before int16 dequantization would "
                              "change the wire contract; build the inner "
                              "engine without ingest_scale")
+        if any(s.size for s in self._staged):
+            raise ValueError("staged ragged pushes pending; keep one push "
+                             "style per stream")
         x = np.asarray(re).T + 1j * np.asarray(im).T
         y = self._run(x)
         if hasattr(self.engine, "push_planes"):
@@ -112,6 +142,8 @@ class EqFrontEnd:
     def reset_eq(self) -> None:
         self._state = eq_init(self.eq_cfg, (self.engine.channels,))
         self._last_cm_err = np.zeros(self.engine.channels, np.float32)
+        self._staged = [np.zeros(0, np.complex64)
+                        for _ in range(self.engine.channels)]
         self.updates = 0
 
     def __getattr__(self, name):

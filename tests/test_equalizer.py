@@ -187,9 +187,20 @@ def test_front_end_surface():
 
     cfg = DemodConfig(sps=4, num_avg=20, constellation_size=4, phase_avg=10)
     fe = EqFrontEnd(BatchEngine(cfg, 2, block_symbols=32))
-    with pytest.raises(ValueError):
-        fe.push(0, np.zeros(16, np.complex64))
     x, _ = _qpsk(2, 64, 4, seed=7)
+    # Ragged per-channel pushes stage to the lockstep grid: nothing runs
+    # until every channel has data, then one lockstep step fires.
+    fe.push(0, x[0])
+    assert fe.updates == 0
+    fe.push(1, x[1])
+    assert fe.updates == 1
+    # ...and produce the same weights as one lockstep push_block.
+    fe2 = EqFrontEnd(BatchEngine(cfg, 2, block_symbols=32))
+    fe2.push_block(x)
+    np.testing.assert_array_equal(fe.weights, fe2.weights)
+    with pytest.raises(ValueError):
+        fe.push(0, x[0][:3]) or fe.push_block(x)  # ragged pending
+    fe.reset_eq()
     fe.push_block(x)
     assert fe.updates == 1
     fe.freeze()
