@@ -109,11 +109,17 @@ class EqState(NamedTuple):
 
 
 def eq_init(cfg: EqConfig, channel_shape: tuple = ()) -> EqState:
-    """Identity initialization: w = delta at the center tap."""
+    """Identity initialization: w = delta at the center tap.
+
+    Built via the plane-split upload helper: an eager complex64 upload
+    poisons the axon session (utils/transfer.py docstring).
+    """
+    from ..utils.transfer import to_device
+
     w = np.zeros(channel_shape + (cfg.taps,), np.complex64)
     w[..., cfg.center_tap] = 1.0
     hist = np.zeros(channel_shape + (max(cfg.taps - 1, 0),), np.complex64)
-    return EqState(w=jnp.asarray(w), hist=jnp.asarray(hist))
+    return EqState(w=to_device(w), hist=to_device(hist))
 
 
 def eq_block(cfg: EqConfig, state: EqState, x: jnp.ndarray):
@@ -137,10 +143,14 @@ def eq_block(cfg: EqConfig, state: EqState, x: jnp.ndarray):
                          f"stride {cfg.stride}")
     if t < l - 1:
         raise ValueError(f"block length {t} shorter than taps-1 = {l - 1}")
+    from ..utils.transfer import complex_zeros, to_device
+    if isinstance(x, np.ndarray):
+        x = to_device(x)            # plane-split: axon-safe complex upload
     xx = jnp.concatenate([state.hist, jnp.asarray(x)], axis=-1)
 
     # FIR: y[n] = sum_l w[l] * xx[n + L-1 - l]  (L static-shifted FMAs).
-    y = jnp.zeros(x.shape, jnp.complex64)
+    # complex_zeros: safe under trace AND in eager calls on axon.
+    y = complex_zeros(x.shape)
     for i in range(l):
         seg = jax.lax.slice_in_dim(xx, l - 1 - i, l - 1 - i + t, axis=-1)
         y = y + state.w[..., i:i + 1] * seg

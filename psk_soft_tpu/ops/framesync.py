@@ -102,12 +102,16 @@ def correlate_uw(soft: jnp.ndarray, uw_pts: np.ndarray):
       (corr, norm): (..., S-U+1) complex correlation and its scale-free
       magnitude in [0, 1].
     """
+    from ..utils.transfer import to_device
+
     uw_pts = np.asarray(uw_pts, np.complex64)
     u = uw_pts.size
     if soft.shape[-1] < u:
         raise ValueError(f"stream shorter ({soft.shape[-1]}) than the "
                          f"UW ({u})")
-    return _correlate(jnp.asarray(soft), jnp.asarray(np.conj(uw_pts)), u)
+    if isinstance(soft, np.ndarray):
+        soft = to_device(soft)      # plane-split: axon-safe complex upload
+    return _correlate(soft, to_device(np.conj(uw_pts)), u)
 
 
 def resolve_rotation(corr_value, m: int):
@@ -225,11 +229,12 @@ def extract_frames(fmt: FrameFormat, soft: np.ndarray,
     Only frames fully contained in the block are returned; for streaming
     use runtime/framesync.FrameSyncer, which carries the seam.
     """
+    from ..utils.transfer import to_device, to_host
+
     soft = np.atleast_2d(np.asarray(soft))
     if soft.shape[-1] < fmt.frame_len:
         return []
-    corr, norm = correlate_uw(soft, fmt.points)
-    corr, norm = np.asarray(corr), np.asarray(norm)
+    corr, norm = to_host(correlate_uw(soft, fmt.points))
     # A frame starting at t needs payload through t + frame_len - 1.
     # Detect on the FULL norm (local-max context), then filter to starts
     # whose payload is contained -- keeps streaming == one-shot.
@@ -250,7 +255,7 @@ def extract_frames(fmt: FrameFormat, soft: np.ndarray,
         ress.append(float(res))
         payloads.append(soft[c, t + fmt.uw_len: t + fmt.frame_len] * derot)
     pm = np.asarray(payloads, np.complex64).reshape(len(heads), fmt.payload)
-    bits3 = np.asarray(slicers.slice_bits(fmt.m, jnp.asarray(pm)))
+    bits3 = np.asarray(slicers.slice_bits(fmt.m, to_device(pm)))
     bits = bits3[:, :, :nb].reshape(len(heads), -1).astype(np.int8)
     return [Frame(channel=c, start=base + t, rotation=ks[i],
                   corr=float(norm[c, t]), residual_phase=ress[i],

@@ -75,7 +75,11 @@ def block_quality(soft: jnp.ndarray, m, valid=None,
     Returns:
       QualityBlock of per-channel scalars.
     """
-    soft = jnp.asarray(soft)
+    if isinstance(soft, np.ndarray):
+        from ..utils.transfer import to_device
+        soft = to_device(soft)      # plane-split: axon-safe complex upload
+    else:
+        soft = jnp.asarray(soft)
     mag2 = (soft.real * soft.real + soft.imag * soft.imag).astype(jnp.float32)
     mag = jnp.sqrt(mag2)
     if valid is None:

@@ -132,12 +132,13 @@ class AgcFrontEnd:
             raise ValueError("staged sub-chunk tails pending; lockstep "
                              "push_block cannot interleave with ragged "
                              "remainders")
-        import jax.numpy as jnp
+        from ..utils.transfer import to_device, to_host
 
         fn = self._device()
-        st, y, _ = fn(self._dev_state, jnp.asarray(x, jnp.complex64))
+        st, y, _ = fn(self._dev_state,
+                      to_device(np.asarray(x, np.complex64)))
         self._absorb(st)
-        y = np.asarray(y)
+        y = to_host(y)
         for c in range(self.engine.channels):
             self.engine.push(c, y[c])
 
@@ -151,10 +152,13 @@ class AgcFrontEnd:
             raise ValueError("staged sub-chunk tails pending; push_planes "
                              "cannot interleave with ragged remainders")
         import jax.numpy as jnp
+        from ..utils.transfer import _combine
 
         fn = self._device()
-        x = jnp.asarray(re).T + 1j * jnp.asarray(im).T   # (C, T)
-        st, y, _ = fn(self._dev_state, x.astype(jnp.complex64))
+        # Combine planes ON device (an eager `+ 1j*` would upload a complex
+        # constant, which poisons the axon session -- utils/transfer.py).
+        x = _combine(jnp.asarray(re).T, jnp.asarray(im).T)   # (C, T)
+        st, y, _ = fn(self._dev_state, x)
         self._absorb(st)
         self.engine.push_planes(np.asarray(y.real).T.astype(np.float32),
                                 np.asarray(y.imag).T.astype(np.float32))

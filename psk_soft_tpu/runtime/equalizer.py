@@ -48,14 +48,15 @@ class EqFrontEnd:
         self.updates = 0
 
     def _run(self, x):
-        import jax.numpy as jnp
+        from ..utils.transfer import to_device, to_host
 
         self._state, y, info = self._fn(self._state,
-                                        jnp.asarray(x, jnp.complex64))
+                                        to_device(np.asarray(x,
+                                                             np.complex64)))
         self._last_cm_err = np.asarray(info["cm_err"], np.float32)
         if not self.eq_cfg.freeze:
             self.updates += 1
-        return np.asarray(y)
+        return to_host(y)
 
     # -- data paths ----------------------------------------------------------
 
@@ -131,13 +132,27 @@ class EqFrontEnd:
     @property
     def weights(self) -> np.ndarray:
         """(C, L) current per-channel equalizer taps."""
-        return np.asarray(self._state.w)
+        from ..utils.transfer import to_host
+        return to_host(self._state.w)
 
     @property
     def cm_err(self) -> np.ndarray:
         """(C,) CMA cost E[(|y|^2 - R2)^2] of the last block (convergence
         observable; ~0 when the channel is inverted)."""
         return self._last_cm_err.copy()
+
+    def reset(self) -> None:
+        """Queue-flush semantics: drop staged data and the FIR history
+        (the stream is discontinuous) but KEEP the converged weights --
+        the channel response is a physical property that survives a data
+        gap (use :meth:`reset_eq` to also forget the weights)."""
+        from ..utils.transfer import complex_zeros
+
+        self._staged = [np.zeros(0, np.complex64)
+                        for _ in range(self.engine.channels)]
+        self._state = self._state._replace(
+            hist=complex_zeros(self._state.hist.shape))
+        self.engine.reset()
 
     def reset_eq(self) -> None:
         self._state = eq_init(self.eq_cfg, (self.engine.channels,))

@@ -22,8 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.framesync import (Frame, FrameFormat, correlate_uw, detect_peaks,
-                             extract_frames, resolve_rotation)
+from ..ops.framesync import (Frame, FrameFormat, correlate_uw,
+                             detect_peaks, resolve_rotation)
 from ..ops import slicers
 from .streams import PORT_SOFT
 
@@ -93,8 +93,8 @@ class FrameSyncer:
         if hi < lo or l < self.fmt.uw_len:
             return []
         fmt = self.fmt
-        corr, norm = correlate_uw(self._buf, fmt.points)
-        corr, norm = np.asarray(corr), np.asarray(norm)
+        from ..utils.transfer import to_device, to_host
+        corr, norm = to_host(correlate_uw(self._buf, fmt.points))
         peaks = detect_peaks(norm, fmt.threshold, fmt.separation)
         nb = int(np.log2(fmt.m))
         heads = [(c, int(t)) for c, ts in enumerate(peaks)
@@ -113,7 +113,7 @@ class FrameSyncer:
                             * derot)
         pm = np.asarray(payloads, np.complex64).reshape(len(heads),
                                                         fmt.payload)
-        bits3 = np.asarray(slicers.slice_bits(fmt.m, pm))
+        bits3 = np.asarray(slicers.slice_bits(fmt.m, to_device(pm)))
         bits = bits3[:, :, :nb].reshape(len(heads), -1).astype(np.int8)
         return [Frame(channel=c, start=self._base + t, rotation=ks[i],
                       corr=float(norm[c, t]), residual_phase=ress[i],

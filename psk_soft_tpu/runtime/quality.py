@@ -66,7 +66,10 @@ class QualityMonitor:
                              f"block; got {soft.shape}")
         if soft.shape[1] == 0:
             return
-        q = self._fn(soft)
+        from ..utils.transfer import to_device
+        # Plane-split before the jit boundary: a host complex arg would be
+        # uploaded whole by jit, which poisons axon (utils/transfer.py).
+        q = self._fn(to_device(soft))
         n = np.asarray(q.count, np.int64)
         # Per-symbol EMA folded once per block: weight = 1-(1-a)^n, exact
         # for a constant within the block, so block size never biases the

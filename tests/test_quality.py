@@ -8,11 +8,9 @@ the QualityMonitor wrapper tracks a live engine including a dead channel
 alarm."""
 
 import numpy as np
-import pytest
 
 from psk_soft_tpu import DemodConfig
-from psk_soft_tpu.ops.quality import (block_quality, evm_pct,
-                                      make_quality_fn, snr_db)
+from psk_soft_tpu.ops.quality import block_quality, snr_db
 from psk_soft_tpu.runtime.quality import QualityMonitor
 
 
