@@ -1,0 +1,350 @@
+"""Forward error correction: convolutional codes + Viterbi decoding, TPU-first.
+
+Extension beyond the reference: psk_soft emits raw sliced bits
+(cpp/psk_soft.cpp:502-566) and leaves FEC to downstream REDHAWK components
+(every deployed PSK link runs one -- the classic chain is the K=7 rate-1/2
+convolutional code with Viterbi decoding).  This module provides that layer,
+designed for the MXU/VPU rather than as a translation of a sequential
+decoder:
+
+- **Encoder** -- y_j[t] = parity(g_j & [u[t] .. u[t-K+1]]): K static-shifted
+  XORs over the whole bit plane (the branch-FMA pattern in GF(2)), one
+  launch for any number of channels/frames.
+- **Branch metrics from the constellation** -- :func:`psk_llrs` computes
+  max-log per-bit LLRs against the framework's own soft-decision
+  conventions (ops/slicers.py labeling, QPSK +pi/4 rotation) as one
+  (..., S, M) distance reduction: soft-decision decoding composes directly
+  with the demod output, no re-slicing loss.
+- **Viterbi ACS as a dense gather/scan** -- the trellis is static: for
+  2^(K-1) states the two predecessors and their expected code bits are
+  host-precomputed index planes; each time step is two gathers + one
+  select over the whole state vector (VPU work, no data-dependent control
+  flow), run under ``jax.lax.scan`` with the path-metric vector as carry.
+  Traceback is a second (reverse) scan over the stored decision planes.
+  ``vmap`` batches frames/channels; every shape is static.
+
+The per-step state recursion is inherently sequential in time (each ACS
+depends on the previous path metrics), so throughput comes from batching:
+decode B frames in one launch and the (B, S) metric plane fills the VPU
+lanes.  This matches the frame-oriented use here (FrameSyncer payloads);
+a streaming sliding-window decoder would trade optimality for latency.
+
+Conventions:
+
+- Polynomials are given as integers (octal literals read naturally:
+  ``0o171``); bit (K-1) (MSB) taps the *current* input bit u[t], bit 0
+  the oldest u[t-K+1] -- the standard (171, 133) NASA/Voyager code and
+  the (7, 5) textbook code come out in their published forms.
+- State s_t packs (u[t-1] .. u[t-K+1]) with u[t-1] as the high bit, so
+  the transition is ``s' = (u << (K-2)) | (s >> 1)`` and the input bit
+  that *entered* state s' is its high bit (used by the traceback).
+- Soft values are "positive means bit 0" log-likelihood ratios; hard
+  bits b map to LLR 1-2b (:func:`hard_llrs`).
+- ``terminate=True`` (default) appends/assumes K-1 zero flush bits so
+  the decoder pins the final state (the frame mode); ``terminate=False``
+  starts/ends on the best surviving state (truncated decode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAX_K = 10          # 512 states; (B, S) planes stay comfortably in VMEM
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvCode:
+    """Rate 1/n convolutional code.
+
+    Attributes:
+      k: constraint length K (memory K-1).
+      polys: n generator polynomials, MSB = current input bit.
+      puncture: optional (period, n) 0/1 keep-mask applied to the
+        interleaved output stream (rate becomes period / kept).
+    """
+
+    k: int = 7
+    polys: tuple = (0o171, 0o133)
+    puncture: tuple | None = None
+
+    def __post_init__(self):
+        if not (2 <= self.k <= _MAX_K):
+            raise ValueError(f"constraint length must be in [2, {_MAX_K}]")
+        if len(self.polys) < 2:
+            raise ValueError("need at least 2 generator polynomials")
+        for g in self.polys:
+            if not (0 < g < (1 << self.k)):
+                raise ValueError(f"polynomial {g:o} out of range for K={self.k}")
+        if self.puncture is not None:
+            p = np.asarray(self.puncture)
+            if p.ndim != 2 or p.shape[1] != len(self.polys):
+                raise ValueError("puncture mask must be (period, n)")
+            if not p[0].all():
+                raise ValueError("puncture mask must keep the first column "
+                                 "(decoder alignment)")
+            if p.sum() <= p.shape[0]:
+                raise ValueError("puncture mask keeps too few bits (rate > 1)")
+
+    @property
+    def n(self) -> int:
+        return len(self.polys)
+
+    @property
+    def states(self) -> int:
+        return 1 << (self.k - 1)
+
+    @property
+    def rate(self) -> float:
+        if self.puncture is None:
+            return 1.0 / self.n
+        p = np.asarray(self.puncture)
+        return p.shape[0] / float(p.sum())
+
+
+# Presets: the two codes everything in the field interoperates with, plus
+# the 4-state textbook code (small enough to check a trellis by hand).
+CODE_K7 = ConvCode(7, (0o171, 0o133))
+CODE_K9 = ConvCode(9, (0o561, 0o753))
+CODE_K3 = ConvCode(3, (0o7, 0o5))
+# DVB-S puncturing of the K=7 code.
+PUNCTURE_2_3 = ((1, 1), (1, 0))
+PUNCTURE_3_4 = ((1, 1), (1, 0), (0, 1))
+
+
+def _tap_planes(code: ConvCode) -> np.ndarray:
+    """(n, K) int8 tap matrix; column i multiplies u[t-i]."""
+    taps = np.zeros((code.n, code.k), np.int8)
+    for j, g in enumerate(code.polys):
+        for i in range(code.k):
+            taps[j, i] = (g >> (code.k - 1 - i)) & 1
+    return taps
+
+
+def conv_encode(code: ConvCode, bits, terminate: bool = True) -> jnp.ndarray:
+    """Encode a (..., N) 0/1 bit plane -> (..., (N[+K-1]) * n) code bits.
+
+    Output is interleaved [y_0[0], y_1[0], ..., y_0[1], ...]; with
+    ``terminate`` the K-1 zero flush bits are appended first.  Puncturing
+    (if configured) drops masked positions.  One launch for any batch.
+    """
+    u = jnp.asarray(bits).astype(jnp.int8)
+    if terminate:
+        flush = jnp.zeros(u.shape[:-1] + (code.k - 1,), jnp.int8)
+        u = jnp.concatenate([u, flush], axis=-1)
+    t = u.shape[-1]
+    taps = _tap_planes(code)
+    # Zero history before the first bit: pad K-1 zeros on the left.
+    pad = jnp.zeros(u.shape[:-1] + (code.k - 1,), jnp.int8)
+    uu = jnp.concatenate([pad, u], axis=-1)
+    outs = []
+    for j in range(code.n):
+        acc = jnp.zeros_like(u)
+        for i in range(code.k):
+            if taps[j, i]:
+                acc = acc ^ jax.lax.slice_in_dim(
+                    uu, code.k - 1 - i, code.k - 1 - i + t, axis=-1)
+        outs.append(acc)
+    y = jnp.stack(outs, axis=-1)                 # (..., T, n)
+    y = y.reshape(y.shape[:-2] + (t * code.n,))
+    if code.puncture is not None:
+        keep = np.asarray(code.puncture, bool).reshape(-1)
+        mask = np.resize(keep, t * code.n)
+        y = y[..., np.flatnonzero(mask)]
+    return y
+
+
+def hard_llrs(code_bits) -> jnp.ndarray:
+    """Hard 0/1 code bits -> +/-1 soft values (positive = bit 0)."""
+    b = jnp.asarray(code_bits)
+    return (1 - 2 * b).astype(jnp.float32)
+
+
+def depuncture(code: ConvCode, llrs) -> jnp.ndarray:
+    """Re-insert zero-LLR erasures at punctured positions.
+
+    Input is the punctured (..., L) soft stream; output is the full-rate
+    (..., T*n) stream the trellis expects.  The kept-position scatter is a
+    static gather (host-precomputed index plane).
+    """
+    y = jnp.asarray(llrs, jnp.float32)
+    if code.puncture is None:
+        return y
+    keep = np.asarray(code.puncture, bool).reshape(-1)
+    l = y.shape[-1]
+    period = keep.sum()
+    if l % period:
+        raise ValueError(f"punctured length {l} not a multiple of the "
+                         f"kept-per-period count {period}")
+    reps = l // period
+    full = reps * keep.size
+    # dst[i] = position in the full stream of kept bit i.
+    dst = np.flatnonzero(np.resize(keep, full))
+    out = jnp.zeros(y.shape[:-1] + (full,), jnp.float32)
+    return out.at[..., dst].set(y)
+
+
+def _trellis(code: ConvCode):
+    """Host-precomputed trellis planes.
+
+    Returns (pred, exp_sign):
+      pred: (S, 2) int32 -- the two predecessor states of each state
+        (differing in the oldest register bit).
+      exp_sign: (S, 2, n) float32 -- +/-1 expected code-bit signs on the
+        transition pred[s', p] -> s' (sign = 1 - 2*bit, matching the LLR
+        convention).
+    """
+    k, s_count, taps = code.k, code.states, _tap_planes(code)
+    s_prime = np.arange(s_count, dtype=np.int64)
+    u = s_prime >> (k - 2)                       # input bit entering s'
+    pred0 = (s_prime << 1) & (s_count - 1)
+    pred = np.stack([pred0, pred0 | 1], axis=1)  # (S, 2)
+    exp = np.zeros((s_count, 2, code.n), np.float32)
+    for p in range(2):
+        # Register at the transition: [u[t], u[t-1], ..., u[t-K+1]].
+        reg = (u << (k - 1)) | pred[:, p]
+        for j in range(code.n):
+            g = code.polys[j]
+            bits = np.zeros(s_count, np.int64)
+            for i in range(k):
+                if (g >> (k - 1 - i)) & 1:
+                    bits ^= (reg >> (k - 1 - i)) & 1
+            exp[:, p, j] = 1.0 - 2.0 * bits
+    return pred.astype(np.int32), exp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s_count", "terminate"))
+def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
+    """(B, T, n) LLRs -> (B, T) decoded bits (incl. flush bits)."""
+    b = llrs.shape[0]
+    neg = jnp.float32(-1e9)
+    pm0 = jnp.full((b, s_count), neg).at[:, 0].set(0.0)
+
+    def acs(pm, r_t):
+        # r_t: (B, n).  Branch metric of transition p -> s': correlation
+        # of the received LLRs with the expected signs.
+        bm = jnp.einsum("bn,spn->bsp", r_t, exp_sign)        # (B, S, 2)
+        cand = pm[:, pred] + bm                              # (B, S, 2)
+        dec = (cand[..., 1] > cand[..., 0])                  # (B, S) bool
+        new = jnp.where(dec, cand[..., 1], cand[..., 0])
+        new = new - jnp.max(new, axis=1, keepdims=True)      # re-zero
+        return new, dec
+
+    pm, decs = jax.lax.scan(acs, pm0, jnp.swapaxes(llrs, 0, 1))
+    start = (jnp.zeros(b, jnp.int32) if terminate
+             else jnp.argmax(pm, axis=1).astype(jnp.int32))
+
+    def back(s, dec_t):
+        u = (s >> (k - 2)).astype(jnp.int8)
+        p = jnp.take_along_axis(dec_t, s[:, None].astype(jnp.int32),
+                                axis=1)[:, 0]
+        s_prev = ((s << 1) & (s_count - 1)) | p.astype(jnp.int32)
+        return s_prev, u
+
+    # decs stacks per-step decisions time-major: (T, B, S).
+    _, bits_rev = jax.lax.scan(back, start, decs[::-1])
+    return jnp.swapaxes(bits_rev[::-1], 0, 1)                # (B, T)
+
+
+def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):
+    """Maximum-likelihood decode of (..., L) soft code bits -> (..., N) bits.
+
+    Args:
+      code: the convolutional code (puncturing honored via
+        :func:`depuncture`).
+      llrs: soft values, positive = bit 0 (see :func:`hard_llrs` for hard
+        input); length must cover a whole number of trellis steps.
+      terminate: the stream ends with K-1 zero flush bits (frame mode):
+        the final state is pinned to 0 and flush bits are stripped.
+
+    Returns:
+      (..., N) int8 decoded information bits, N = T - (K-1) if terminated.
+    """
+    y = depuncture(code, jnp.asarray(llrs, jnp.float32))
+    l = y.shape[-1]
+    if l % code.n:
+        raise ValueError(f"LLR length {l} not a multiple of n={code.n}")
+    t = l // code.n
+    if terminate and t <= code.k - 1:
+        raise ValueError(f"{t} trellis steps cannot carry K-1="
+                         f"{code.k - 1} flush bits")
+    lead = y.shape[:-1]
+    y = y.reshape((-1, t, code.n))
+    pred, exp_sign = _trellis(code)
+    bits = _viterbi(y, jnp.asarray(pred), jnp.asarray(exp_sign),
+                    code.k, code.states, terminate)
+    if terminate:
+        bits = bits[:, :t - (code.k - 1)]
+    return bits.reshape(lead + (bits.shape[-1],))
+
+
+def make_viterbi_fn(code: ConvCode, terminate: bool = True):
+    """fn(llrs) -> bits with the code closed over (jit-cached per shape)."""
+    return functools.partial(viterbi_decode, code, terminate=terminate)
+
+
+# -- constellation LLRs -------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _llr_kernel(soft, pts_re, pts_im, bit_mask, m: int):
+    # Squared distances to all M ideal points: (..., S, M).
+    dr = soft.real[..., None] - pts_re
+    di = soft.imag[..., None] - pts_im
+    d2 = dr * dr + di * di
+    big = jnp.float32(1e30)
+    nb = bit_mask.shape[1]
+    outs = []
+    for i in range(nb):
+        keep0 = 1.0 - bit_mask[:, i]
+        d0 = jnp.min(d2 + big * bit_mask[:, i], axis=-1)
+        d1 = jnp.min(d2 + big * keep0, axis=-1)
+        outs.append(d1 - d0)
+    return jnp.stack(outs, axis=-1)              # (..., S, nb)
+
+
+def psk_llrs(m: int, soft, scale: float | None = None) -> jnp.ndarray:
+    """Max-log per-bit LLRs for the framework's M-PSK soft decisions.
+
+    Uses the same constellation convention as the demod output and the
+    slicers (angle 2*pi*k/M, +pi/4 for QPSK, bits LSB-first per
+    ops/slicers.py), so ``psk_llrs(m, soft)`` composes directly with the
+    soft port / FrameSyncer payloads.  LLR_i = (d1_i - d0_i) * scale with
+    d_b the squared distance to the nearest point whose bit i equals b;
+    positive = bit 0.  The default scale normalizes by the mean squared
+    magnitude so hard-decision magnitudes are O(1); pass 1/(2*sigma^2)
+    for calibrated LLRs when the noise variance is known.
+
+    Args:
+      m: constellation size (2..32 power of two).
+      soft: (..., S) complex soft decisions.
+      scale: optional LLR scale.
+
+    Returns:
+      (..., S, log2(m)) float32 LLR planes.
+    """
+    from ..utils.transfer import to_device
+    from . import slicers
+    from .framesync import psk_points
+
+    if m not in (2, 4, 8, 16, 32):
+        raise ValueError(f"unsupported constellation size {m}")
+    nb = int(np.log2(m))
+    pts = psk_points(np.arange(m), m)
+    labels = np.asarray(slicers.slice_bits(m, to_device(pts)))[:, :nb]
+    if isinstance(soft, np.ndarray):
+        soft = to_device(soft)
+    llr = _llr_kernel(soft,
+                      jnp.asarray(np.ascontiguousarray(pts.real, np.float32)),
+                      jnp.asarray(np.ascontiguousarray(pts.imag, np.float32)),
+                      jnp.asarray(labels.astype(np.float32)), m)
+    if scale is None:
+        p = jnp.mean(soft.real * soft.real + soft.imag * soft.imag,
+                     axis=-1, keepdims=True)
+        llr = llr / jnp.maximum(p[..., None], 1e-12)
+    else:
+        llr = llr * jnp.float32(scale)
+    return llr
