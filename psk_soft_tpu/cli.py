@@ -202,6 +202,22 @@ def cmd_demod_batch(args) -> int:
             uw=tuple(int(v) for v in args.uw.split(",")),
             payload=args.frame_payload, m=cfg.constellation_size,
             threshold=args.uw_threshold))
+    fec = None
+    if args.fec:
+        if syncer is None:
+            raise SystemExit("--fec decodes frame payloads; it requires "
+                             "--uw frame sync")
+        from .ops import fec as fec_ops
+        from .runtime.fec import FecFrameDecoder
+        code = {"k7": fec_ops.CODE_K7, "k9": fec_ops.CODE_K9}[args.fec]
+        if args.fec_puncture:
+            pat = {"2/3": fec_ops.PUNCTURE_2_3,
+                   "3/4": fec_ops.PUNCTURE_3_4}[args.fec_puncture]
+            code = fec_ops.ConvCode(code.k, code.polys, pat)
+        try:
+            fec = FecFrameDecoder(syncer, code)
+        except ValueError as e:
+            raise SystemExit(f"--fec: {e}")
     xdelta = 1.0 / args.sample_rate
     if resampler is not None:
         rs_ratios = resampler.ratios
@@ -240,13 +256,18 @@ def cmd_demod_batch(args) -> int:
         if args.uw else None
 
     def drain_frames():
-        for f in syncer.pop_frames():
-            frames_sink.write(json.dumps({
+        for f in (fec or syncer).pop_frames():
+            rec = {
                 "channel": f.channel, "start": f.start,
                 "rotation": f.rotation, "corr": round(f.corr, 4),
                 "residual_phase": round(f.residual_phase, 4),
                 "bits": f.bits.tolist(),
-            }) + "\n")
+            }
+            if f.info_bits is not None:
+                rec["info_bits"] = f.info_bits.tolist()
+                rec["corrected"] = f.corrected
+                rec["suspect"] = f.suspect
+            frames_sink.write(json.dumps(rec) + "\n")
 
     def write(pkts):
         for port, pkt in pkts.items():
@@ -428,6 +449,10 @@ def cmd_demod_batch(args) -> int:
                "symbols_out": eng.metrics.symbols_out}
     if syncer is not None:
         metrics["frames_synced"] = syncer.frames_synced
+    if fec is not None:
+        metrics["frames_decoded"] = fec.frames_decoded
+        metrics["errors_corrected"] = fec.errors_corrected
+        metrics["suspect_frames"] = fec.suspect_frames
     if monitor is not None:
         snap = {k: (v.tolist() if hasattr(v, "tolist") else v)
                 for k, v in monitor.snapshot().items()}
@@ -671,6 +696,13 @@ def main(argv=None) -> int:
     db.add_argument("--uw-threshold", type=float, default=0.7,
                     help="normalized-correlation detection threshold "
                          "(size the UW so threshold^2 * len >= ~14)")
+    db.add_argument("--fec", choices=("k7", "k9"),
+                    help="Viterbi-decode each frame payload (ops/fec.py; "
+                         "requires --uw): k7 = (171,133) rate 1/2, k9 = "
+                         "(561,753); adds info_bits/corrected/suspect to "
+                         "<out-prefix>.frames.jsonl")
+    db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
+                    help="DVB puncturing of the --fec code")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

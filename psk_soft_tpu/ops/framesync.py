@@ -220,6 +220,11 @@ class Frame:
     residual_phase: float
     soft: np.ndarray       # (payload,) derotated complex payload symbols
     bits: np.ndarray       # (payload * log2(M),) int8, LSB-first per symbol
+    # Filled by runtime/fec.FecFrameDecoder when FEC is in the chain:
+    info_bits: np.ndarray | None = None  # decoded information bits
+    corrected: int = 0                   # channel errors the code absorbed
+    suspect: bool = False                # re-encode mismatch beyond the
+    #                                      code's plausible correction span
 
 
 def extract_frames(fmt: FrameFormat, soft: np.ndarray,

@@ -583,3 +583,88 @@ def test_cli_demod_batch_equalize_uw_quality(tmp_path):
     assert all(v > 0.6 for v in q["lock"]), q
     assert all(v > 8.0 for v in q["snr_db"]), q
     assert all(v < 35.0 for v in q["evm_pct"]), q
+
+
+def test_cli_demod_batch_fec(tmp_path):
+    """demod-batch --uw --fec k7: frame payloads carry the K=7 rate-1/2
+    code; frames.jsonl gains exact info_bits with corrected/suspect
+    accounting, and the stderr metrics line reports the FEC counters."""
+    from psk_soft_tpu.ops import slicers
+    from psk_soft_tpu.ops.fec import CODE_K7, conv_encode
+    from psk_soft_tpu.ops.framesync import psk_points
+
+    C, sps = 2, 8
+    rng = np.random.default_rng(12)
+    uw = rng.integers(0, 4, 32)
+    payload = 64                               # 128 code bits -> 58 info
+    s_total = 2048
+    idx = rng.integers(0, 4, (C, s_total))
+
+    pts = psk_points(np.arange(4), 4)
+    labels = np.asarray(slicers.slice_bits(4, pts))[:, :2]
+    lut = np.zeros(4, np.int64)
+    for sym, (b0, b1) in enumerate(labels):
+        lut[b0 + 2 * b1] = sym
+
+    sent = {}
+    starts = list(range(300, 1800, 300))
+    for c in range(C):
+        for i, s0 in enumerate(starts):
+            info = rng.integers(0, 2, 58)
+            coded = np.asarray(conv_encode(CODE_K7, info)).reshape(-1, 2)
+            idx[c, s0:s0 + 32] = uw
+            idx[c, s0 + 32:s0 + 32 + payload] = \
+                lut[coded[:, 0] + 2 * coded[:, 1]]
+            sent[(c, i)] = info
+    x = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.9)), sps, axis=1)
+    x = (x + 0.02 * (rng.standard_normal(x.shape)
+                     + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+
+    infile = tmp_path / "fec.cf32"
+    infile.write_bytes(np.ascontiguousarray(x.T).tobytes())
+    prefix = tmp_path / "fec_out"
+
+    proc = _run(["demod-batch", "--in", str(infile), "--channels", str(C),
+                 "--out-prefix", str(prefix), "--sps", str(sps), "-M", "4",
+                 "--num-avg", "20", "--phase-avg", "20",
+                 "--block-symbols", "256",
+                 "--uw", ",".join(str(v) for v in uw),
+                 "--frame-payload", str(payload),
+                 "--fec", "k7"])
+    metrics = json.loads(proc.stderr.strip().splitlines()[-1])
+
+    frames = [json.loads(line) for line in
+              open(f"{prefix}.frames.jsonl").read().splitlines()]
+    assert metrics["frames_synced"] == len(frames)
+    assert metrics["frames_decoded"] == len(frames)
+    assert metrics["suspect_frames"] == 0
+    assert len(frames) == len(starts) * C
+    for f in frames:
+        i = starts.index(f["start"])
+        want = sent[(f["channel"], i)]
+        assert np.array_equal(np.asarray(f["info_bits"]), want)
+        assert not f["suspect"]
+    assert metrics["errors_corrected"] == sum(f["corrected"]
+                                              for f in frames)
+
+
+def test_cli_fec_requires_uw_and_validates(tmp_path):
+    infile = tmp_path / "x.cf32"
+    infile.write_bytes(np.zeros(1024, np.complex64).tobytes())
+    proc = subprocess.run(
+        [sys.executable, "-m", "psk_soft_tpu", "demod-batch",
+         "--in", str(infile), "--channels", "1",
+         "--out-prefix", str(tmp_path / "o"), "--fec", "k7"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0
+    assert "requires --uw" in proc.stderr
+    # payload too short for the flush bits -> clean SystemExit, not a trace
+    proc = subprocess.run(
+        [sys.executable, "-m", "psk_soft_tpu", "demod-batch",
+         "--in", str(infile), "--channels", "1",
+         "--out-prefix", str(tmp_path / "o"), "--uw", "0,1,2,3",
+         "--frame-payload", "3", "--fec", "k7"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0
+    assert "--fec:" in proc.stderr
