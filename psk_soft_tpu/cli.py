@@ -218,6 +218,27 @@ def cmd_demod_batch(args) -> int:
             fec = FecFrameDecoder(syncer, code)
         except ValueError as e:
             raise SystemExit(f"--fec: {e}")
+    frames_src = fec or syncer
+    if args.descramble:
+        if syncer is None:
+            raise SystemExit("--descramble is frame-synchronous; it "
+                             "requires --uw frame sync")
+        from .ops.scramble import lfsr_preset
+        from .runtime.scramble import FrameDescrambler
+        name, _, seed = args.descramble.partition(":")
+        try:
+            lf = lfsr_preset(name, int(seed, 0) if seed else None)
+        except ValueError as e:
+            raise SystemExit(f"--descramble: {e}")
+        frames_src = FrameDescrambler(frames_src, lf)
+    sdesc = None
+    if args.descramble_selfsync:
+        from .runtime.scramble import StreamDescrambler
+        taps = tuple(int(v) for v in args.descramble_selfsync.split(","))
+        try:
+            sdesc = StreamDescrambler(C, taps)
+        except ValueError as e:
+            raise SystemExit(f"--descramble-selfsync: {e}")
     xdelta = 1.0 / args.sample_rate
     if resampler is not None:
         rs_ratios = resampler.ratios
@@ -256,7 +277,7 @@ def cmd_demod_batch(args) -> int:
         if args.uw else None
 
     def drain_frames():
-        for f in (fec or syncer).pop_frames():
+        for f in frames_src.pop_frames():
             rec = {
                 "channel": f.channel, "start": f.start,
                 "rotation": f.rotation, "corr": round(f.corr, 4),
@@ -277,6 +298,8 @@ def cmd_demod_batch(args) -> int:
             if d.size == 0:
                 continue
             if port == PORT_BITS:    # (C, Sv*nb) -> (Sv, C, nb) interleaved
+                if sdesc is not None:
+                    d = sdesc.observe(d.astype(np.int8)).astype(d.dtype)
                 d = d.reshape(C, -1, nb).transpose(1, 0, 2)
             else:                    # (C, Sv) -> (Sv, C)
                 d = d.T
@@ -703,6 +726,16 @@ def main(argv=None) -> int:
                          "<out-prefix>.frames.jsonl")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
                     help="DVB puncturing of the --fec code")
+    db.add_argument("--descramble", metavar="PRBS[:SEED]",
+                    help="frame-synchronous additive descrambling of each "
+                         "frame's final bits (info_bits when --fec, else "
+                         "payload bits): prbs7|prbs15|prbs23 with an "
+                         "optional seed (e.g. prbs15:0x7fff); requires "
+                         "--uw (ops/scramble.py)")
+    db.add_argument("--descramble-selfsync", metavar="T1,T2,...",
+                    help="self-synchronizing multiplicative descrambling "
+                         "of the continuous bits port (per-channel "
+                         "history carry), tap delays in bits")
     db.set_defaults(fn=cmd_demod_batch)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")

@@ -668,3 +668,78 @@ def test_cli_fec_requires_uw_and_validates(tmp_path):
         cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
     assert proc.returncode != 0
     assert "--fec:" in proc.stderr
+
+
+def test_cli_demod_batch_descramble(tmp_path):
+    """--uw --descramble prbs15: frame payload bits were additively
+    scrambled at TX; frames.jsonl carries the descrambled originals.
+    --descramble-selfsync: the continuous bits port equals the in-process
+    StreamDescrambler applied to the undescrambled run's bits."""
+    from psk_soft_tpu.ops import slicers
+    from psk_soft_tpu.ops.framesync import psk_points
+    from psk_soft_tpu.ops.scramble import additive_scramble, prbs15
+    from psk_soft_tpu.runtime.scramble import StreamDescrambler
+
+    C, sps = 1, 8
+    rng = np.random.default_rng(13)
+    uw = rng.integers(0, 4, 32)
+    payload = 40
+    s_total = 1500
+    idx = rng.integers(0, 4, (C, s_total))
+
+    pts = psk_points(np.arange(4), 4)
+    labels = np.asarray(slicers.slice_bits(4, pts))[:, :2]
+    lut = np.zeros(4, np.int64)
+    for sym, (b0, b1) in enumerate(labels):
+        lut[b0 + 2 * b1] = sym
+
+    lf = prbs15()
+    sent = {}
+    starts = list(range(200, 1300, 250))
+    for i, s0 in enumerate(starts):
+        info = rng.integers(0, 2, payload * 2, np.int8)
+        wire = np.asarray(additive_scramble(lf, info)).reshape(-1, 2)
+        idx[0, s0:s0 + 32] = uw
+        idx[0, s0 + 32:s0 + 32 + payload] = lut[wire[:, 0] + 2 * wire[:, 1]]
+        sent[i] = info
+    x = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)), sps, axis=1)
+    x = (x + 0.02 * (rng.standard_normal(x.shape)
+                     + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+
+    infile = tmp_path / "scr.cf32"
+    infile.write_bytes(np.ascontiguousarray(x.T).tobytes())
+
+    base = ["demod-batch", "--in", str(infile), "--channels", str(C),
+            "--sps", str(sps), "-M", "4", "--num-avg", "20",
+            "--phase-avg", "20", "--block-symbols", "256",
+            "--uw", ",".join(str(v) for v in uw),
+            "--frame-payload", str(payload)]
+
+    p1 = tmp_path / "scr_a"
+    _run(base + ["--out-prefix", str(p1), "--descramble", "prbs15"])
+    frames = [json.loads(line) for line in
+              open(f"{p1}.frames.jsonl").read().splitlines()]
+    assert len(frames) == len(starts)
+    for f in frames:
+        want = sent[starts.index(f["start"])]
+        assert np.array_equal(np.asarray(f["bits"]), want)
+
+    # Self-sync plumbing: CLI output == in-process descramble of the
+    # plain run's bits port.
+    p2 = tmp_path / "scr_b"
+    p3 = tmp_path / "scr_c"
+    _run(base + ["--out-prefix", str(p2)])
+    _run(base + ["--out-prefix", str(p3), "--descramble-selfsync", "18,23"])
+    plain = np.fromfile(f"{p2}.bits.i16", np.int16)
+    got = np.fromfile(f"{p3}.bits.i16", np.int16)
+    want = StreamDescrambler(C, (18, 23)).observe(
+        plain.reshape(1, -1).astype(np.int8)).reshape(-1)
+    assert np.array_equal(got, want.astype(np.int16))
+
+    # validation: bad preset / missing --uw exit cleanly
+    proc = subprocess.run(
+        [sys.executable, "-m", "psk_soft_tpu", *base[:9],
+         "--out-prefix", str(tmp_path / "o"), "--descramble", "prbs9"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0 and "--descramble" in proc.stderr
