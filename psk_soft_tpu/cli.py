@@ -531,6 +531,41 @@ def cmd_ber(args) -> int:
     return 0
 
 
+def cmd_probe(args) -> int:
+    """Blind signal survey: per-channel baud / PSK order / coarse CFO.
+
+    The operator tool for configuring a bank: estimates the properties
+    the reference must be *given* (samplesPerBaud, constelationSize,
+    psk_soft.prf.xml:23-48) plus the CFO, straight from a capture.
+    """
+    from .ops.probe import classify_psk, estimate_baud
+
+    c = args.channels
+    if args.infile == "-":
+        raw = sys.stdin.buffer.read(args.samples * c * 8)
+    else:
+        with open(args.infile, "rb") as f:
+            raw = f.read(args.samples * c * 8)
+    wire = np.frombuffer(raw, np.complex64)
+    wire = wire[:(wire.size // c) * c]
+    if wire.size < 8 * c:
+        raise SystemExit("capture too short to probe")
+    x = np.ascontiguousarray(wire.reshape(-1, c).T)    # (C, T)
+    sps, baud_conf = estimate_baud(x, sps_min=args.sps_min,
+                                   sps_max=args.sps_max)
+    m, cfo, line_conf = classify_psk(x, max_m=args.max_m)
+    for ch in range(c):
+        print(json.dumps({
+            "channel": ch,
+            "sps": round(float(sps[ch]), 3),
+            "baud_confidence": round(float(baud_conf[ch]), 1),
+            "m": int(m[ch]),
+            "cfo": float(cfo[ch]),
+            "line_confidence": round(float(line_conf[ch]), 1),
+        }))
+    return 0
+
+
 def cmd_baseline(args) -> int:
     """Run one of the BASELINE.json evaluation configs (1-5)."""
     from .eval.baseline_configs import run_config
@@ -737,6 +772,21 @@ def main(argv=None) -> int:
                          "of the continuous bits port (per-channel "
                          "history carry), tap delays in bits")
     db.set_defaults(fn=cmd_demod_batch)
+
+    pr = sub.add_parser("probe",
+                        help="blind survey of a capture: per-channel "
+                             "baud / PSK order / coarse CFO (ops/probe.py)")
+    pr.add_argument("--in", dest="infile", default="-",
+                    help="cf32 capture (sample-interleaved when "
+                         "--channels > 1); '-' = stdin")
+    pr.add_argument("--channels", type=int, default=1)
+    pr.add_argument("--samples", type=int, default=1 << 15,
+                    help="samples per channel to analyze")
+    pr.add_argument("--sps-min", type=float, default=2.0)
+    pr.add_argument("--sps-max", type=float, default=64.0)
+    pr.add_argument("--max-m", type=int, default=8,
+                    help="largest candidate PSK order (power of two)")
+    pr.set_defaults(fn=cmd_probe)
 
     g = sub.add_parser("gen", help="generate a PSK test signal")
     g.add_argument("--symbols", type=int, default=1000)

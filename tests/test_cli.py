@@ -743,3 +743,31 @@ def test_cli_demod_batch_descramble(tmp_path):
          "--out-prefix", str(tmp_path / "o"), "--descramble", "prbs9"],
         cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
     assert proc.returncode != 0 and "--descramble" in proc.stderr
+
+
+def test_cli_probe(tmp_path):
+    """probe: blind per-channel baud / order / CFO survey of a capture."""
+    rng = np.random.default_rng(14)
+
+    def rect(m, cfo, sps=8, n_sym=2000):
+        idx = rng.integers(0, m, n_sym)
+        x = np.repeat(np.exp(2j * np.pi * idx / m), sps)
+        x = x * np.exp(2j * np.pi * cfo * np.arange(x.size))
+        x = x + 0.05 * (rng.standard_normal(x.size)
+                        + 1j * rng.standard_normal(x.size))
+        return x.astype(np.complex64)
+
+    a = rect(4, 0.012)
+    b = rect(8, -0.004)
+    infile = tmp_path / "probe.cf32"
+    infile.write_bytes(
+        np.ascontiguousarray(np.stack([a, b]).T).tobytes())
+
+    proc = _run(["probe", "--in", str(infile), "--channels", "2"])
+    rows = [json.loads(line) for line in proc.stdout.strip().splitlines()]
+    assert [r["m"] for r in rows] == [4, 8]
+    assert abs(rows[0]["sps"] - 8) < 0.05 and abs(rows[1]["sps"] - 8) < 0.05
+    assert abs(rows[0]["cfo"] - 0.012) < 3e-4
+    assert abs(rows[1]["cfo"] + 0.004) < 3e-4
+    assert all(r["baud_confidence"] > 5 and r["line_confidence"] > 8
+               for r in rows)
