@@ -531,6 +531,81 @@ def cmd_ber(args) -> int:
     return 0
 
 
+def cmd_gen_frames(args) -> int:
+    """Generate a framed (optionally coded + scrambled) bank capture.
+
+    The TX inverse of the receive chain (ops/tx.py): per channel, frames
+    at a fixed interval carry random info bits through
+    [scramble] -> [FEC encode] -> UW framing -> M-PSK -> pulse shaping,
+    plus optional CFO and AWGN.  Ground truth (per-frame info bits) goes
+    to ``--truth`` as JSONL so a receive run can be checked exactly.
+    """
+    from .ops import tx
+    from .ops.framesync import FrameFormat
+
+    rng = np.random.default_rng(args.seed)
+    fmt = FrameFormat(uw=tuple(int(v) for v in args.uw.split(",")),
+                      payload=args.frame_payload, m=args.constellation)
+    code = lfsr = None
+    nb = int(np.log2(fmt.m))
+    n_info = fmt.payload * nb
+    if args.fec:
+        from .ops import fec as fec_ops
+        code = {"k7": fec_ops.CODE_K7, "k9": fec_ops.CODE_K9}[args.fec]
+        if args.fec_puncture:
+            pat = {"2/3": fec_ops.PUNCTURE_2_3,
+                   "3/4": fec_ops.PUNCTURE_3_4}[args.fec_puncture]
+            code = fec_ops.ConvCode(code.k, code.polys, pat)
+        try:
+            n_info = fec_ops.info_bits_for(code, n_info)
+        except ValueError as e:
+            raise SystemExit(f"--fec: {e}")
+    if args.scramble:
+        from .ops.scramble import lfsr_preset
+        name, _, seed = args.scramble.partition(":")
+        try:
+            lfsr = lfsr_preset(name, int(seed, 0) if seed else None)
+        except ValueError as e:
+            raise SystemExit(f"--scramble: {e}")
+    interval = args.frame_interval or 4 * fmt.frame_len
+    starts = list(range(interval, args.symbols - fmt.frame_len,
+                        interval))
+    truth = open(args.truth, "w") if args.truth else None
+    rows = []
+    for c in range(args.channels):
+        infos = [rng.integers(0, 2, n_info, np.int8) for _ in starts]
+        idx = tx.frame_stream(fmt, infos, starts, args.symbols,
+                              code=code, lfsr=lfsr,
+                              seed=args.seed + 1000 + c)
+        x = tx.shape(fmt.m, idx, args.sps, pulse=args.pulse,
+                     rrc_beta=args.rrc_beta, rrc_span=args.rrc_span)
+        if args.freq_offset:
+            x = x * np.exp(2j * np.pi * args.freq_offset
+                           * np.arange(x.size))
+        if args.snr is not None:
+            sigma = 10 ** (-args.snr / 20) / np.sqrt(2)
+            x = x + sigma * (rng.standard_normal(x.size)
+                             + 1j * rng.standard_normal(x.size))
+        rows.append(x.astype(np.complex64))
+        if truth is not None:
+            for s0, info in zip(starts, infos):
+                truth.write(json.dumps({
+                    "channel": c, "start": s0,
+                    "info_bits": info.tolist()}) + "\n")
+    if truth is not None:
+        truth.close()
+    wire = np.ascontiguousarray(np.stack(rows).T)      # sample-interleaved
+    out = sys.stdout.buffer if args.out == "-" else open(args.out, "wb")
+    out.write(wire.tobytes())
+    if out is not sys.stdout.buffer:
+        out.close()
+    print(f"wrote {wire.size} samples ({args.channels} ch x "
+          f"{args.symbols} syms x sps {args.sps}), "
+          f"{len(starts)} frames/ch, {n_info} info bits/frame",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_probe(args) -> int:
     """Blind signal survey: per-channel baud / PSK order / coarse CFO.
 
@@ -772,6 +847,34 @@ def main(argv=None) -> int:
                          "of the continuous bits port (per-channel "
                          "history carry), tap delays in bits")
     db.set_defaults(fn=cmd_demod_batch)
+
+    gf = sub.add_parser("gen-frames",
+                        help="generate a framed / coded / scrambled bank "
+                             "capture with ground truth (ops/tx.py)")
+    gf.add_argument("--out", default="-",
+                    help="cf32 capture path ('-' = stdout)")
+    gf.add_argument("--truth", help="JSONL ground-truth path "
+                                    "(per-frame info bits)")
+    gf.add_argument("--channels", type=int, default=1)
+    gf.add_argument("--symbols", type=int, default=4096)
+    gf.add_argument("--sps", type=int, default=8)
+    gf.add_argument("-M", "--constellation", type=int, default=4)
+    gf.add_argument("--uw", required=True, metavar="K,K,...")
+    gf.add_argument("--frame-payload", type=int, required=True)
+    gf.add_argument("--frame-interval", type=int, default=0,
+                    help="symbols between frame starts (default: "
+                         "4 x frame length)")
+    gf.add_argument("--fec", choices=("k7", "k9"))
+    gf.add_argument("--fec-puncture", choices=("2/3", "3/4"))
+    gf.add_argument("--scramble", metavar="PRBS[:SEED]")
+    gf.add_argument("--pulse", choices=("rect", "rrc"), default="rect")
+    gf.add_argument("--rrc-beta", type=float, default=0.35)
+    gf.add_argument("--rrc-span", type=int, default=8)
+    gf.add_argument("--freq-offset", type=float, default=0.0)
+    gf.add_argument("--snr", type=float, default=None,
+                    help="per-sample Es/N0 in dB (omit = noiseless)")
+    gf.add_argument("--seed", type=int, default=0)
+    gf.set_defaults(fn=cmd_gen_frames)
 
     pr = sub.add_parser("probe",
                         help="blind survey of a capture: per-channel "

@@ -158,6 +158,33 @@ def conv_encode(code: ConvCode, bits, terminate: bool = True) -> jnp.ndarray:
     return y
 
 
+def info_bits_for(code: ConvCode, code_bit_count: int,
+                  terminate: bool = True) -> int:
+    """Information bits carried by ``code_bit_count`` transmitted bits.
+
+    Validates divisibility against the (punctured) code and flush-bit
+    room; the shared contract between the TX framer (ops/tx.py) and the
+    frame decoder (runtime/fec.py).
+    """
+    if code.puncture is not None:
+        p = np.asarray(code.puncture)
+        keep = int(p.sum())
+        if code_bit_count % keep:
+            raise ValueError(
+                f"{code_bit_count} code bits is not a multiple of the "
+                f"puncture period's kept count {keep}")
+        steps = (code_bit_count // keep) * p.shape[0] // code.n
+    else:
+        if code_bit_count % code.n:
+            raise ValueError(f"{code_bit_count} code bits is not a "
+                             f"multiple of n={code.n}")
+        steps = code_bit_count // code.n
+    if terminate and steps <= code.k - 1:
+        raise ValueError(f"{steps} trellis steps cannot carry the "
+                         f"K-1={code.k - 1} flush bits")
+    return steps - (code.k - 1 if terminate else 0)
+
+
 def hard_llrs(code_bits) -> jnp.ndarray:
     """Hard 0/1 code bits -> +/-1 soft values (positive = bit 0)."""
     b = jnp.asarray(code_bits)

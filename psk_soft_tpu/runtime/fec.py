@@ -24,8 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.fec import (CODE_K7, ConvCode, conv_encode, make_viterbi_fn,
-                       psk_llrs)
+from ..ops.fec import (CODE_K7, ConvCode, conv_encode, info_bits_for,
+                       make_viterbi_fn, psk_llrs)
 
 
 def _bucket(n: int) -> int:
@@ -62,24 +62,8 @@ class FecFrameDecoder:
         self._m = fmt.m
         self._nb = int(np.log2(fmt.m))
         self._code_bits = fmt.payload * self._nb
-        # Depunctured length must be a whole number of trellis steps.
-        if code.puncture is not None:
-            keep = int(np.asarray(code.puncture).sum())
-            period = len(code.puncture)
-            if self._code_bits % keep:
-                raise ValueError(
-                    f"payload carries {self._code_bits} code bits, not a "
-                    f"multiple of the puncture period's kept count {keep}")
-            steps = (self._code_bits // keep) * period // code.n
-        else:
-            if self._code_bits % code.n:
-                raise ValueError(f"payload carries {self._code_bits} code "
-                                 f"bits, not a multiple of n={code.n}")
-            steps = self._code_bits // code.n
-        if terminate and steps <= code.k - 1:
-            raise ValueError(f"{steps} trellis steps cannot carry the "
-                             f"K-1={code.k - 1} flush bits")
-        self.info_bits = steps - (code.k - 1 if terminate else 0)
+        # Shared TX/RX contract: divisibility + flush-room validation.
+        self.info_bits = info_bits_for(code, self._code_bits, terminate)
         self._decode = make_viterbi_fn(code, terminate=terminate)
         self.frames_decoded = 0
         self.errors_corrected = 0
