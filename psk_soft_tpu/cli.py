@@ -231,6 +231,17 @@ def cmd_demod_batch(args) -> int:
         except ValueError as e:
             raise SystemExit(f"--descramble: {e}")
         frames_src = FrameDescrambler(frames_src, lf)
+    if args.crc:
+        if syncer is None:
+            raise SystemExit("--crc checks frame payloads; it requires "
+                             "--uw frame sync")
+        from .ops.crc import crc_preset
+        from .runtime.crc import FrameCrcChecker
+        try:
+            frames_src = FrameCrcChecker(frames_src, crc_preset(args.crc))
+        except ValueError as e:
+            raise SystemExit(f"--crc: {e}")
+    crc_checker = frames_src if args.crc else None
     sdesc = None
     if args.descramble_selfsync:
         from .runtime.scramble import StreamDescrambler
@@ -288,6 +299,8 @@ def cmd_demod_batch(args) -> int:
                 rec["info_bits"] = f.info_bits.tolist()
                 rec["corrected"] = f.corrected
                 rec["suspect"] = f.suspect
+            if f.crc_ok is not None:
+                rec["crc_ok"] = f.crc_ok
             frames_sink.write(json.dumps(rec) + "\n")
 
     def write(pkts):
@@ -476,6 +489,8 @@ def cmd_demod_batch(args) -> int:
         metrics["frames_decoded"] = fec.frames_decoded
         metrics["errors_corrected"] = fec.errors_corrected
         metrics["suspect_frames"] = fec.suspect_frames
+    if crc_checker is not None:
+        metrics["crc_failures"] = crc_checker.crc_failures
     if monitor is not None:
         snap = {k: (v.tolist() if hasattr(v, "tolist") else v)
                 for k, v in monitor.snapshot().items()}
@@ -567,6 +582,14 @@ def cmd_gen_frames(args) -> int:
             lfsr = lfsr_preset(name, int(seed, 0) if seed else None)
         except ValueError as e:
             raise SystemExit(f"--scramble: {e}")
+    crc = None
+    if args.crc:
+        from .ops.crc import crc_preset
+        crc = crc_preset(args.crc)
+        if n_info <= crc.degree:
+            raise SystemExit(f"--crc: frame capacity {n_info} bits cannot "
+                             f"carry a {crc.degree}-bit CRC")
+        n_info -= crc.degree
     interval = args.frame_interval or 4 * fmt.frame_len
     starts = list(range(interval, args.symbols - fmt.frame_len,
                         interval))
@@ -575,7 +598,7 @@ def cmd_gen_frames(args) -> int:
     for c in range(args.channels):
         infos = [rng.integers(0, 2, n_info, np.int8) for _ in starts]
         idx = tx.frame_stream(fmt, infos, starts, args.symbols,
-                              code=code, lfsr=lfsr,
+                              code=code, lfsr=lfsr, crc=crc,
                               seed=args.seed + 1000 + c)
         x = tx.shape(fmt.m, idx, args.sps, pulse=args.pulse,
                      rrc_beta=args.rrc_beta, rrc_span=args.rrc_span)
@@ -836,6 +859,11 @@ def main(argv=None) -> int:
                          "<out-prefix>.frames.jsonl")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
                     help="DVB puncturing of the --fec code")
+    db.add_argument("--crc", choices=("crc16", "crc32"),
+                    help="check + strip each frame's trailing CRC field "
+                         "(after --fec / --descramble; requires --uw): "
+                         "adds crc_ok per frame and a crc_failures "
+                         "metric (ops/crc.py)")
     db.add_argument("--descramble", metavar="PRBS[:SEED]",
                     help="frame-synchronous additive descrambling of each "
                          "frame's final bits (info_bits when --fec, else "
@@ -867,6 +895,9 @@ def main(argv=None) -> int:
     gf.add_argument("--fec", choices=("k7", "k9"))
     gf.add_argument("--fec-puncture", choices=("2/3", "3/4"))
     gf.add_argument("--scramble", metavar="PRBS[:SEED]")
+    gf.add_argument("--crc", choices=("crc16", "crc32"),
+                    help="append a CRC to each frame's info bits "
+                         "(innermost: before scrambling/FEC)")
     gf.add_argument("--pulse", choices=("rect", "rrc"), default="rect")
     gf.add_argument("--rrc-beta", type=float, default=0.35)
     gf.add_argument("--rrc-span", type=int, default=8)

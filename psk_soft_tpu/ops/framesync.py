@@ -225,6 +225,8 @@ class Frame:
     corrected: int = 0                   # channel errors the code absorbed
     suspect: bool = False                # re-encode mismatch beyond the
     #                                      code's plausible correction span
+    # Filled by runtime/crc.FrameCrcChecker when a CRC is in the chain:
+    crc_ok: bool | None = None
 
 
 def extract_frames(fmt: FrameFormat, soft: np.ndarray,

@@ -67,18 +67,22 @@ def symbols_to_iq(m: int, idx) -> np.ndarray:
         np.asarray(idx).shape)
 
 
-def build_frame(fmt: FrameFormat, info_bits, code=None, lfsr=None
-                ) -> np.ndarray:
+def build_frame(fmt: FrameFormat, info_bits, code=None, lfsr=None,
+                crc=None) -> np.ndarray:
     """Info bits -> one frame's symbol indices (UW + payload).
 
-    Inverts the receive stack: ``info -> [additive scramble] ->
-    [conv_encode] -> bits_to_symbols``; the result slots into a symbol
-    stream and comes back out of FrameSyncer (+ FecFrameDecoder /
-    FrameDescrambler) as ``info_bits`` exactly.
+    Inverts the receive stack: ``info -> [append_crc] -> [additive
+    scramble] -> [conv_encode] -> bits_to_symbols``; the result slots
+    into a symbol stream and comes back out of FrameSyncer (+
+    FecFrameDecoder / FrameDescrambler / FrameCrcChecker) as
+    ``info_bits`` exactly.
     """
     bits = np.asarray(info_bits, np.int8)
     if bits.ndim != 1:
         raise ValueError("info_bits must be 1-D")
+    if crc is not None:
+        from .crc import append_crc
+        bits = append_crc(crc, bits)
     if lfsr is not None:
         from .scramble import additive_scramble
         bits = np.asarray(additive_scramble(lfsr, bits))
@@ -96,7 +100,7 @@ def build_frame(fmt: FrameFormat, info_bits, code=None, lfsr=None
 
 
 def frame_stream(fmt: FrameFormat, infos, starts, total: int,
-                 code=None, lfsr=None, fill=None, seed: int = 0
+                 code=None, lfsr=None, crc=None, fill=None, seed: int = 0
                  ) -> np.ndarray:
     """Symbol-index stream of length ``total`` with frames at ``starts``.
 
@@ -115,7 +119,7 @@ def frame_stream(fmt: FrameFormat, infos, starts, total: int,
         if s0 < 0 or s0 + fmt.frame_len > total:
             raise ValueError(f"frame at {s0} does not fit in {total}")
         out[s0:s0 + fmt.frame_len] = build_frame(fmt, info, code=code,
-                                                 lfsr=lfsr)
+                                                 lfsr=lfsr, crc=crc)
         last_end = s0 + fmt.frame_len - 1
     return out
 

@@ -784,17 +784,20 @@ def test_cli_gen_frames_full_loop(tmp_path):
     gen = _run(["gen-frames", "--out", str(cap), "--truth", str(truth_path),
                 "--channels", "2", "--symbols", "2200", "--sps", "8",
                 "-M", "4", "--uw", uw, "--frame-payload", "64",
-                "--fec", "k7", "--scramble", "prbs15",
+                "--fec", "k7", "--scramble", "prbs15", "--crc", "crc16",
                 "--frame-interval", "300",
                 "--snr", "18", "--freq-offset", "2e-4", "--seed", "3"])
     assert "info bits/frame" in gen.stderr
 
     prefix = tmp_path / "rx"
-    _run(["demod-batch", "--in", str(cap), "--channels", "2",
-          "--out-prefix", str(prefix), "--sps", "8", "-M", "4",
-          "--num-avg", "20", "--phase-avg", "30", "--block-symbols", "256",
-          "--uw", uw, "--frame-payload", "64",
-          "--fec", "k7", "--descramble", "prbs15"])
+    rx = _run(["demod-batch", "--in", str(cap), "--channels", "2",
+               "--out-prefix", str(prefix), "--sps", "8", "-M", "4",
+               "--num-avg", "20", "--phase-avg", "30",
+               "--block-symbols", "256",
+               "--uw", uw, "--frame-payload", "64",
+               "--fec", "k7", "--descramble", "prbs15", "--crc", "crc16"])
+    metrics = json.loads(rx.stderr.strip().splitlines()[-1])
+    assert metrics["crc_failures"] == 0
 
     truth = {}
     for line in open(truth_path).read().splitlines():
@@ -807,5 +810,6 @@ def test_cli_gen_frames_full_loop(tmp_path):
     for f in frames:
         want = truth[(f["channel"], f["start"])]
         assert not f["suspect"]
+        assert f["crc_ok"] is True
         assert np.array_equal(np.asarray(f["info_bits"]), want), \
             (f["channel"], f["start"])
