@@ -202,20 +202,27 @@ def cmd_demod_batch(args) -> int:
             uw=tuple(int(v) for v in args.uw.split(",")),
             payload=args.frame_payload, m=cfg.constellation_size,
             threshold=args.uw_threshold))
+    def _fec_code(name):
+        from .ops import fec as fec_ops
+        code = {"k7": fec_ops.CODE_K7, "k9": fec_ops.CODE_K9}[name]
+        if args.fec_puncture:
+            pat = {"2/3": fec_ops.PUNCTURE_2_3,
+                   "3/4": fec_ops.PUNCTURE_3_4}[args.fec_puncture]
+            code = fec_ops.ConvCode(code.k, code.polys, pat)
+        return code
+
+    sfec = None
+    if args.fec_stream:
+        from .runtime.fec import StreamFecDecoder
+        eng = sfec = StreamFecDecoder(eng, _fec_code(args.fec_stream))
     fec = None
     if args.fec:
         if syncer is None:
             raise SystemExit("--fec decodes frame payloads; it requires "
                              "--uw frame sync")
-        from .ops import fec as fec_ops
         from .runtime.fec import FecFrameDecoder
-        code = {"k7": fec_ops.CODE_K7, "k9": fec_ops.CODE_K9}[args.fec]
-        if args.fec_puncture:
-            pat = {"2/3": fec_ops.PUNCTURE_2_3,
-                   "3/4": fec_ops.PUNCTURE_3_4}[args.fec_puncture]
-            code = fec_ops.ConvCode(code.k, code.polys, pat)
         try:
-            fec = FecFrameDecoder(syncer, code)
+            fec = FecFrameDecoder(syncer, _fec_code(args.fec))
         except ValueError as e:
             raise SystemExit(f"--fec: {e}")
     frames_src = fec or syncer
@@ -286,6 +293,14 @@ def cmd_demod_batch(args) -> int:
 
     frames_sink = open(f"{args.out_prefix}.frames.jsonl", "w") \
         if args.uw else None
+    sfec_sink = open(f"{args.out_prefix}.fecstream.i8", "wb") \
+        if args.fec_stream else None
+
+    def drain_sfec():
+        bits = sfec.pop_bits()
+        if bits.size:
+            # channel-interleaved (N, C) int8, matching the port layout
+            sfec_sink.write(np.ascontiguousarray(bits.T).tobytes())
 
     def drain_frames():
         for f in frames_src.pop_frames():
@@ -440,6 +455,8 @@ def cmd_demod_batch(args) -> int:
                 write(pkts)
             if syncer is not None:
                 drain_frames()
+            if sfec is not None:
+                drain_sfec()
             if len(raw) < chunk:
                 # EOS: drain the native ring's sub-block remainder, then the
                 # engine's staged tail.
@@ -473,12 +490,16 @@ def cmd_demod_batch(args) -> int:
                 write(eng.flush_packets())
                 if syncer is not None:
                     drain_frames()
+                if sfec is not None:
+                    drain_sfec()
                 break
     finally:
         for f in sinks.values():
             f.close()
         if frames_sink is not None:
             frames_sink.close()
+        if sfec_sink is not None:
+            sfec_sink.close()
         if src is not sys.stdin.buffer:
             src.close()
     metrics = {"samples_in": eng.metrics.samples_in,
@@ -491,6 +512,8 @@ def cmd_demod_batch(args) -> int:
         metrics["suspect_frames"] = fec.suspect_frames
     if crc_checker is not None:
         metrics["crc_failures"] = crc_checker.crc_failures
+    if sfec is not None:
+        metrics["fec_stream_bits"] = sfec.steps_decoded
     if monitor is not None:
         snap = {k: (v.tolist() if hasattr(v, "tolist") else v)
                 for k, v in monitor.snapshot().items()}
@@ -858,7 +881,13 @@ def main(argv=None) -> int:
                          "(561,753); adds info_bits/corrected/suspect to "
                          "<out-prefix>.frames.jsonl")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
-                    help="DVB puncturing of the --fec code")
+                    help="DVB puncturing of the --fec / --fec-stream code")
+    db.add_argument("--fec-stream", choices=("k7", "k9"),
+                    help="streaming Viterbi over the continuous soft "
+                         "stream (windowed traceback, no framing): "
+                         "decoded bits go to <out-prefix>.fecstream.i8, "
+                         "channel-interleaved int8 (runtime/fec.py "
+                         "StreamFecDecoder)")
     db.add_argument("--crc", choices=("crc16", "crc32"),
                     help="check + strip each frame's trailing CRC field "
                          "(after --fec / --descramble; requires --uw): "

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -244,13 +245,7 @@ def _trellis(code: ConvCode):
     return pred.astype(np.int32), exp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "s_count", "terminate"))
-def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
-    """(B, T, n) LLRs -> (B, T) decoded bits (incl. flush bits)."""
-    b = llrs.shape[0]
-    neg = jnp.float32(-1e9)
-    pm0 = jnp.full((b, s_count), neg).at[:, 0].set(0.0)
-
+def _make_acs(pred, exp_sign):
     def acs(pm, r_t):
         # r_t: (B, n).  Branch metric of transition p -> s': correlation
         # of the received LLRs with the expected signs.
@@ -261,10 +256,10 @@ def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
         new = new - jnp.max(new, axis=1, keepdims=True)      # re-zero
         return new, dec
 
-    pm, decs = jax.lax.scan(acs, pm0, jnp.swapaxes(llrs, 0, 1))
-    start = (jnp.zeros(b, jnp.int32) if terminate
-             else jnp.argmax(pm, axis=1).astype(jnp.int32))
+    return acs
 
+
+def _make_back(k: int, s_count: int):
     def back(s, dec_t):
         u = (s >> (k - 2)).astype(jnp.int8)
         p = jnp.take_along_axis(dec_t, s[:, None].astype(jnp.int32),
@@ -272,9 +267,113 @@ def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
         s_prev = ((s << 1) & (s_count - 1)) | p.astype(jnp.int32)
         return s_prev, u
 
+    return back
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s_count", "terminate"))
+def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
+    """(B, T, n) LLRs -> (B, T) decoded bits (incl. flush bits)."""
+    b = llrs.shape[0]
+    neg = jnp.float32(-1e9)
+    pm0 = jnp.full((b, s_count), neg).at[:, 0].set(0.0)
+    pm, decs = jax.lax.scan(_make_acs(pred, exp_sign), pm0,
+                            jnp.swapaxes(llrs, 0, 1))
+    start = (jnp.zeros(b, jnp.int32) if terminate
+             else jnp.argmax(pm, axis=1).astype(jnp.int32))
     # decs stacks per-step decisions time-major: (T, B, S).
-    _, bits_rev = jax.lax.scan(back, start, decs[::-1])
+    _, bits_rev = jax.lax.scan(_make_back(k, s_count), start, decs[::-1])
     return jnp.swapaxes(bits_rev[::-1], 0, 1)                # (B, T)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s_count"))
+def _viterbi_stream_block(llrs, pm, dec_hist, pred, exp_sign,
+                          k: int, s_count: int):
+    """One streaming block: ACS over T new steps + windowed traceback.
+
+    Args:
+      llrs: (B, T, n) new soft steps.
+      pm: (B, S) carried path metrics.
+      dec_hist: (D, B, S) carried decision planes (oldest first).
+
+    Returns (pm', dec_hist', bits): the emitted (B, T) bits are the
+    OLDEST T of the traceback from the current best state through all
+    D+T decisions -- i.e. delayed by the traceback depth D, by which
+    point all survivors have merged (the standard windowed-Viterbi
+    argument; D ~ 8-10 constraint lengths).
+    """
+    t = llrs.shape[1]
+    d = dec_hist.shape[0]
+    pm2, decs = jax.lax.scan(_make_acs(pred, exp_sign), pm,
+                             jnp.swapaxes(llrs, 0, 1))
+    full = jnp.concatenate([dec_hist, decs], axis=0)         # (D+T, B, S)
+    start = jnp.argmax(pm2, axis=1).astype(jnp.int32)
+    _, bits_rev = jax.lax.scan(_make_back(k, s_count), start, full[::-1])
+    bits = jnp.swapaxes(bits_rev[::-1], 0, 1)                # (B, D+T)
+    return pm2, full[t:] if d else full[:0], bits[:, :t]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s_count"))
+def _viterbi_stream_tail(pm, dec_hist, k: int, s_count: int):
+    """Flush: traceback of the carried window from the current best state."""
+    start = jnp.argmax(pm, axis=1).astype(jnp.int32)
+    _, bits_rev = jax.lax.scan(_make_back(k, s_count), start, dec_hist[::-1])
+    return jnp.swapaxes(bits_rev[::-1], 0, 1)                # (B, D)
+
+
+class ViterbiStreamState(NamedTuple):
+    """Carry of the windowed streaming decoder (see viterbi_stream_*)."""
+
+    pm: jnp.ndarray        # (B, S) float32 path metrics
+    dec: jnp.ndarray       # (D, B, S) bool decision window, oldest first
+
+
+def viterbi_stream_init(code: ConvCode, batch: int, depth: int,
+                        known_start: bool = True) -> ViterbiStreamState:
+    """Fresh streaming-decoder carry.
+
+    ``depth`` is the traceback window D in trellis steps (use >= 8-10
+    constraint lengths; emitted bits lag the input by D steps and the
+    first D emitted bits are pre-stream garbage the caller discards --
+    runtime/fec.StreamFecDecoder handles both).  ``known_start`` pins the
+    initial state to 0 (encoder reset); False starts uniform (mid-stream
+    pickup, converges within the window).
+    """
+    if depth < code.k:
+        raise ValueError(f"traceback depth {depth} below the constraint "
+                         f"length {code.k}")
+    s_count = code.states
+    if known_start:
+        pm = np.full((batch, s_count), -1e9, np.float32)
+        pm[:, 0] = 0.0
+    else:
+        pm = np.zeros((batch, s_count), np.float32)
+    return ViterbiStreamState(
+        pm=jnp.asarray(pm),
+        dec=jnp.zeros((depth, batch, s_count), bool))
+
+
+def viterbi_stream_step(code: ConvCode, state: ViterbiStreamState, llrs):
+    """Feed (B, T, n) soft steps; returns (state', (B, T) delayed bits).
+
+    Emitted bit t of this call decodes the trellis step D positions
+    before it (D = window depth): the caller sees the stream shifted by
+    D steps.  Puncturing: depuncture before calling (period-aligned
+    blocks need no phase carry).
+    """
+    y = jnp.asarray(llrs, jnp.float32)
+    if y.ndim != 3 or y.shape[-1] != code.n:
+        raise ValueError(f"expected (B, T, {code.n}) LLR steps; "
+                         f"got {y.shape}")
+    pred, exp_sign = _trellis(code)
+    pm, dec, bits = _viterbi_stream_block(
+        y, state.pm, state.dec, jnp.asarray(pred), jnp.asarray(exp_sign),
+        code.k, code.states)
+    return ViterbiStreamState(pm=pm, dec=dec), bits
+
+
+def viterbi_stream_flush(code: ConvCode, state: ViterbiStreamState):
+    """End of stream: decode the bits still inside the window."""
+    return _viterbi_stream_tail(state.pm, state.dec, code.k, code.states)
 
 
 def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):

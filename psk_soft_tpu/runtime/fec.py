@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.fec import (CODE_K7, ConvCode, conv_encode, info_bits_for,
-                       make_viterbi_fn, psk_llrs)
+from ..ops.fec import (CODE_K7, ConvCode, conv_encode, depuncture,
+                       info_bits_for, make_viterbi_fn, psk_llrs,
+                       viterbi_stream_flush, viterbi_stream_init,
+                       viterbi_stream_step)
 
 
 def _bucket(n: int) -> int:
@@ -132,3 +134,165 @@ class FecFrameDecoder:
 
     def __getattr__(self, name):
         return getattr(self.syncer, name)
+
+
+class StreamFecDecoder:
+    """Streaming Viterbi over a continuous (unframed) soft stream.
+
+    For links that run the convolutional code over the whole stream
+    rather than per frame: taps ``step_packets``/``flush_packets`` soft
+    payloads (the QualityMonitor wrapper contract) or standalone
+    ``observe(soft)``, converts to max-log LLRs, and decodes with the
+    windowed-traceback streaming kernel (ops/fec.viterbi_stream_step):
+    per drained block one ACS scan + one reverse traceback launch, bits
+    emitted ``depth`` trellis steps behind the input (the standard
+    survivor-merge argument; depth defaults to 10 constraint lengths,
+    at which the output matches full-stream Viterbi).
+
+    The decoder assumes the encoder started at the stream head
+    (``known_start``); puncturing is depunctured per period-aligned
+    chunk.  ``pop_bits()`` drains the decoded (C, N) bit stream.
+    """
+
+    def __init__(self, engine, code: ConvCode = CODE_K7, m=None,
+                 depth: int | None = None, block_steps: int = 512,
+                 known_start: bool = True):
+        if isinstance(engine, int):
+            self.engine = None
+            self._channels = engine
+        else:
+            self.engine = engine
+            self._channels = engine.channels
+        self.code = code
+        if m is None and self.engine is not None:
+            m = int(self.engine.cfg.constellation_size)
+        if m is None:
+            raise ValueError("pass m for standalone use")
+        self._m = int(m)
+        self._nb = int(np.log2(self._m))
+        self.depth = int(depth) if depth is not None else 10 * code.k
+        if block_steps < 1:
+            raise ValueError("block_steps must be >= 1")
+        # Wire-bit chunk granularity: a whole number of trellis steps
+        # (puncture-period aligned when punctured).
+        if code.puncture is not None:
+            p = np.asarray(code.puncture)
+            self._kept_per_period = int(p.sum())
+            self._steps_per_period = p.shape[0]
+        else:
+            self._kept_per_period = code.n
+            self._steps_per_period = 1
+        # Round the block up to the period grid so drains are exact.
+        per = self._steps_per_period
+        self.block_steps = ((int(block_steps) + per - 1) // per) * per
+        self._wire_per_block = (self.block_steps // per
+                                * self._kept_per_period)
+        self._known_start = bool(known_start)
+        self._buf = np.zeros((self._channels, 0), np.float32)
+        self._state = viterbi_stream_init(code, self._channels, self.depth,
+                                          known_start=known_start)
+        self._steps_emitted = 0          # incl. the first `depth` garbage
+        self._out = []                   # list of (C, T) decoded chunks
+        self.steps_decoded = 0
+
+    # -- core ------------------------------------------------------------
+
+    def observe(self, soft: np.ndarray) -> None:
+        """Fold one (C, S) block of soft decisions into the decoder."""
+        soft = np.asarray(soft)
+        if soft.ndim != 2 or soft.shape[0] != self._channels:
+            raise ValueError(f"expected ({self._channels}, S) soft block; "
+                             f"got {soft.shape}")
+        if soft.shape[1] == 0:
+            return
+        from ..utils.transfer import to_host
+        llr = to_host(psk_llrs(self._m, soft.astype(np.complex64)))
+        self._buf = np.concatenate(
+            [self._buf, llr.reshape(self._channels, -1)], axis=1)
+        while self._buf.shape[1] >= self._wire_per_block:
+            self._emit_block(self._take_steps(self.block_steps))
+
+    def _take_steps(self, max_steps: int):
+        """Pop up to max_steps whole (puncture-aligned) trellis steps of
+        wire bits from the buffer as (C, steps, n) depunctured LLRs."""
+        periods = min(self._buf.shape[1] // self._kept_per_period,
+                      max_steps // self._steps_per_period)
+        if periods <= 0:
+            return None
+        take = periods * self._kept_per_period
+        chunk, self._buf = self._buf[:, :take], self._buf[:, take:]
+        full = np.asarray(depuncture(self.code, chunk))
+        return full.reshape(self._channels, -1, self.code.n)
+
+    def _emit_block(self, llrs: np.ndarray) -> None:
+        from ..utils.transfer import to_host
+        self._state, bits = viterbi_stream_step(self.code, self._state,
+                                                llrs)
+        self._append(to_host(bits))
+
+    def _append(self, bits: np.ndarray) -> None:
+        """Drop the pre-stream garbage (the first `depth` emitted steps)."""
+        t = bits.shape[1]
+        skip = max(0, self.depth - self._steps_emitted)
+        self._steps_emitted += t
+        if skip < t:
+            self._out.append(np.ascontiguousarray(bits[:, skip:],
+                                                  np.int8))
+            self.steps_decoded += t - skip
+
+    def finalize(self) -> None:
+        """End of stream: decode everything still buffered + in-window."""
+        from ..utils.transfer import to_host
+        left = self._take_steps(1 << 30)
+        if left is not None:
+            self._emit_block(left)
+        tail = to_host(viterbi_stream_flush(self.code, self._state))
+        self._append(tail)
+
+    def pop_bits(self) -> np.ndarray:
+        """Drain the decoded (C, N) info-bit stream emitted so far."""
+        if not self._out:
+            return np.zeros((self._channels, 0), np.int8)
+        out = np.concatenate(self._out, axis=1)
+        self._out = []
+        return out
+
+    # -- engine surface ----------------------------------------------------
+
+    def _tap(self, pkts):
+        if pkts:
+            from .streams import PORT_SOFT
+            soft = pkts.get(PORT_SOFT)
+            if soft is not None and soft.data.size:
+                self.observe(soft.data)
+        return pkts
+
+    def step_packets(self):
+        return self._tap(self.engine.step_packets())
+
+    def flush_packets(self):
+        pkts = self._tap(self.engine.flush_packets())
+        self.finalize()
+        return pkts
+
+    def reset(self) -> None:
+        self.reset_fec()
+        if self.engine is not None:
+            self.engine.reset()
+
+    def reset_fec(self) -> None:
+        self._buf = np.zeros((self._channels, 0), np.float32)
+        self._state = viterbi_stream_init(self.code, self._channels,
+                                          self.depth,
+                                          known_start=self._known_start)
+        self._steps_emitted = 0
+        self._out = []
+
+    @property
+    def channels(self) -> int:
+        return self._channels
+
+    def __getattr__(self, name):
+        if self.engine is None:
+            raise AttributeError(name)
+        return getattr(self.engine, name)

@@ -813,3 +813,34 @@ def test_cli_gen_frames_full_loop(tmp_path):
         assert f["crc_ok"] is True
         assert np.array_equal(np.asarray(f["info_bits"]), want), \
             (f["channel"], f["start"])
+
+
+def test_cli_fec_stream(tmp_path):
+    """--fec-stream: the CLI's decoded continuous bit stream equals the
+    in-process StreamFecDecoder run over the same soft port output."""
+    from psk_soft_tpu.runtime.fec import StreamFecDecoder
+
+    C = 2
+    x = _signal(channels=C, symbols=900, seed=4)
+    infile = tmp_path / "sf.cf32"
+    infile.write_bytes(np.ascontiguousarray(x.T).tobytes())
+
+    base = ["demod-batch", "--in", str(infile), "--channels", str(C),
+            "--sps", "8", "-M", "4", "--num-avg", "20", "--phase-avg",
+            "20", "--block-symbols", "128"]
+    p1 = tmp_path / "sf_a"
+    p2 = tmp_path / "sf_b"
+    _run(base + ["--out-prefix", str(p1)])
+    proc = _run(base + ["--out-prefix", str(p2), "--fec-stream", "k7"])
+    metrics = json.loads(proc.stderr.strip().splitlines()[-1])
+
+    soft = np.fromfile(f"{p1}.soft.cf32", np.complex64).reshape(-1, C).T
+    dec = StreamFecDecoder(C, code=__import__(
+        "psk_soft_tpu.ops.fec", fromlist=["CODE_K7"]).CODE_K7, m=4)
+    dec.observe(np.ascontiguousarray(soft))
+    dec.finalize()
+    want = dec.pop_bits()
+
+    got = np.fromfile(f"{p2}.fecstream.i8", np.int8).reshape(-1, C).T
+    assert metrics["fec_stream_bits"] == want.shape[1]
+    assert np.array_equal(got, want)
