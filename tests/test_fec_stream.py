@@ -7,9 +7,9 @@ Gate: streamed output over any block split == full-stream Viterbi
 import numpy as np
 import pytest
 
-from psk_soft_tpu.ops import slicers, tx
+from psk_soft_tpu.ops import tx
 from psk_soft_tpu.ops.fec import (CODE_K3, CODE_K7, PUNCTURE_2_3, ConvCode,
-                                  conv_encode, hard_llrs, viterbi_decode,
+                                  conv_encode, viterbi_decode,
                                   viterbi_stream_flush, viterbi_stream_init,
                                   viterbi_stream_step)
 from psk_soft_tpu.runtime.fec import StreamFecDecoder
