@@ -557,6 +557,28 @@ def cmd_ber(args) -> int:
 
     cfg = _config_from_args(args)
     esn0 = [float(v) for v in args.esn0.split(",")]
+    if args.fec:
+        from .eval.coded import coded_ber_sweep, union_bound
+        from .ops import fec as fec_ops
+        code = {"k7": fec_ops.CODE_K7, "k9": fec_ops.CODE_K9}[args.fec]
+        if args.fec_puncture:
+            pat = {"2/3": fec_ops.PUNCTURE_2_3,
+                   "3/4": fec_ops.PUNCTURE_3_4}[args.fec_puncture]
+            code = fec_ops.ConvCode(code.k, code.polys, pat)
+        pts = coded_ber_sweep(code, cfg.constellation_size, esn0,
+                              num_bits=args.symbols
+                              * cfg.bits_per_symbol)
+        for p in pts:
+            rec = {"esn0_db": p.esn0_db, "ebn0_db": round(p.ebn0_db, 3),
+                   "ber": p.ber, "n_bits": p.n_bits,
+                   "frame_errors": p.frame_errors,
+                   "n_frames": p.n_frames}
+            try:
+                rec["union_bound"] = float(union_bound(code, p.ebn0_db))
+            except ValueError:
+                pass                     # punctured / untabulated code
+            print(json.dumps(rec))
+        return 0
     pts = ber_sweep(cfg, esn0, num_symbols=args.symbols,
                     freq_offset=args.freq_offset, pulse=args.pulse)
     th = theoretical_ber(cfg.constellation_size, np.array(esn0))
@@ -974,6 +996,11 @@ def main(argv=None) -> int:
     b.add_argument("--symbols", type=int, default=20000)
     b.add_argument("--freq-offset", type=float, default=0.0)
     b.add_argument("--pulse", choices=("rect", "rrc"), default="rect")
+    b.add_argument("--fec", choices=("k7", "k9"),
+                   help="coded-BER sweep of the FEC layer itself over the "
+                        "AWGN channel (eval/coded.py): reports Eb/N0 and "
+                        "the soft-decision union bound")
+    b.add_argument("--fec-puncture", choices=("2/3", "3/4"))
     b.set_defaults(fn=cmd_ber)
 
     s = sub.add_parser("selftest", help="golden parity quick check")
