@@ -214,7 +214,8 @@ def cmd_demod_batch(args) -> int:
     sfec = None
     if args.fec_stream:
         from .runtime.fec import StreamFecDecoder
-        eng = sfec = StreamFecDecoder(eng, _fec_code(args.fec_stream))
+        eng = sfec = StreamFecDecoder(eng, _fec_code(args.fec_stream),
+                                      labeling=args.fec_labeling)
     fec = None
     if args.fec:
         if syncer is None:
@@ -222,7 +223,9 @@ def cmd_demod_batch(args) -> int:
                              "--uw frame sync")
         from .runtime.fec import FecFrameDecoder
         try:
-            fec = FecFrameDecoder(syncer, _fec_code(args.fec))
+            fec = FecFrameDecoder(syncer, _fec_code(args.fec),
+                                  interleave_rows=args.fec_interleave,
+                                  labeling=args.fec_labeling)
         except ValueError as e:
             raise SystemExit(f"--fec: {e}")
     frames_src = fec or syncer
@@ -567,7 +570,8 @@ def cmd_ber(args) -> int:
             code = fec_ops.ConvCode(code.k, code.polys, pat)
         pts = coded_ber_sweep(code, cfg.constellation_size, esn0,
                               num_bits=args.symbols
-                              * cfg.bits_per_symbol)
+                              * cfg.bits_per_symbol,
+                              labeling=args.fec_labeling)
         for p in pts:
             rec = {"esn0_db": p.esn0_db, "ebn0_db": round(p.ebn0_db, 3),
                    "ber": p.ber, "n_bits": p.n_bits,
@@ -644,6 +648,8 @@ def cmd_gen_frames(args) -> int:
         infos = [rng.integers(0, 2, n_info, np.int8) for _ in starts]
         idx = tx.frame_stream(fmt, infos, starts, args.symbols,
                               code=code, lfsr=lfsr, crc=crc,
+                              interleave_rows=args.interleave,
+                              labeling=args.labeling,
                               seed=args.seed + 1000 + c)
         x = tx.shape(fmt.m, idx, args.sps, pulse=args.pulse,
                      rrc_beta=args.rrc_beta, rrc_span=args.rrc_span)
@@ -904,6 +910,17 @@ def main(argv=None) -> int:
                          "<out-prefix>.frames.jsonl")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
                     help="DVB puncturing of the --fec / --fec-stream code")
+    db.add_argument("--fec-labeling", choices=("scd", "gray"),
+                    default="scd",
+                    help="payload bit labeling the TX used: scd = the "
+                         "documented port mapping; gray = the coded-"
+                         "transmission mapping that sits on the union "
+                         "bound (~20x lower coded BER at the same SNR, "
+                         "eval/coded.py)")
+    db.add_argument("--fec-interleave", type=int, metavar="ROWS",
+                    help="block deinterleave (ROWS) of each frame's code "
+                         "bits before Viterbi (burst-error protection; "
+                         "match gen-frames --interleave)")
     db.add_argument("--fec-stream", choices=("k7", "k9"),
                     help="streaming Viterbi over the continuous soft "
                          "stream (windowed traceback, no framing): "
@@ -949,6 +966,14 @@ def main(argv=None) -> int:
     gf.add_argument("--crc", choices=("crc16", "crc32"),
                     help="append a CRC to each frame's info bits "
                          "(innermost: before scrambling/FEC)")
+    gf.add_argument("--labeling", choices=("scd", "gray"), default="scd",
+                    help="payload bit-to-symbol labeling (gray = the "
+                         "coded-transmission mapping; see demod-batch "
+                         "--fec-labeling)")
+    gf.add_argument("--interleave", type=int, metavar="ROWS",
+                    help="block-interleave each frame's code bits "
+                         "(burst protection; match demod-batch "
+                         "--fec-interleave)")
     gf.add_argument("--pulse", choices=("rect", "rrc"), default="rect")
     gf.add_argument("--rrc-beta", type=float, default=0.35)
     gf.add_argument("--rrc-span", type=int, default=8)
@@ -1001,6 +1026,8 @@ def main(argv=None) -> int:
                         "AWGN channel (eval/coded.py): reports Eb/N0 and "
                         "the soft-decision union bound")
     b.add_argument("--fec-puncture", choices=("2/3", "3/4"))
+    b.add_argument("--fec-labeling", choices=("scd", "gray"),
+                   default="scd")
     b.set_defaults(fn=cmd_ber)
 
     s = sub.add_parser("selftest", help="golden parity quick check")

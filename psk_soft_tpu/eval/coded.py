@@ -17,9 +17,14 @@ bound assumes each code bit sees independent noise, which holds exactly
 for BPSK transmission (measured K=7 BER tracks it within sampling noise:
 5.4e-3 vs 6.9e-3 at Eb/N0 2 dB, 3.6e-4 vs 4.2e-4 at 3 dB).  For M >= 4
 the framework's documented quadrant labeling (psk_soft.scd.xml:42-63) is
-NOT Gray and maps consecutive code bits onto one symbol, so measured
+NOT Gray (the XOR bit b0 = sr^si spans both noise axes), so measured
 curves sit ~1-2 dB right of the bound -- a property of the reference's
-bit mapping, quantified here rather than hidden.
+bit mapping, quantified here rather than hidden.  ``labeling="gray"``
+(ops/slicers.bit_labels) switches the coded path to binary-reflected
+Gray, under which M-PSK decomposes into independent binary channels and
+the measurement lands ON the bound (4.4e-3 vs 7.1e-3 at Eb/N0 2 dB) --
+a ~20x BER improvement at the same SNR, available end-to-end via
+gen-frames/demod-batch ``--fec-labeling gray``.
 """
 
 from __future__ import annotations
@@ -69,6 +74,8 @@ class CodedBerPoint:
 
 def measure_coded_ber(code: ConvCode, m: int, esn0_db: float,
                       num_bits: int = 200_000, frame_bits: int = 1000,
+                      interleave_rows: int | None = None,
+                      labeling: str = "scd",
                       seed: int = 0) -> CodedBerPoint:
     """One coded-BER point on the AWGN channel.
 
@@ -82,19 +89,26 @@ def measure_coded_ber(code: ConvCode, m: int, esn0_db: float,
     info = rng.integers(0, 2, (frames, frame_bits), np.int8)
     coded = np.asarray(conv_encode(code, info))          # (F, L)
     l_real = coded.shape[1]
+    if interleave_rows is not None:
+        from ..ops.interleave import interleave
+        coded = np.asarray(interleave(coded, interleave_rows))
     if l_real % nb:                                      # pad to symbols
         coded = np.concatenate(
             [coded, np.zeros((frames, nb - l_real % nb), np.int8)], axis=1)
-    syms = tx.symbols_to_iq(m, tx.bits_to_symbols(m, coded))
+    syms = tx.symbols_to_iq(m, tx.bits_to_symbols(m, coded, labeling))
     esn0 = 10 ** (esn0_db / 10)
     sigma = np.sqrt(1.0 / (2.0 * esn0))                  # unit Es, complex
     noisy = (syms + sigma * (rng.standard_normal(syms.shape)
                              + 1j * rng.standard_normal(syms.shape))
              ).astype(np.complex64)
-    llr = np.asarray(psk_llrs(m, noisy, scale=2.0 * esn0))
+    llr = np.asarray(psk_llrs(m, noisy, scale=2.0 * esn0,
+                              labeling=labeling))
     # Strip the symbol-pad LLRs: the decoder expects the exact code stream.
-    dec = np.asarray(viterbi_decode(
-        code, llr.reshape(frames, -1)[:, :l_real]))
+    llr = llr.reshape(frames, -1)[:, :l_real]
+    if interleave_rows is not None:
+        from ..ops.interleave import deinterleave
+        llr = np.asarray(deinterleave(llr, interleave_rows))
+    dec = np.asarray(viterbi_decode(code, llr))
     errs = (dec != info).sum(axis=1)
     n_err = int(errs.sum())
     n_bits_meas = info.size

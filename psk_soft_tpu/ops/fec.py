@@ -432,22 +432,27 @@ def _llr_kernel(soft, pts_re, pts_im, bit_mask, m: int):
     return jnp.stack(outs, axis=-1)              # (..., S, nb)
 
 
-def psk_llrs(m: int, soft, scale: float | None = None) -> jnp.ndarray:
+def psk_llrs(m: int, soft, scale: float | None = None,
+             labeling: str = "scd") -> jnp.ndarray:
     """Max-log per-bit LLRs for the framework's M-PSK soft decisions.
 
-    Uses the same constellation convention as the demod output and the
-    slicers (angle 2*pi*k/M, +pi/4 for QPSK, bits LSB-first per
-    ops/slicers.py), so ``psk_llrs(m, soft)`` composes directly with the
-    soft port / FrameSyncer payloads.  LLR_i = (d1_i - d0_i) * scale with
-    d_b the squared distance to the nearest point whose bit i equals b;
-    positive = bit 0.  The default scale normalizes by the mean squared
-    magnitude so hard-decision magnitudes are O(1); pass 1/(2*sigma^2)
-    for calibrated LLRs when the noise variance is known.
+    Uses the same constellation convention as the demod output (angle
+    2*pi*k/M, +pi/4 for QPSK) with the bit labeling selected by
+    ``labeling`` (ops/slicers.bit_labels): "scd" = the documented port
+    mapping, composing directly with the soft port / FrameSyncer
+    payloads; "gray" = binary-reflected Gray, the coded-transmission
+    mapping that puts M-PSK on the union bound (eval/coded.py).
+    LLR_i = (d1_i - d0_i) * scale with d_b the squared distance to the
+    nearest point whose bit i equals b; positive = bit 0.  The default
+    scale normalizes by the mean squared magnitude so hard-decision
+    magnitudes are O(1); pass 1/(2*sigma^2) for calibrated LLRs when the
+    noise variance is known.
 
     Args:
       m: constellation size (2..32 power of two).
       soft: (..., S) complex soft decisions.
       scale: optional LLR scale.
+      labeling: "scd" (default) or "gray".
 
     Returns:
       (..., S, log2(m)) float32 LLR planes.
@@ -458,9 +463,8 @@ def psk_llrs(m: int, soft, scale: float | None = None) -> jnp.ndarray:
 
     if m not in (2, 4, 8, 16, 32):
         raise ValueError(f"unsupported constellation size {m}")
-    nb = int(np.log2(m))
     pts = psk_points(np.arange(m), m)
-    labels = np.asarray(slicers.slice_bits(m, to_device(pts)))[:, :nb]
+    labels = slicers.bit_labels(m, labeling)
     if isinstance(soft, np.ndarray):
         soft = to_device(soft)
     llr = _llr_kernel(soft,

@@ -153,3 +153,32 @@ def slice_bits_dynamic(m_size: jnp.ndarray, soft: jnp.ndarray,
     code = slice_code_dynamic(m_size, soft)
     return jnp.stack([((code >> i) & 1).astype(jnp.int8)
                       for i in range(max_bits)], axis=-1)
+
+
+def bit_labels(m: int, labeling: str = "scd"):
+    """(m, log2 m) int8 bit labels of symbol index k, LSB-first.
+
+    labeling="scd": the documented port mapping above (the framework's
+    wire contract).  labeling="gray": binary-reflected Gray code
+    (label = k ^ (k >> 1)) -- adjacent constellation points differ in
+    exactly one bit, which makes M-PSK behave as independent binary
+    channels for soft-decision FEC (eval/coded.py measures the SCD
+    quadrant mapping ~1-2 dB right of the union bound and the Gray
+    mapping ON it; the coded TX/RX paths therefore default to taking a
+    ``labeling`` argument).  Host numpy table; import-cycle-free.
+    """
+    import numpy as np
+
+    if m not in (2, 4, 8, 16, 32):
+        raise ValueError(f"unsupported constellation size {m}")
+    nb = max(int(np.log2(m)), 1)
+    k = np.arange(m)
+    if labeling == "gray":
+        code = k ^ (k >> 1)
+    elif labeling == "scd":
+        from .framesync import psk_points
+        pts = psk_points(k, m)
+        code = np.asarray(slice_code(m, pts))
+    else:
+        raise ValueError(f"unknown labeling {labeling!r}")
+    return ((code[:, None] >> np.arange(nb)) & 1).astype(np.int8)

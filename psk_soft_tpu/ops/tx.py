@@ -30,14 +30,11 @@ from . import slicers
 from .framesync import FrameFormat, psk_points
 
 
-@functools.lru_cache(maxsize=8)
-def _bit_to_symbol_lut(m: int) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def _bit_to_symbol_lut(m: int, labeling: str) -> np.ndarray:
     """(m,) int64: symbol index for each packed LSB-first bit code."""
-    from ..utils.transfer import to_device
-
-    nb = int(np.log2(m))
-    pts = psk_points(np.arange(m), m)
-    labels = np.asarray(slicers.slice_bits(m, to_device(pts)))[:, :nb]
+    labels = slicers.bit_labels(m, labeling)
+    nb = labels.shape[1]
     codes = (labels.astype(np.int64)
              * (1 << np.arange(nb, dtype=np.int64))).sum(axis=1)
     lut = np.zeros(m, np.int64)
@@ -45,11 +42,13 @@ def _bit_to_symbol_lut(m: int) -> np.ndarray:
     return lut
 
 
-def bits_to_symbols(m: int, bits) -> np.ndarray:
+def bits_to_symbols(m: int, bits, labeling: str = "scd") -> np.ndarray:
     """(..., N*log2(m)) LSB-first bits -> (..., N) symbol indices.
 
-    Exact inverse of ops/slicers.slice_bits: slicing the modulated
-    points reproduces ``bits``.
+    labeling="scd" (default) is the exact inverse of
+    ops/slicers.slice_bits: slicing the modulated points reproduces
+    ``bits``.  labeling="gray" is the coded-transmission mapping
+    (ops/slicers.bit_labels).
     """
     b = np.asarray(bits, np.int64)
     nb = int(np.log2(m))
@@ -58,7 +57,7 @@ def bits_to_symbols(m: int, bits) -> np.ndarray:
                          f"log2(M)={nb}")
     grp = b.reshape(b.shape[:-1] + (-1, nb))
     codes = (grp * (1 << np.arange(nb, dtype=np.int64))).sum(axis=-1)
-    return _bit_to_symbol_lut(m)[codes]
+    return _bit_to_symbol_lut(m, labeling)[codes]
 
 
 def symbols_to_iq(m: int, idx) -> np.ndarray:
@@ -68,13 +67,14 @@ def symbols_to_iq(m: int, idx) -> np.ndarray:
 
 
 def build_frame(fmt: FrameFormat, info_bits, code=None, lfsr=None,
-                crc=None) -> np.ndarray:
+                crc=None, interleave_rows: int | None = None,
+                labeling: str = "scd") -> np.ndarray:
     """Info bits -> one frame's symbol indices (UW + payload).
 
     Inverts the receive stack: ``info -> [append_crc] -> [additive
-    scramble] -> [conv_encode] -> bits_to_symbols``; the result slots
-    into a symbol stream and comes back out of FrameSyncer (+
-    FecFrameDecoder / FrameDescrambler / FrameCrcChecker) as
+    scramble] -> [conv_encode] -> [interleave] -> bits_to_symbols``; the
+    result slots into a symbol stream and comes back out of FrameSyncer
+    (+ FecFrameDecoder / FrameDescrambler / FrameCrcChecker) as
     ``info_bits`` exactly.
     """
     bits = np.asarray(info_bits, np.int8)
@@ -89,19 +89,24 @@ def build_frame(fmt: FrameFormat, info_bits, code=None, lfsr=None,
     if code is not None:
         from .fec import conv_encode
         bits = np.asarray(conv_encode(code, bits))
+    if interleave_rows is not None:
+        from .interleave import interleave
+        bits = np.asarray(interleave(bits, interleave_rows))
     nb = int(np.log2(fmt.m))
     want = fmt.payload * nb
     if bits.size != want:
         raise ValueError(f"frame carries {want} payload bits "
                          f"({fmt.payload} symbols x {nb}); got {bits.size} "
                          f"after coding")
-    payload = bits_to_symbols(fmt.m, bits)
+    payload = bits_to_symbols(fmt.m, bits, labeling)
     return np.concatenate([np.asarray(fmt.uw, np.int64), payload])
 
 
 def frame_stream(fmt: FrameFormat, infos, starts, total: int,
-                 code=None, lfsr=None, crc=None, fill=None, seed: int = 0
-                 ) -> np.ndarray:
+                 code=None, lfsr=None, crc=None,
+                 interleave_rows: int | None = None,
+                 labeling: str = "scd",
+                 fill=None, seed: int = 0) -> np.ndarray:
     """Symbol-index stream of length ``total`` with frames at ``starts``.
 
     ``fill`` fills between frames: None = random M-PSK (seeded), or an
@@ -118,8 +123,9 @@ def frame_stream(fmt: FrameFormat, infos, starts, total: int,
             raise ValueError(f"frame at {s0} overlaps the previous frame")
         if s0 < 0 or s0 + fmt.frame_len > total:
             raise ValueError(f"frame at {s0} does not fit in {total}")
-        out[s0:s0 + fmt.frame_len] = build_frame(fmt, info, code=code,
-                                                 lfsr=lfsr, crc=crc)
+        out[s0:s0 + fmt.frame_len] = build_frame(
+            fmt, info, code=code, lfsr=lfsr, crc=crc,
+            interleave_rows=interleave_rows, labeling=labeling)
         last_end = s0 + fmt.frame_len - 1
     return out
 

@@ -55,17 +55,24 @@ class FecFrameDecoder:
     """
 
     def __init__(self, syncer, code: ConvCode = CODE_K7,
-                 terminate: bool = True, suspect_fraction: float = 0.08):
+                 terminate: bool = True, suspect_fraction: float = 0.08,
+                 interleave_rows: int | None = None,
+                 labeling: str = "scd"):
         self.syncer = syncer
         self.code = code
         self.terminate = terminate
         self.suspect_fraction = float(suspect_fraction)
+        self.interleave_rows = interleave_rows
+        self.labeling = labeling
         fmt = syncer.fmt
         self._m = fmt.m
         self._nb = int(np.log2(fmt.m))
         self._code_bits = fmt.payload * self._nb
         # Shared TX/RX contract: divisibility + flush-room validation.
         self.info_bits = info_bits_for(code, self._code_bits, terminate)
+        if interleave_rows is not None:
+            from ..ops.interleave import _perm
+            _perm(self._code_bits, int(interleave_rows))   # validates
         self._decode = make_viterbi_fn(code, terminate=terminate)
         self.frames_decoded = 0
         self.errors_corrected = 0
@@ -91,8 +98,11 @@ class FecFrameDecoder:
             payloads = np.concatenate(
                 [payloads, np.zeros((b - n,) + payloads.shape[1:],
                                     np.complex64)])
-        llr = psk_llrs(self._m, to_device(payloads))
+        llr = psk_llrs(self._m, to_device(payloads), labeling=self.labeling)
         llr = llr.reshape(b, self._code_bits)
+        if self.interleave_rows is not None:
+            from ..ops.interleave import deinterleave
+            llr = deinterleave(llr, self.interleave_rows)
         info = self._decode(llr)
         # Corrected-error observability: re-encode and compare against the
         # received hard decisions (same launch group, all device work).
@@ -156,7 +166,8 @@ class StreamFecDecoder:
 
     def __init__(self, engine, code: ConvCode = CODE_K7, m=None,
                  depth: int | None = None, block_steps: int = 512,
-                 known_start: bool = True):
+                 known_start: bool = True, labeling: str = "scd"):
+        self.labeling = labeling
         if isinstance(engine, int):
             self.engine = None
             self._channels = engine
@@ -206,7 +217,8 @@ class StreamFecDecoder:
         if soft.shape[1] == 0:
             return
         from ..utils.transfer import to_host
-        llr = to_host(psk_llrs(self._m, soft.astype(np.complex64)))
+        llr = to_host(psk_llrs(self._m, soft.astype(np.complex64),
+                               labeling=self.labeling))
         self._buf = np.concatenate(
             [self._buf, llr.reshape(self._channels, -1)], axis=1)
         while self._buf.shape[1] >= self._wire_per_block:

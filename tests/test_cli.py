@@ -785,6 +785,7 @@ def test_cli_gen_frames_full_loop(tmp_path):
                 "--channels", "2", "--symbols", "2200", "--sps", "8",
                 "-M", "4", "--uw", uw, "--frame-payload", "64",
                 "--fec", "k7", "--scramble", "prbs15", "--crc", "crc16",
+                "--labeling", "gray", "--interleave", "8",
                 "--frame-interval", "300",
                 "--snr", "18", "--freq-offset", "2e-4", "--seed", "3"])
     assert "info bits/frame" in gen.stderr
@@ -795,7 +796,8 @@ def test_cli_gen_frames_full_loop(tmp_path):
                "--num-avg", "20", "--phase-avg", "30",
                "--block-symbols", "256",
                "--uw", uw, "--frame-payload", "64",
-               "--fec", "k7", "--descramble", "prbs15", "--crc", "crc16"])
+               "--fec", "k7", "--descramble", "prbs15", "--crc", "crc16",
+               "--fec-labeling", "gray", "--fec-interleave", "8"])
     metrics = json.loads(rx.stderr.strip().splitlines()[-1])
     assert metrics["crc_failures"] == 0
 
