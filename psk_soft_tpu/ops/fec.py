@@ -245,12 +245,21 @@ def _trellis(code: ConvCode):
     return pred.astype(np.int32), exp
 
 
-def _make_acs(pred, exp_sign):
+def _make_acs(exp_sign):
+    # Butterfly structure instead of a gather: states s' and s' + S/2
+    # share the predecessor pair {2j, 2j+1} with j = s' mod S/2, so
+    # pm[:, pred] == tile(pm.reshape(B, S/2, 2), S-axis x2) -- a pure
+    # relayout XLA handles at full VPU rate (a (B, S, 2) gather per scan
+    # step measured ~0.6 ms on the TPU; this form is >100x faster).
+    s_count = exp_sign.shape[0]
+
     def acs(pm, r_t):
         # r_t: (B, n).  Branch metric of transition p -> s': correlation
         # of the received LLRs with the expected signs.
         bm = jnp.einsum("bn,spn->bsp", r_t, exp_sign)        # (B, S, 2)
-        cand = pm[:, pred] + bm                              # (B, S, 2)
+        b = pm.shape[0]
+        pairs = pm.reshape(b, s_count // 2, 2)
+        cand = jnp.concatenate([pairs, pairs], axis=1) + bm  # (B, S, 2)
         dec = (cand[..., 1] > cand[..., 0])                  # (B, S) bool
         new = jnp.where(dec, cand[..., 1], cand[..., 0])
         new = new - jnp.max(new, axis=1, keepdims=True)      # re-zero
@@ -260,23 +269,27 @@ def _make_acs(pred, exp_sign):
 
 
 def _make_back(k: int, s_count: int):
+    # One-hot contraction instead of a per-row dynamic gather (same
+    # TPU-gather pathology as the ACS; S <= 512 keeps this cheap).
     def back(s, dec_t):
         u = (s >> (k - 2)).astype(jnp.int8)
-        p = jnp.take_along_axis(dec_t, s[:, None].astype(jnp.int32),
-                                axis=1)[:, 0]
-        s_prev = ((s << 1) & (s_count - 1)) | p.astype(jnp.int32)
+        onehot = (jnp.arange(s_count, dtype=jnp.int32)[None, :]
+                  == s[:, None])
+        p = jnp.sum(jnp.where(onehot, dec_t, False).astype(jnp.int32),
+                    axis=1)
+        s_prev = ((s << 1) & (s_count - 1)) | p
         return s_prev, u
 
     return back
 
 
 @functools.partial(jax.jit, static_argnames=("k", "s_count", "terminate"))
-def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
+def _viterbi(llrs, exp_sign, k: int, s_count: int, terminate: bool):
     """(B, T, n) LLRs -> (B, T) decoded bits (incl. flush bits)."""
     b = llrs.shape[0]
     neg = jnp.float32(-1e9)
     pm0 = jnp.full((b, s_count), neg).at[:, 0].set(0.0)
-    pm, decs = jax.lax.scan(_make_acs(pred, exp_sign), pm0,
+    pm, decs = jax.lax.scan(_make_acs(exp_sign), pm0,
                             jnp.swapaxes(llrs, 0, 1))
     start = (jnp.zeros(b, jnp.int32) if terminate
              else jnp.argmax(pm, axis=1).astype(jnp.int32))
@@ -286,7 +299,7 @@ def _viterbi(llrs, pred, exp_sign, k: int, s_count: int, terminate: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "s_count"))
-def _viterbi_stream_block(llrs, pm, dec_hist, pred, exp_sign,
+def _viterbi_stream_block(llrs, pm, dec_hist, exp_sign,
                           k: int, s_count: int):
     """One streaming block: ACS over T new steps + windowed traceback.
 
@@ -303,7 +316,7 @@ def _viterbi_stream_block(llrs, pm, dec_hist, pred, exp_sign,
     """
     t = llrs.shape[1]
     d = dec_hist.shape[0]
-    pm2, decs = jax.lax.scan(_make_acs(pred, exp_sign), pm,
+    pm2, decs = jax.lax.scan(_make_acs(exp_sign), pm,
                              jnp.swapaxes(llrs, 0, 1))
     full = jnp.concatenate([dec_hist, decs], axis=0)         # (D+T, B, S)
     start = jnp.argmax(pm2, axis=1).astype(jnp.int32)
@@ -364,9 +377,9 @@ def viterbi_stream_step(code: ConvCode, state: ViterbiStreamState, llrs):
     if y.ndim != 3 or y.shape[-1] != code.n:
         raise ValueError(f"expected (B, T, {code.n}) LLR steps; "
                          f"got {y.shape}")
-    pred, exp_sign = _trellis(code)
+    _, exp_sign = _trellis(code)
     pm, dec, bits = _viterbi_stream_block(
-        y, state.pm, state.dec, jnp.asarray(pred), jnp.asarray(exp_sign),
+        y, state.pm, state.dec, jnp.asarray(exp_sign),
         code.k, code.states)
     return ViterbiStreamState(pm=pm, dec=dec), bits
 
@@ -374,6 +387,36 @@ def viterbi_stream_step(code: ConvCode, state: ViterbiStreamState, llrs):
 def viterbi_stream_flush(code: ConvCode, state: ViterbiStreamState):
     """End of stream: decode the bits still inside the window."""
     return _viterbi_stream_tail(state.pm, state.dec, code.k, code.states)
+
+
+def make_stream_soft_fn(code: ConvCode, m: int, labeling: str = "scd"):
+    """fn(state, soft) -> (state', bits): the whole streaming-FEC block
+    (constellation LLRs -> depuncture -> ACS scan -> windowed traceback)
+    as ONE compiled launch.
+
+    Fusing matters beyond kernel fusion: only the (B, S_sym) soft block
+    goes up and the (B, T) int8 bits come down -- the intermediate LLR
+    planes never cross the host boundary (through this environment's
+    relay a per-block LLR fetch alone costs ~100x the compute).
+    ``soft`` must carry a whole number of (puncture-period- and
+    symbol-aligned) trellis steps; runtime/fec.StreamFecDecoder does the
+    chunk bookkeeping.
+    """
+    _, exp_sign = _trellis(code)
+    exp = jnp.asarray(exp_sign)
+    k, s_count = code.k, code.states
+
+    @jax.jit
+    def step(state: ViterbiStreamState, soft):
+        llr = psk_llrs(m, soft, labeling=labeling)       # (B, S_sym, nb)
+        wire = llr.reshape(soft.shape[0], -1)
+        full = depuncture(code, wire)
+        steps = full.reshape(soft.shape[0], -1, code.n)
+        pm, dec, bits = _viterbi_stream_block.__wrapped__(
+            steps, state.pm, state.dec, exp, k, s_count)
+        return ViterbiStreamState(pm=pm, dec=dec), bits
+
+    return step
 
 
 def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):
@@ -400,8 +443,8 @@ def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):
                          f"{code.k - 1} flush bits")
     lead = y.shape[:-1]
     y = y.reshape((-1, t, code.n))
-    pred, exp_sign = _trellis(code)
-    bits = _viterbi(y, jnp.asarray(pred), jnp.asarray(exp_sign),
+    _, exp_sign = _trellis(code)
+    bits = _viterbi(y, jnp.asarray(exp_sign),
                     code.k, code.states, terminate)
     if terminate:
         bits = bits[:, :t - (code.k - 1)]

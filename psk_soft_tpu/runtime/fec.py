@@ -24,10 +24,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.fec import (CODE_K7, ConvCode, conv_encode, depuncture,
-                       info_bits_for, make_viterbi_fn, psk_llrs,
-                       viterbi_stream_flush, viterbi_stream_init,
-                       viterbi_stream_step)
+from ..ops.fec import (CODE_K7, ConvCode, conv_encode, info_bits_for,
+                       make_stream_soft_fn, make_viterbi_fn, psk_llrs,
+                       viterbi_stream_flush, viterbi_stream_init)
 
 
 def _bucket(n: int) -> int:
@@ -152,16 +151,21 @@ class StreamFecDecoder:
     For links that run the convolutional code over the whole stream
     rather than per frame: taps ``step_packets``/``flush_packets`` soft
     payloads (the QualityMonitor wrapper contract) or standalone
-    ``observe(soft)``, converts to max-log LLRs, and decodes with the
-    windowed-traceback streaming kernel (ops/fec.viterbi_stream_step):
-    per drained block one ACS scan + one reverse traceback launch, bits
-    emitted ``depth`` trellis steps behind the input (the standard
-    survivor-merge argument; depth defaults to 10 constraint lengths,
-    at which the output matches full-stream Viterbi).
+    ``observe(soft)``.  Soft symbols buffer on the host; each drained
+    block runs as ONE fused device launch (constellation LLRs ->
+    depuncture -> ACS scan -> windowed traceback,
+    ops/fec.make_stream_soft_fn) so only soft symbols go up and decoded
+    bits come down -- intermediate LLR planes never cross the host
+    boundary (a per-block LLR fetch through this environment's relay
+    costs ~100x the compute).  Bits emerge ``depth`` trellis steps
+    behind the input (the standard survivor-merge argument; depth
+    defaults to 10 constraint lengths, at which the output matches
+    full-stream Viterbi -- gated in tests).
 
     The decoder assumes the encoder started at the stream head
-    (``known_start``); puncturing is depunctured per period-aligned
-    chunk.  ``pop_bits()`` drains the decoded (C, N) bit stream.
+    (``known_start``); puncturing is depunctured on device per
+    period-aligned chunk.  ``pop_bits()`` drains the decoded (C, N)
+    bit stream.
     """
 
     def __init__(self, engine, code: ConvCode = CODE_K7, m=None,
@@ -184,22 +188,22 @@ class StreamFecDecoder:
         self.depth = int(depth) if depth is not None else 10 * code.k
         if block_steps < 1:
             raise ValueError("block_steps must be >= 1")
-        # Wire-bit chunk granularity: a whole number of trellis steps
-        # (puncture-period aligned when punctured).
+        # Chunk grain: a whole number of trellis steps that is ALSO a
+        # whole number of symbols (puncture-period and log2(M) aligned).
         if code.puncture is not None:
             p = np.asarray(code.puncture)
-            self._kept_per_period = int(p.sum())
-            self._steps_per_period = p.shape[0]
+            kept, period = int(p.sum()), p.shape[0]
         else:
-            self._kept_per_period = code.n
-            self._steps_per_period = 1
-        # Round the block up to the period grid so drains are exact.
-        per = self._steps_per_period
-        self.block_steps = ((int(block_steps) + per - 1) // per) * per
-        self._wire_per_block = (self.block_steps // per
-                                * self._kept_per_period)
+            kept, period = code.n, 1
+        g_wire = np.lcm(kept, self._nb)
+        self._grain_syms = int(g_wire // self._nb)
+        self._grain_steps = int(g_wire // kept * period)
+        g = self._grain_steps
+        self.block_steps = ((int(block_steps) + g - 1) // g) * g
+        self._syms_per_block = self.block_steps // g * self._grain_syms
         self._known_start = bool(known_start)
-        self._buf = np.zeros((self._channels, 0), np.float32)
+        self._fn = make_stream_soft_fn(code, self._m, labeling)
+        self._buf = np.zeros((self._channels, 0), np.complex64)
         self._state = viterbi_stream_init(code, self._channels, self.depth,
                                           known_start=known_start)
         self._steps_emitted = 0          # incl. the first `depth` garbage
@@ -216,30 +220,16 @@ class StreamFecDecoder:
                              f"got {soft.shape}")
         if soft.shape[1] == 0:
             return
-        from ..utils.transfer import to_host
-        llr = to_host(psk_llrs(self._m, soft.astype(np.complex64),
-                               labeling=self.labeling))
         self._buf = np.concatenate(
-            [self._buf, llr.reshape(self._channels, -1)], axis=1)
-        while self._buf.shape[1] >= self._wire_per_block:
-            self._emit_block(self._take_steps(self.block_steps))
+            [self._buf, soft.astype(np.complex64)], axis=1)
+        while self._buf.shape[1] >= self._syms_per_block:
+            self._emit_chunk(self._syms_per_block)
 
-    def _take_steps(self, max_steps: int):
-        """Pop up to max_steps whole (puncture-aligned) trellis steps of
-        wire bits from the buffer as (C, steps, n) depunctured LLRs."""
-        periods = min(self._buf.shape[1] // self._kept_per_period,
-                      max_steps // self._steps_per_period)
-        if periods <= 0:
-            return None
-        take = periods * self._kept_per_period
-        chunk, self._buf = self._buf[:, :take], self._buf[:, take:]
-        full = np.asarray(depuncture(self.code, chunk))
-        return full.reshape(self._channels, -1, self.code.n)
-
-    def _emit_block(self, llrs: np.ndarray) -> None:
-        from ..utils.transfer import to_host
-        self._state, bits = viterbi_stream_step(self.code, self._state,
-                                                llrs)
+    def _emit_chunk(self, syms: int) -> None:
+        from ..utils.transfer import to_device, to_host
+        chunk, self._buf = self._buf[:, :syms], self._buf[:, syms:]
+        self._state, bits = self._fn(self._state,
+                                     to_device(np.ascontiguousarray(chunk)))
         self._append(to_host(bits))
 
     def _append(self, bits: np.ndarray) -> None:
@@ -253,11 +243,15 @@ class StreamFecDecoder:
             self.steps_decoded += t - skip
 
     def finalize(self) -> None:
-        """End of stream: decode everything still buffered + in-window."""
+        """End of stream: decode everything still buffered + in-window.
+
+        A sub-grain tail (fewer symbols than one puncture/symbol-aligned
+        trellis step) cannot form a step and is dropped.
+        """
         from ..utils.transfer import to_host
-        left = self._take_steps(1 << 30)
-        if left is not None:
-            self._emit_block(left)
+        left = (self._buf.shape[1] // self._grain_syms) * self._grain_syms
+        if left:
+            self._emit_chunk(left)       # one distinct-shape launch at EOS
         tail = to_host(viterbi_stream_flush(self.code, self._state))
         self._append(tail)
 
@@ -293,7 +287,7 @@ class StreamFecDecoder:
             self.engine.reset()
 
     def reset_fec(self) -> None:
-        self._buf = np.zeros((self._channels, 0), np.float32)
+        self._buf = np.zeros((self._channels, 0), np.complex64)
         self._state = viterbi_stream_init(self.code, self._channels,
                                           self.depth,
                                           known_start=self._known_start)
