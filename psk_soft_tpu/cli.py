@@ -110,6 +110,30 @@ def cmd_demod(args) -> int:
     return 0
 
 
+class _HeadReader:
+    """File-like: replays a peeked head before the underlying stream
+    (exact-n reads, the contract the ingest loop's EOS check relies on)."""
+
+    def __init__(self, head: bytes, src):
+        self._head = head
+        self._src = src
+
+    def read(self, n: int) -> bytes:
+        out = b""
+        if self._head:
+            out, self._head = self._head[:n], self._head[n:]
+        while len(out) < n:
+            more = self._src.read(n - len(out))
+            if not more:
+                break
+            out += more
+        return out
+
+    def close(self) -> None:
+        if self._src is not sys.stdin.buffer:
+            self._src.close()
+
+
 def cmd_demod_batch(args) -> int:
     """Multichannel demod: input is sample-interleaved across channels
     (s0c0 s0c1 ... s0c[C-1] s1c0 ..., complex64 each) -- a channelizer's
@@ -123,6 +147,52 @@ def cmd_demod_batch(args) -> int:
     cfg = _config_from_args(args)
     C = args.channels
     i16 = args.in_format == "ci16"
+    src_pre = None
+    if args.auto:
+        if args.channelize or args.native_sps is not None:
+            raise SystemExit("--auto probes the bank's own rate; it cannot "
+                             "combine with --channelize / --native-sps")
+        import dataclasses as _dc
+        from .ops.probe import classify_psk, estimate_baud
+        src_pre = (sys.stdin.buffer if args.infile == "-"
+                   else open(args.infile, "rb"))
+        frame = C * (4 if i16 else 8)
+        head = src_pre.read(args.auto_samples * frame)
+        usable = len(head) - (len(head) % frame)
+        if usable < 1024 * frame:
+            raise SystemExit("--auto: capture too short to probe")
+        if i16:
+            w = np.frombuffer(head[:usable], np.int16).reshape(-1, C, 2)
+            x = ((w[..., 0].astype(np.float32)
+                  + 1j * w[..., 1].astype(np.float32))
+                 * args.in_scale).astype(np.complex64)
+        else:
+            x = np.frombuffer(head[:usable], np.complex64).reshape(-1, C)
+        x = np.ascontiguousarray(x.T)
+        sps_est, bconf = estimate_baud(x, sps_min=2, sps_max=64)
+        m_est, _, _ = classify_psk(x, max_m=32)
+        good = bconf > 5.0
+        if not good.any():
+            raise SystemExit("--auto: no usable baud line in the capture "
+                             "(noise-only, CW, or transition-free signal); "
+                             "configure --sps/-M explicitly")
+        sps_f = float(np.median(sps_est[good]))
+        sps = int(round(sps_f))
+        if abs(sps_f - sps) > 0.15:
+            raise SystemExit(f"--auto: estimated sps {sps_f:.2f} is "
+                             f"fractional; resample via --native-sps "
+                             f"{sps_f:.2f} --sps {int(np.ceil(sps_f))}")
+        ms = m_est[good & (m_est > 0)]
+        if ms.size == 0:
+            raise SystemExit("--auto: PSK order not identifiable; pass -M")
+        m = int(np.bincount(ms).argmax())
+        cfg = _dc.replace(cfg, sps=sps, constellation_size=m)
+        print(json.dumps({"auto": {"sps": sps, "sps_raw": round(sps_f, 3),
+                                   "m": m,
+                                   "confident_channels":
+                                       int(good.sum())}}),
+              file=sys.stderr)
+        src_pre = _HeadReader(head, src_pre)   # probe loses no data
     resampler = None
     if args.native_sps is not None:
         from .runtime.resampler import ResamplerBank
@@ -278,7 +348,9 @@ def cmd_demod_batch(args) -> int:
         # each channel runs at sample_rate * oversample / C
         xdelta = C / (args.sample_rate * args.chan_oversample)
     eng.set_input_sri(SRI(stream_id=args.stream_id, xdelta=xdelta, mode=1))
-    src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
+    src = src_pre if src_pre is not None else (
+        sys.stdin.buffer if args.infile == "-"
+        else open(args.infile, "rb"))
     # All four SCD ports (psk_soft.scd.xml:32-73), symbol-interleaved across
     # channels like the input sample order.
     sinks = {
@@ -910,6 +982,13 @@ def main(argv=None) -> int:
                          "<out-prefix>.frames.jsonl")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
                     help="DVB puncturing of the --fec / --fec-stream code")
+    db.add_argument("--auto", action="store_true",
+                    help="self-configure from the capture: probe the first "
+                         "--auto-samples (blind baud + PSK-order survey, "
+                         "ops/probe.py), override --sps/-M, then demodulate "
+                         "everything including the probed head")
+    db.add_argument("--auto-samples", type=int, default=16384,
+                    help="samples per channel the --auto probe reads")
     db.add_argument("--fec-labeling", choices=("scd", "gray"),
                     default="scd",
                     help="payload bit labeling the TX used: scd = the "

@@ -846,3 +846,49 @@ def test_cli_fec_stream(tmp_path):
     got = np.fromfile(f"{p2}.fecstream.i8", np.int8).reshape(-1, C).T
     assert metrics["fec_stream_bits"] == want.shape[1]
     assert np.array_equal(got, want)
+
+
+def test_cli_demod_batch_auto(tmp_path):
+    """--auto: the bank self-configures (sps, M) from a blind probe of the
+    capture head, replays the head, and produces output byte-identical to
+    an explicitly configured run."""
+    C, sps, m = 2, 8, 8
+    rng = np.random.default_rng(16)
+    n_sym = 2600
+    idx = rng.integers(0, m, (C, n_sym))
+    x = np.repeat(np.exp(2j * np.pi * (idx / m + 0.03)), sps, axis=1)
+    x = (x + 0.03 * (rng.standard_normal(x.shape)
+                     + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    infile = tmp_path / "auto.cf32"
+    infile.write_bytes(np.ascontiguousarray(x.T).tobytes())
+
+    base = ["demod-batch", "--in", str(infile), "--channels", str(C),
+            "--num-avg", "20", "--phase-avg", "20",
+            "--block-symbols", "128"]
+    pa = tmp_path / "auto_a"
+    pb = tmp_path / "auto_b"
+    # deliberately wrong defaults (--sps 10, -M 4) + --auto
+    proc = _run(base + ["--out-prefix", str(pa), "--auto",
+                        "--auto-samples", "8192"])
+    auto_line = json.loads(proc.stderr.strip().splitlines()[-2])
+    assert auto_line["auto"]["sps"] == sps
+    assert auto_line["auto"]["m"] == m
+    _run(base + ["--out-prefix", str(pb), "--sps", str(sps),
+                 "-M", str(m)])
+    for ext in (".soft.cf32", ".bits.i16", ".phase.f32", ".index.i16"):
+        assert (pa.parent / (pa.name + ext)).read_bytes() == \
+            (pb.parent / (pb.name + ext)).read_bytes(), ext
+
+    # graceful failure on noise
+    noise = tmp_path / "noise.cf32"
+    noise.write_bytes((0.1 * (rng.standard_normal(40000)
+                              + 1j * rng.standard_normal(40000))
+                       ).astype(np.complex64).tobytes())
+    proc = subprocess.run(
+        [sys.executable, "-m", "psk_soft_tpu", "demod-batch",
+         "--in", str(noise), "--channels", "1",
+         "--out-prefix", str(tmp_path / "o"), "--auto"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode != 0 and "--auto" in proc.stderr
