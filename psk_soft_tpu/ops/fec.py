@@ -389,6 +389,76 @@ def viterbi_stream_flush(code: ConvCode, state: ViterbiStreamState):
     return _viterbi_stream_tail(state.pm, state.dec, code.k, code.states)
 
 
+def viterbi_decode_parallel(code: ConvCode, llrs, chunk: int = 512,
+                            margin: int | None = None):
+    """Time-parallel Viterbi: overlap-save over the trellis.
+
+    The sequential ACS recursion bounds ``viterbi_decode`` wall time by
+    the stream length.  This recast applies the framework's overlap-save
+    pattern to the trellis: split the T steps into P chunks, give each a
+    ``margin``-step lead-in (path metrics start uniform and converge to
+    the true survivors within the survivor-merge depth) and a
+    ``margin``-step tail (the traceback from the chunk end converges
+    back within the same depth), and run ALL chunks as extra batch rows
+    of one short scan -- wall time ~ (chunk + 2*margin) steps instead of
+    T, at (1 + 2*margin/chunk)x the FLOPs.  With margin >= ~10
+    constraint lengths the output is EXACT vs the sequential decode
+    (same argument as the streaming window; gated in tests).
+
+    Args:
+      llrs: (..., L) soft code bits (punctured ok), terminate=False
+        semantics (truncated decode; frame mode with flush bits wants
+        the sequential path, whose T is small anyway).
+      chunk: steps decoded per parallel chunk.
+      margin: two-sided overlap in steps (default 10 * K).
+
+    Returns:
+      (..., T) int8 decoded bits.
+    """
+    if margin is None:
+        margin = 10 * code.k
+    y = depuncture(code, jnp.asarray(llrs, jnp.float32))
+    l = y.shape[-1]
+    if l % code.n:
+        raise ValueError(f"LLR length {l} not a multiple of n={code.n}")
+    t = l // code.n
+    lead = y.shape[:-1]
+    steps = y.reshape((-1, t, code.n))
+    b = steps.shape[0]
+    if chunk < 1 or margin < code.k:
+        raise ValueError("need chunk >= 1 and margin >= K")
+    if t <= chunk + 2 * margin:
+        return viterbi_decode(code, llrs, terminate=False)
+    p = -(-t // chunk)                           # chunks
+    span = chunk + 2 * margin
+    # Window p covers steps [p*chunk - margin, p*chunk + chunk + margin).
+    # Leading pad: STRONG bit-0 LLRs -- the all-zero path reproduces the
+    # encoder's zero start state exactly (the known-start pin the
+    # sequential decode uses).  Trailing pad: zero LLRs (erasures; the
+    # truncated decode ends at argmax either way).
+    pad_hi = p * chunk + margin - t
+    big = jnp.full(steps.shape[:1] + (margin, code.n), 1e4, jnp.float32)
+    padded = jnp.concatenate(
+        [big, steps, jnp.zeros(steps.shape[:1] + (pad_hi, code.n),
+                               jnp.float32)], axis=1)
+    starts = np.arange(p) * chunk
+    wins = jnp.stack([jax.lax.slice_in_dim(padded, int(s), int(s) + span,
+                                           axis=1) for s in starts],
+                     axis=1)                     # (B, P, span, n)
+    wins = wins.reshape(b * p, span, code.n)
+    _, exp_sign = _trellis(code)
+    # _viterbi starts every row pinned at state 0; for windows past the
+    # head that pin is wrong, but the margin lead-in re-converges the
+    # metrics to the true survivors before the emitted region (the same
+    # cold-acquisition property the streaming window relies on) -- so
+    # the uniform-vs-pinned distinction washes out within the margin.
+    bits = _viterbi(wins, jnp.asarray(exp_sign), code.k, code.states,
+                    False)                       # (B*P, span)
+    bits = bits.reshape(b, p, span)[:, :, margin:margin + chunk]
+    bits = bits.reshape(b, p * chunk)[:, :t]
+    return bits.reshape(lead + (t,))
+
+
 def make_stream_soft_fn(code: ConvCode, m: int, labeling: str = "scd"):
     """fn(state, soft) -> (state', bits): the whole streaming-FEC block
     (constellation LLRs -> depuncture -> ACS scan -> windowed traceback)

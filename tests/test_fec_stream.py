@@ -121,3 +121,37 @@ def test_stream_decoder_validation_and_reset():
     dec.observe(syms)
     dec.finalize()
     assert np.array_equal(dec.pop_bits(), bits)
+
+
+def test_parallel_decode_matches_sequential():
+    """Overlap-save time-parallel Viterbi == sequential decode, exactly."""
+    from psk_soft_tpu.ops.fec import viterbi_decode_parallel
+
+    rng = np.random.default_rng(96)
+    for code, margin in ((CODE_K7, 70), (CODE_K3, 30)):
+        bits = rng.integers(0, 2, (2, 3000), np.int8)
+        llrs = _noisy_llrs(code, bits, 0.5, rng)
+        seq = np.asarray(viterbi_decode(code, llrs, terminate=False))
+        for chunk in (256, 512, 1000):
+            par = np.asarray(viterbi_decode_parallel(
+                code, llrs, chunk=chunk, margin=margin))
+            assert np.array_equal(par, seq), (code.k, chunk)
+    # punctured
+    code = ConvCode(7, (0o171, 0o133), PUNCTURE_2_3)
+    bits = rng.integers(0, 2, (1, 2400), np.int8)
+    llrs = _noisy_llrs(code, bits, 0.4, rng)
+    seq = np.asarray(viterbi_decode(code, llrs, terminate=False))
+    par = np.asarray(viterbi_decode_parallel(code, llrs, chunk=400,
+                                             margin=80))
+    assert np.array_equal(par, seq)
+    # short stream falls back to the sequential path
+    short = _noisy_llrs(CODE_K7, bits[:, :150], 0.4, rng)
+    assert np.array_equal(
+        np.asarray(viterbi_decode_parallel(CODE_K7, short, chunk=512)),
+        np.asarray(viterbi_decode(CODE_K7, short, terminate=False)))
+    with pytest.raises(ValueError):
+        viterbi_decode_parallel(CODE_K7, llrs[:, :3])   # not mult of n
+    with pytest.raises(ValueError):
+        viterbi_decode_parallel(CODE_K7, _noisy_llrs(CODE_K7, bits, 0.4,
+                                                     rng),
+                                chunk=100, margin=3)    # margin < K
