@@ -27,7 +27,7 @@ from psk_soft_tpu.runtime.engine import FullKernelBatchEngine
 from psk_soft_tpu.runtime.fec import FecFrameDecoder
 from psk_soft_tpu.runtime.framesync import FrameSyncer
 from psk_soft_tpu.runtime.scramble import FrameDescrambler
-from psk_soft_tpu.runtime.streams import SRI, PORT_SOFT
+from psk_soft_tpu.runtime.streams import SRI
 
 
 def main():

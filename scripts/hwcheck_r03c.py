@@ -23,8 +23,7 @@ import jax
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.ops import tx
 from psk_soft_tpu.ops.crc import CRC16_CCITT
-from psk_soft_tpu.ops.fec import (CODE_K7, conv_encode, info_bits_for,
-                                  viterbi_decode)
+from psk_soft_tpu.ops.fec import CODE_K7, conv_encode, info_bits_for
 from psk_soft_tpu.ops.framesync import FrameFormat
 from psk_soft_tpu.ops.scramble import prbs15
 from psk_soft_tpu.runtime.crc import FrameCrcChecker
