@@ -31,8 +31,10 @@ def _registry():
         from ..models.blockpsk import FFState, SymbolBackendState
         from ..models.fused import FusedState
         from ..models.full import FullState
+        from ..ops.equalizer import EqState
+        from ..ops.fec import ViterbiStreamState
         for cls in (DemodState, FFState, SymbolBackendState, FusedState,
-                    FullState):
+                    FullState, EqState, ViterbiStreamState):
             _STATE_REGISTRY[cls.__name__] = cls
     return _STATE_REGISTRY
 

@@ -150,3 +150,57 @@ def test_checkpoint_engine_rolling_roundtrip(tmp_path):
         o, o2 = eng.step(), eng2.step()
         np.testing.assert_array_equal(np.asarray(o.soft), np.asarray(o2.soft))
         np.testing.assert_array_equal(np.asarray(o.bits), np.asarray(o2.bits))
+
+
+def test_checkpoint_equalizer_state(tmp_path):
+    """EqState (converged CMA weights + FIR history) saves/resumes exactly:
+    the resumed equalizer's output continues bit-identically."""
+    import dataclasses
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.ops.equalizer import (EqConfig, eq_init, make_eq_fn,
+                                            multipath)
+    from psk_soft_tpu.utils.transfer import to_device, to_host
+
+    rng = np.random.default_rng(121)
+    eq_cfg = EqConfig(taps=11, mu=5e-4)
+    fn = make_eq_fn(eq_cfg)
+    x = multipath(np.exp(2j * np.pi * rng.integers(0, 4, (2, 1200)) / 4),
+                  [1.0, 0.0, 0.35]).astype(np.complex64)
+    st = eq_init(eq_cfg, (2,))
+    st, _, _ = fn(st, to_device(x[:, :800]))
+
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=20)
+    path = str(tmp_path / "eq.npz")
+    save_state(path, st, cfg, extra={"eq_cfg": dataclasses.asdict(eq_cfg)})
+    st2, cfg2, extra = load_state(path)
+    assert extra["eq_cfg"]["taps"] == 11 and cfg2 == cfg
+    _, y_a, _ = fn(st, to_device(x[:, 800:]))
+    _, y_b, _ = fn(st2, to_device(x[:, 800:]))
+    np.testing.assert_array_equal(to_host(y_a), to_host(y_b))
+
+
+def test_checkpoint_viterbi_stream_state(tmp_path):
+    """ViterbiStreamState (path metrics + decision window) resumes the
+    streaming decode mid-stream with identical emitted bits."""
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.ops.fec import (CODE_K7, conv_encode, hard_llrs,
+                                      viterbi_stream_init,
+                                      viterbi_stream_step)
+    from psk_soft_tpu.utils.transfer import to_host
+
+    rng = np.random.default_rng(122)
+    bits = rng.integers(0, 2, (2, 900), np.int8)
+    llrs = np.asarray(hard_llrs(conv_encode(CODE_K7, bits,
+                                            terminate=False)))
+    llrs = (llrs + 0.4 * rng.standard_normal(llrs.shape)).astype(np.float32)
+    steps = llrs.reshape(2, -1, 2)
+    st = viterbi_stream_init(CODE_K7, 2, 70)
+    st, _ = viterbi_stream_step(CODE_K7, st, steps[:, :500])
+
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=20)
+    path = str(tmp_path / "vit.npz")
+    save_state(path, st, cfg)
+    st2, _, _ = load_state(path)
+    _, a = viterbi_stream_step(CODE_K7, st, steps[:, 500:])
+    _, b = viterbi_stream_step(CODE_K7, st2, steps[:, 500:])
+    np.testing.assert_array_equal(to_host(a), to_host(b))
