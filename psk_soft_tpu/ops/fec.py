@@ -174,7 +174,9 @@ def info_bits_for(code: ConvCode, code_bit_count: int,
             raise ValueError(
                 f"{code_bit_count} code bits is not a multiple of the "
                 f"puncture period's kept count {keep}")
-        steps = (code_bit_count // keep) * p.shape[0] // code.n
+        # Each mask row covers ONE trellis step (n raw bits), so a
+        # period of p.shape[0] rows spans p.shape[0] steps.
+        steps = (code_bit_count // keep) * p.shape[0]
     else:
         if code_bit_count % code.n:
             raise ValueError(f"{code_bit_count} code bits is not a "
