@@ -241,3 +241,20 @@ def test_make_viterbi_fn_and_validation():
         ConvCode(3, (0o7,))
     with pytest.raises(ValueError):
         ConvCode(7, (0o171, 0o133), ((0, 1), (1, 1)))        # drops col 0
+
+
+def test_k9_code_roundtrip():
+    """The K=9 (561,753) preset decodes through the 256-state trellis."""
+    from psk_soft_tpu.ops.fec import CODE_K9
+
+    rng = np.random.default_rng(18)
+    bits = rng.integers(0, 2, (2, 120), np.int8)
+    llrs = np.asarray(hard_llrs(conv_encode(CODE_K9, bits)), np.float64)
+    llrs = llrs + 0.5 * rng.standard_normal(llrs.shape)
+    dec = np.asarray(viterbi_decode(CODE_K9, llrs.astype(np.float32)))
+    assert np.array_equal(dec, bits)
+    # oracle parity on a short noisy vector
+    one = oracle_viterbi(CODE_K9, llrs[0, :80].astype(np.float32))
+    got = np.asarray(viterbi_decode(CODE_K9,
+                                    llrs[0, :80].astype(np.float32)))
+    assert np.array_equal(got, one)
