@@ -175,3 +175,127 @@ class FrameSyncer:
         if self.engine is None:
             raise AttributeError(name)
         return getattr(self.engine, name)
+
+
+class GroupFrameSyncer:
+    """Per-channel frame formats over one bank (mixed-format banks).
+
+    Mixed banks (models/mixed.py, MixedKernelBatchEngine) demodulate a
+    heterogeneous (M, differential) channel mix in one kernel; their
+    frame structure is naturally heterogeneous too.  This stage groups
+    channels by format and runs one FrameSyncer per group over the
+    channel-row slices of the tapped soft block -- each group keeps the
+    single-format device correlation (one launch per group per block),
+    and frames come back with bank-level channel indices.
+
+    Args:
+      engine: wrapped bank engine (or an int channel count for
+        standalone ``observe``).
+      fmts: per-channel formats, length = channels (channels sharing a
+        format object form one group).
+    """
+
+    def __init__(self, engine, fmts, max_frames: int = 4096):
+        if isinstance(engine, int):
+            self.engine = None
+            self._channels = engine
+        else:
+            self.engine = engine
+            self._channels = engine.channels
+        fmts = list(fmts)
+        if len(fmts) != self._channels:
+            raise ValueError(f"need one format per channel "
+                             f"({self._channels}); got {len(fmts)}")
+        groups: dict[int, list[int]] = {}
+        uniq: list = []
+        for c, fmt in enumerate(fmts):
+            for gi, g_fmt in enumerate(uniq):
+                if g_fmt is fmt or g_fmt == fmt:
+                    groups[gi].append(c)
+                    break
+            else:
+                uniq.append(fmt)
+                groups[len(uniq) - 1] = [c]
+        self.fmts = fmts
+        self._rows = [np.asarray(groups[gi], np.int64)
+                      for gi in range(len(uniq))]
+        self._syncers = [FrameSyncer(len(rows), uniq[gi],
+                                     max_frames=max_frames)
+                         for gi, rows in enumerate(self._rows)]
+
+    # -- core ----------------------------------------------------------------
+
+    def observe(self, soft: np.ndarray) -> list[Frame]:
+        soft = np.asarray(soft, np.complex64)
+        if soft.ndim != 2 or soft.shape[0] != self._channels:
+            raise ValueError(f"expected ({self._channels}, S) soft block; "
+                             f"got {soft.shape}")
+        out = []
+        for rows, sync in zip(self._rows, self._syncers):
+            for f in sync.observe(np.ascontiguousarray(soft[rows])):
+                f.channel = int(rows[f.channel])
+                out.append(f)
+        return out
+
+    def finalize(self) -> list[Frame]:
+        out = []
+        for rows, sync in zip(self._rows, self._syncers):
+            for f in sync.finalize():
+                f.channel = int(rows[f.channel])
+                out.append(f)
+        return out
+
+    def pop_frames(self) -> list[Frame]:
+        out = []
+        for rows, sync in zip(self._rows, self._syncers):
+            for f in sync.pop_frames():
+                # observe/finalize already remapped committed frames; a
+                # direct pop on a standalone group must remap too -- the
+                # mapping is idempotent only when done once, so frames
+                # drain through THIS object's pop, never the children's.
+                out.append(f)
+        out.sort(key=lambda f: (f.start, f.channel))
+        return out
+
+    @property
+    def frames_synced(self) -> int:
+        return sum(s.frames_synced for s in self._syncers)
+
+    @property
+    def dropped_frames(self) -> int:
+        return sum(s.dropped_frames for s in self._syncers)
+
+    def reset_sync(self) -> None:
+        for s in self._syncers:
+            s.reset_sync()
+
+    def reset(self) -> None:
+        self.reset_sync()
+        if self.engine is not None:
+            self.engine.reset()
+
+    # -- engine surface --------------------------------------------------------
+
+    def _tap(self, pkts):
+        if pkts:
+            soft = pkts.get(PORT_SOFT)
+            if soft is not None and soft.data.size:
+                self.observe(soft.data)
+        return pkts
+
+    def step_packets(self):
+        return self._tap(self.engine.step_packets())
+
+    def flush_packets(self):
+        pkts = self._tap(self.engine.flush_packets())
+        self.finalize()
+        return pkts
+
+    @property
+    def channels(self) -> int:
+        return self._channels
+
+    def __getattr__(self, name):
+        if self.engine is None:
+            raise AttributeError(name)
+        return getattr(self.engine, name)
