@@ -74,3 +74,56 @@ def test_group_framesync_validation_and_reset():
     g.observe(np.zeros((2, 40), np.complex64))
     g.reset_sync()
     assert g.pop_frames() == [] and g.frames_synced == 0
+
+
+def test_group_framesync_over_mixed_engine():
+    """GroupFrameSyncer taps a MixedKernelBatchEngine (heterogeneous M
+    bank, one fused kernel) and recovers every channel's frame with its
+    own format."""
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.models.mixed import MixedParams
+    from psk_soft_tpu.runtime.engine import MixedKernelBatchEngine
+    from psk_soft_tpu.runtime.streams import SRI
+
+    C = 128
+    rng = np.random.default_rng(132)
+    cfg = DemodConfig(sps=8, num_avg=30, constellation_size=4,
+                      phase_avg=20)
+    fmt_q = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=24, m=4,
+                        threshold=0.7)
+    fmt_8 = FrameFormat(uw=tuple(rng.integers(0, 8, 32)), payload=24, m=8,
+                        threshold=0.65)
+    fmts = [fmt_q if c % 2 == 0 else fmt_8 for c in range(C)]
+    params = MixedParams.make([f.m for f in fmts], [False] * C)
+
+    total, s0 = 640, 200
+    sent, rows = {}, []
+    for c, fmt in enumerate(fmts):
+        nb = int(np.log2(fmt.m))
+        info = rng.integers(0, 2, fmt.payload * nb, np.int8)
+        sent[c] = info
+        # fill seeds offset far from the master seed (a collision
+        # would embed the UW verbatim in the fill)
+        idx = tx.frame_stream(fmt, [info], [s0], total, seed=90000 + c)
+        x = np.repeat(tx.symbols_to_iq(fmt.m, idx), cfg.sps)
+        x = x * np.exp(1j * (0.1 * c))
+        x = x + 0.02 * (rng.standard_normal(x.size)
+                        + 1j * rng.standard_normal(x.size))
+        rows.append(x.astype(np.complex64))
+    bank = np.stack(rows)
+
+    eng = MixedKernelBatchEngine(params, cfg, C, block_symbols=128,
+                                 s_tile=128, interpret=True)
+    eng.set_input_sri(SRI(stream_id="gfs"))
+    top = GroupFrameSyncer(eng, fmts)
+    blk = 128 * cfg.sps
+    for pos in range(0, bank.shape[1], blk):
+        for c in range(C):
+            top.push(c, bank[c, pos:pos + blk])
+        top.step_packets()
+    top.flush_packets()
+    frames = top.pop_frames()
+    assert len(frames) == C, len(frames)
+    for f in frames:
+        assert f.start == s0
+        assert np.array_equal(f.bits, sent[f.channel]), f.channel
