@@ -133,7 +133,9 @@ class FecFrameDecoder:
         return self._decode_frames(self.syncer.pop_frames())
 
     def reset(self) -> None:
-        self.reset_fec()
+        """Queue-flush semantics: stream state resets downstream; the
+        cumulative counters survive (engine-metrics convention -- use
+        :meth:`reset_fec` to zero them explicitly)."""
         self.syncer.reset()
 
     def reset_fec(self) -> None:
@@ -282,17 +284,24 @@ class StreamFecDecoder:
         return pkts
 
     def reset(self) -> None:
-        self.reset_fec()
+        """Queue-flush semantics: drop buffered soft data and the decoder
+        window (the stream is discontinuous); the cumulative
+        ``steps_decoded`` counter survives (engine-metrics convention)."""
+        self._clear()
         if self.engine is not None:
             self.engine.reset()
 
-    def reset_fec(self) -> None:
+    def _clear(self) -> None:
         self._buf = np.zeros((self._channels, 0), np.complex64)
         self._state = viterbi_stream_init(self.code, self._channels,
                                           self.depth,
                                           known_start=self._known_start)
         self._steps_emitted = 0
         self._out = []
+
+    def reset_fec(self) -> None:
+        self._clear()
+        self.steps_decoded = 0
 
     @property
     def channels(self) -> int:

@@ -146,5 +146,7 @@ def test_reset_and_delegation(fmt):
     sync.finalize()
     assert len(dec.pop_frames()) == 1
     assert dec.frames_decoded == 1
-    dec.reset()
-    assert dec.frames_decoded == 0 and sync.frames == []
+    dec.reset()                    # stream state resets; counters survive
+    assert dec.frames_decoded == 1 and sync.frames == []
+    dec.reset_fec()                # explicit counter zeroing
+    assert dec.frames_decoded == 0
