@@ -176,9 +176,21 @@ def bit_labels(m: int, labeling: str = "scd"):
     if labeling == "gray":
         code = k ^ (k >> 1)
     elif labeling == "scd":
+        # Pure-numpy replica of slice_code (this helper is called while
+        # building constants inside jit traces, where eager jnp ops
+        # would produce tracers).
         from .framesync import psk_points
         pts = psk_points(k, m)
-        code = np.asarray(slice_code(m, pts))
+        if m == 2:
+            code = (pts.real < 0).astype(np.int64)
+        elif m == 4:
+            sr = (pts.real < 0).astype(np.int64)
+            si = (pts.imag < 0).astype(np.int64)
+            code = (sr ^ si) + 2 * si
+        else:
+            softsym = np.angle(pts) * (m / (2.0 * np.pi))
+            softsym = np.where(softsym < -0.5, softsym + m, softsym)
+            code = np.floor(softsym + 0.5).astype(np.int64) & (m - 1)
     else:
         raise ValueError(f"unknown labeling {labeling!r}")
     return ((code[:, None] >> np.arange(nb)) & 1).astype(np.int8)
