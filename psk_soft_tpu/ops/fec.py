@@ -58,6 +58,20 @@ import numpy as np
 _MAX_K = 10          # 512 states; (B, S) planes stay comfortably in VMEM
 
 
+def _resolve_backend(backend: str) -> str:
+    """'auto' -> the Mosaic kernel on TPU, the XLA scan elsewhere.
+
+    The two backends are bit-identical on decoded output (gated in
+    tests/test_viterbi_kernel.py); 'pallas' exists off-TPU too (interpret
+    mode) for gating, it is just slow there.
+    """
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown viterbi backend {backend!r}")
+    return backend
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvCode:
     """Rate 1/n convolutional code.
@@ -367,18 +381,30 @@ def viterbi_stream_init(code: ConvCode, batch: int, depth: int,
         dec=jnp.zeros((depth, batch, s_count), bool))
 
 
-def viterbi_stream_step(code: ConvCode, state: ViterbiStreamState, llrs):
+def viterbi_stream_step(code: ConvCode, state: ViterbiStreamState, llrs,
+                        backend: str = "auto"):
     """Feed (B, T, n) soft steps; returns (state', (B, T) delayed bits).
 
     Emitted bit t of this call decodes the trellis step D positions
     before it (D = window depth): the caller sees the stream shifted by
     D steps.  Puncturing: depuncture before calling (period-aligned
-    blocks need no phase carry).
+    blocks need no phase carry).  The carry layout is backend-invariant,
+    so a stream may switch backends mid-flight (checkpoint/restore
+    across hosts with and without a TPU).
     """
     y = jnp.asarray(llrs, jnp.float32)
     if y.ndim != 3 or y.shape[-1] != code.n:
         raise ValueError(f"expected (B, T, {code.n}) LLR steps; "
                          f"got {y.shape}")
+    if _resolve_backend(backend) == "pallas":
+        from .pallas.viterbi_kernel import (_pick_t_tile, _stream_block_planes,
+                                            butterfly_signs, default_interpret)
+        pm, dec, bits = _stream_block_planes(
+            y, state.pm, state.dec, jnp.asarray(butterfly_signs(code)),
+            k=code.k, s_count=code.states, n=code.n,
+            t_tile=_pick_t_tile(code.states, y.shape[1]),
+            interpret=default_interpret())
+        return ViterbiStreamState(pm=pm, dec=dec), bits
     _, exp_sign = _trellis(code)
     pm, dec, bits = _viterbi_stream_block(
         y, state.pm, state.dec, jnp.asarray(exp_sign),
@@ -392,7 +418,8 @@ def viterbi_stream_flush(code: ConvCode, state: ViterbiStreamState):
 
 
 def viterbi_decode_parallel(code: ConvCode, llrs, chunk: int = 512,
-                            margin: int | None = None):
+                            margin: int | None = None,
+                            backend: str = "auto"):
     """Time-parallel Viterbi: overlap-save over the trellis.
 
     The sequential ACS recursion bounds ``viterbi_decode`` wall time by
@@ -430,7 +457,7 @@ def viterbi_decode_parallel(code: ConvCode, llrs, chunk: int = 512,
     if chunk < 1 or margin < code.k:
         raise ValueError("need chunk >= 1 and margin >= K")
     if t <= chunk + 2 * margin:
-        return viterbi_decode(code, llrs, terminate=False)
+        return viterbi_decode(code, llrs, terminate=False, backend=backend)
     p = -(-t // chunk)                           # chunks
     span = chunk + 2 * margin
     # Window p covers steps [p*chunk - margin, p*chunk + chunk + margin).
@@ -448,20 +475,31 @@ def viterbi_decode_parallel(code: ConvCode, llrs, chunk: int = 512,
                                            axis=1) for s in starts],
                      axis=1)                     # (B, P, span, n)
     wins = wins.reshape(b * p, span, code.n)
-    _, exp_sign = _trellis(code)
     # _viterbi starts every row pinned at state 0; for windows past the
     # head that pin is wrong, but the margin lead-in re-converges the
     # metrics to the true survivors before the emitted region (the same
     # cold-acquisition property the streaming window relies on) -- so
     # the uniform-vs-pinned distinction washes out within the margin.
-    bits = _viterbi(wins, jnp.asarray(exp_sign), code.k, code.states,
-                    False)                       # (B*P, span)
+    if _resolve_backend(backend) == "pallas":
+        from .pallas.viterbi_kernel import (_decode_planes, _pick_t_tile,
+                                            butterfly_signs,
+                                            default_interpret)
+        bits = _decode_planes(
+            wins, jnp.asarray(butterfly_signs(code)), k=code.k,
+            s_count=code.states, n=code.n, terminate=False,
+            t_tile=_pick_t_tile(code.states, span),
+            interpret=default_interpret())       # (B*P, span)
+    else:
+        _, exp_sign = _trellis(code)
+        bits = _viterbi(wins, jnp.asarray(exp_sign), code.k, code.states,
+                        False)                   # (B*P, span)
     bits = bits.reshape(b, p, span)[:, :, margin:margin + chunk]
     bits = bits.reshape(b, p * chunk)[:, :t]
     return bits.reshape(lead + (t,))
 
 
-def make_stream_soft_fn(code: ConvCode, m: int, labeling: str = "scd"):
+def make_stream_soft_fn(code: ConvCode, m: int, labeling: str = "scd",
+                        backend: str = "auto"):
     """fn(state, soft) -> (state', bits): the whole streaming-FEC block
     (constellation LLRs -> depuncture -> ACS scan -> windowed traceback)
     as ONE compiled launch.
@@ -472,11 +510,20 @@ def make_stream_soft_fn(code: ConvCode, m: int, labeling: str = "scd"):
     relay a per-block LLR fetch alone costs ~100x the compute).
     ``soft`` must carry a whole number of (puncture-period- and
     symbol-aligned) trellis steps; runtime/fec.StreamFecDecoder does the
-    chunk bookkeeping.
+    chunk bookkeeping.  On TPU the trellis recursion runs in the Mosaic
+    kernel (ops/pallas/viterbi_kernel.py) inside the same launch.
     """
     _, exp_sign = _trellis(code)
     exp = jnp.asarray(exp_sign)
     k, s_count = code.k, code.states
+    use_pallas = _resolve_backend(backend) == "pallas"
+    if use_pallas:
+        from .pallas.viterbi_kernel import (_pick_t_tile,
+                                            _stream_block_planes,
+                                            butterfly_signs,
+                                            default_interpret)
+        exp_bf = jnp.asarray(butterfly_signs(code))
+        interp = default_interpret()
 
     @jax.jit
     def step(state: ViterbiStreamState, soft):
@@ -484,14 +531,22 @@ def make_stream_soft_fn(code: ConvCode, m: int, labeling: str = "scd"):
         wire = llr.reshape(soft.shape[0], -1)
         full = depuncture(code, wire)
         steps = full.reshape(soft.shape[0], -1, code.n)
-        pm, dec, bits = _viterbi_stream_block.__wrapped__(
-            steps, state.pm, state.dec, exp, k, s_count)
+        if use_pallas:
+            pm, dec, bits = _stream_block_planes.__wrapped__(
+                steps, state.pm, state.dec, exp_bf,
+                k=k, s_count=s_count, n=code.n,
+                t_tile=_pick_t_tile(s_count, steps.shape[1]),
+                interpret=interp)
+        else:
+            pm, dec, bits = _viterbi_stream_block.__wrapped__(
+                steps, state.pm, state.dec, exp, k, s_count)
         return ViterbiStreamState(pm=pm, dec=dec), bits
 
     return step
 
 
-def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):
+def viterbi_decode(code: ConvCode, llrs, terminate: bool = True,
+                   backend: str = "auto"):
     """Maximum-likelihood decode of (..., L) soft code bits -> (..., N) bits.
 
     Args:
@@ -501,10 +556,15 @@ def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):
         input); length must cover a whole number of trellis steps.
       terminate: the stream ends with K-1 zero flush bits (frame mode):
         the final state is pinned to 0 and flush bits are stripped.
+      backend: 'auto' (Mosaic kernel on TPU, XLA scan elsewhere), 'xla',
+        or 'pallas'; decoded bits are identical either way.
 
     Returns:
       (..., N) int8 decoded information bits, N = T - (K-1) if terminated.
     """
+    if _resolve_backend(backend) == "pallas":
+        from .pallas.viterbi_kernel import viterbi_decode_pallas
+        return viterbi_decode_pallas(code, llrs, terminate=terminate)
     y = depuncture(code, jnp.asarray(llrs, jnp.float32))
     l = y.shape[-1]
     if l % code.n:
@@ -523,9 +583,11 @@ def viterbi_decode(code: ConvCode, llrs, terminate: bool = True):
     return bits.reshape(lead + (bits.shape[-1],))
 
 
-def make_viterbi_fn(code: ConvCode, terminate: bool = True):
+def make_viterbi_fn(code: ConvCode, terminate: bool = True,
+                    backend: str = "auto"):
     """fn(llrs) -> bits with the code closed over (jit-cached per shape)."""
-    return functools.partial(viterbi_decode, code, terminate=terminate)
+    return functools.partial(viterbi_decode, code, terminate=terminate,
+                             backend=backend)
 
 
 # -- constellation LLRs -------------------------------------------------------

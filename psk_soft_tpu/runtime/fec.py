@@ -56,7 +56,7 @@ class FecFrameDecoder:
     def __init__(self, syncer, code: ConvCode = CODE_K7,
                  terminate: bool = True, suspect_fraction: float = 0.08,
                  interleave_rows: int | None = None,
-                 labeling: str = "scd"):
+                 labeling: str = "scd", backend: str = "auto"):
         self.syncer = syncer
         self.code = code
         self.terminate = terminate
@@ -72,7 +72,8 @@ class FecFrameDecoder:
         if interleave_rows is not None:
             from ..ops.interleave import _perm
             _perm(self._code_bits, int(interleave_rows))   # validates
-        self._decode = make_viterbi_fn(code, terminate=terminate)
+        self._decode = make_viterbi_fn(code, terminate=terminate,
+                                       backend=backend)
         self.frames_decoded = 0
         self.errors_corrected = 0
         self.suspect_frames = 0
@@ -172,7 +173,8 @@ class StreamFecDecoder:
 
     def __init__(self, engine, code: ConvCode = CODE_K7, m=None,
                  depth: int | None = None, block_steps: int = 512,
-                 known_start: bool = True, labeling: str = "scd"):
+                 known_start: bool = True, labeling: str = "scd",
+                 backend: str = "auto"):
         self.labeling = labeling
         if isinstance(engine, int):
             self.engine = None
@@ -204,7 +206,8 @@ class StreamFecDecoder:
         self.block_steps = ((int(block_steps) + g - 1) // g) * g
         self._syms_per_block = self.block_steps // g * self._grain_syms
         self._known_start = bool(known_start)
-        self._fn = make_stream_soft_fn(code, self._m, labeling)
+        self._fn = make_stream_soft_fn(code, self._m, labeling,
+                                       backend=backend)
         self._buf = np.zeros((self._channels, 0), np.complex64)
         self._state = viterbi_stream_init(code, self._channels, self.depth,
                                           known_start=known_start)
