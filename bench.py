@@ -267,6 +267,139 @@ def _time_run_k(args, run_k, carry, x_re, x_im, C, T, warmed=False):
     return C * T * args.iters / best
 
 
+def run_chain(args):
+    """One-number receive-chain benchmark (VERDICT r4 item 3): capture ->
+    flagship demod kernel -> device frame sync -> Mosaic Viterbi -> CRC,
+    composed as ONE jitted program per block (no host round trips inside
+    the chain), info-bits/s with the standard fetch-forced timing.
+
+    The block carries UW-led frames (K=7 rate-1/2 coded + CRC16) at a
+    fixed cadence chosen so every frame lands fully inside the demod
+    output block (output lags input by numAvg-1 symbols); correctness --
+    every frame found, every payload decoded to the transmitted info
+    bits, every CRC green -- is asserted on the warm-up step before
+    anything is timed.  vs_baseline stays in the bench's standard unit
+    (input samples/s against the per-chip north-star share).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
+    from psk_soft_tpu.models.full import demod_block_full, full_from_ff
+    from psk_soft_tpu.ops import tx
+    from psk_soft_tpu.ops.crc import CRC16_CCITT, crc_bits
+    from psk_soft_tpu.ops.fec import CODE_K7, info_bits_for, psk_llrs
+    from psk_soft_tpu.ops.framesync import FrameFormat, sync_extract_topk
+    from psk_soft_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
+    from psk_soft_tpu.utils.transfer import to_device
+
+    C, sps, S = args.channels, args.sps, args.symbols
+    cfg = DemodConfig(sps=sps, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(12)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=64, m=4,
+                      threshold=0.7)
+    n_info = info_bits_for(code, fmt.payload * 2)       # 58 (CRC inside)
+    n_msg = n_info - crc.degree
+    a1 = cfg.num_avg - 1
+    # Frame starts in INPUT symbols, placed so output rows (p + a1) keep
+    # the whole frame inside [0, S - frame_len].
+    cadence = 128
+    starts, p = [], (-a1) % cadence
+    while p + a1 + fmt.frame_len <= S:
+        starts.append(p)
+        p += cadence
+    k_frames = len(starts)
+    if k_frames == 0:
+        raise ValueError("block too short for one frame; raise --symbols")
+
+    # TX: per-channel info bits; no CFO so the repeated bench block is
+    # phase-continuous and every iteration does identical chain work.
+    infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
+    rows = []
+    for c in range(C):
+        idx = tx.frame_stream(fmt, list(infos[c]), starts, S, code=code,
+                              crc=crc, labeling="gray", seed=300 + c)
+        rows.append(idx)
+    idx = np.stack(rows)
+    x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
+                     sps, axis=1).astype(np.complex64)
+    x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                     + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+
+    # Converge the tracker, hand off to the fused kernel (run_full recipe).
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x_np))
+    state = full_from_ff(cfg, st_ff)
+    x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
+    x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
+
+    nb = 2
+    interp = jax.default_backend() != "tpu"   # CPU smoke runs interpret
+    step = functools.partial(demod_block_full, cfg, debug_ports=False,
+                             interpret=interp)
+
+    def chain_body(st, x_re, x_im):
+        st2, fo = step(st, x_re, x_im)
+        soft = jax.lax.complex(fo.soft_re, fo.soft_im).T     # (C, S)
+        pm, found, pos, _ = sync_extract_topk(soft, fmt, k_frames)
+        llr = psk_llrs(4, pm.reshape(C * k_frames, fmt.payload),
+                       labeling="gray")                      # (N, P, nb)
+        llr = llr.reshape(C * k_frames, fmt.payload * nb)
+        bits = viterbi_decode_pallas(code, llr)              # (N, n_info)
+        msg, field = bits[:, :n_msg], bits[:, n_msg:]
+        ok = jnp.all(crc_bits(crc, msg) == field, axis=-1)
+        return st2, (msg.reshape(C, k_frames, n_msg),
+                     found, pos, ok.reshape(C, k_frames))
+
+    # Warm-up + correctness gate on the steady block, BEFORE timing.
+    chain_jit = jax.jit(chain_body)
+    state, (msg, found, pos, ok) = chain_jit(state, x_re, x_im)
+    state, (msg, found, pos, ok) = chain_jit(state, x_re, x_im)
+    msg, found, pos, ok = (np.asarray(msg), np.asarray(found),
+                           np.asarray(pos), np.asarray(ok))
+    # Output row of the frame planted at input symbol p is p + a1 (demod
+    # lags by numAvg-1); top-k returns earliest-first, so rows line up
+    # with `starts` order exactly.
+    want_pos = np.asarray(starts) + a1
+    assert found.all(), f"missed {(~found).sum()} frames"
+    assert (pos == want_pos[None, :]).all(), "frame positions off"
+    assert ok.all(), f"{(~ok).sum()} CRC failures"
+    assert (msg == infos).all(), "info bits wrong"
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(st, x_re, x_im, k):
+        def body(s, _):
+            s2, (m, f, p, o) = chain_body(s, x_re, x_im)
+            return s2, (m.astype(jnp.int32).sum() + f.sum() + o.sum())
+        st, chks = jax.lax.scan(body, st, None, length=k)
+        return st, jnp.sum(chks)
+
+    state, _ = run_k(state, x_re, x_im, args.warmup or 1)
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        state, chk = run_k(state, x_re, x_im, args.iters)
+        float(chk)   # fetch forces completion of the whole chain
+        best = min(best, time.perf_counter() - t0)
+    info_rate = C * k_frames * n_info * args.iters / best
+    sample_rate = C * S * sps * args.iters / best
+    print(json.dumps({
+        "metric": f"{C}-channel receive-chain throughput (demod+sync+"
+                  f"Viterbi+CRC one-program, {k_frames} frames/block/ch, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": info_rate,
+        "unit": "infobits/s",
+        "vs_baseline": sample_rate / PER_CHIP_BASELINE,
+    }))
+    return 0
+
+
 def run_mesh(args):
     """Scaling-efficiency reports (eval/scaling.py), one JSON line each."""
     import jax
@@ -501,11 +634,14 @@ def main():
                     help="i16 = int16 I/Q wire-format planes dequantized in "
                          "VMEM (half the f32 HBM input read); applies to "
                          "the fused-kernel pipelines")
-    ap.add_argument("--profile", choices=["default", "config3", "mixed"],
+    ap.add_argument("--profile",
+                    choices=["default", "config3", "mixed", "chain"],
                     default="default",
                     help="config3 = 8-PSK + RRC + fractional timing "
                          "(BASELINE config 3) on the fused kernel; mixed = "
-                         "per-channel modes (BASELINE config 4)")
+                         "per-channel modes (BASELINE config 4); chain = "
+                         "capture->demod->frame sync->Viterbi->CRC as one "
+                         "device program, reported in info-bits/s")
     ap.add_argument("--engine", action="store_true",
                     help="end-to-end production-path bench (native deframe "
                          "-> engine step -> packet assembly), at "
@@ -525,6 +661,8 @@ def main():
         return run_engine(args)
     if args.mesh:
         return run_mesh(args)
+    if args.profile == "chain":
+        return run_chain(args)
     if args.profile != "default":
         return run_profile(args)
 

@@ -72,8 +72,7 @@ def uw_points(uw, m: int) -> np.ndarray:
     return psk_points(uw, m)
 
 
-@functools.partial(jax.jit, static_argnames=("u_len",))
-def _correlate(soft, uw_conj, u_len: int):
+def _correlate_core(soft, uw_conj, u_len: int):
     s = soft.shape[-1]
     w = s - u_len + 1
     acc = jnp.zeros(soft.shape[:-1] + (w,), jnp.complex64)
@@ -89,6 +88,9 @@ def _correlate(soft, uw_conj, u_len: int):
     norm = jnp.abs(acc) / jnp.sqrt(
         jnp.maximum(u_len * energy, 1e-20)).astype(jnp.float32)
     return acc, norm
+
+
+_correlate = jax.jit(_correlate_core, static_argnames=("u_len",))
 
 
 def correlate_uw(soft: jnp.ndarray, uw_pts: np.ndarray):
@@ -117,7 +119,13 @@ def correlate_uw(soft: jnp.ndarray, uw_pts: np.ndarray):
 def resolve_rotation(corr_value, m: int):
     """Correlation-peak phase -> (k, residual): the M-fold ambiguity index
     and the leftover fine phase in (-pi/M, pi/M]."""
-    phi = np.angle(np.asarray(corr_value))
+    return resolve_rotation_angle(np.angle(np.asarray(corr_value)), m)
+
+
+def resolve_rotation_angle(phi, m: int):
+    """:func:`resolve_rotation` from an already-extracted peak phase (the
+    sparse detection path fetches angles, not complex phasors)."""
+    phi = np.asarray(phi)
     k = np.round(phi * m / (2 * np.pi)).astype(np.int64) % m
     residual = np.angle(np.exp(1j * (phi - 2 * np.pi * k / m)))
     return k, residual.astype(np.float32)
@@ -227,6 +235,187 @@ class Frame:
     #                                      code's plausible correction span
     # Filled by runtime/crc.FrameCrcChecker when a CRC is in the chain:
     crc_ok: bool | None = None
+
+
+# --- device-side sparse detection (round 4) -------------------------------
+#
+# The host path above fetches the full (C, W) correlation AND normalization
+# planes every scan (12 bytes/position over the host link) and then loops
+# per head in Python.  At flagship scale (1024 channels) the fetch alone
+# dwarfs the demod kernel step, so the round-4 syncer keeps everything on
+# device and fetches only sparse candidates: detection (the same local-max
+# criterion as detect_peaks, term for term) reduces to a compact
+# (c, t, norm, angle) candidate table whose fetched prefix is proportional
+# to the number of FRAMES, not samples; payload derotate + re-slice for all
+# committed heads then runs as ONE gather launch.
+
+@functools.partial(jax.jit, static_argnames=("u_len", "sep", "kmax"))
+def _detect_compact(soft, uw_conj, threshold, u_len: int, sep: int,
+                    kmax: int):
+    corr, norm = _correlate_core(soft, uw_conj, u_len)
+    # Same criterion as detect_peaks: >= threshold, strictly above the
+    # sep-1 positions before, >= the sep-1 after (first-max tie-break).
+    is_peak = _peak_mask(norm, threshold, sep)
+    total = is_peak.sum().astype(jnp.int32)
+    ci, ti = jnp.nonzero(is_peak, size=kmax, fill_value=-1)
+    g = (jnp.clip(ci, 0, None), jnp.clip(ti, 0, None))
+    cand = jnp.stack([ci.astype(jnp.float32), ti.astype(jnp.float32),
+                      norm[g],
+                      jnp.angle(corr[g]).astype(jnp.float32)], axis=1)
+    return total, cand
+
+
+def detect_uw_sparse(soft, fmt: FrameFormat,
+                     kmax: int | None = None) -> np.ndarray:
+    """Device-side UW detection with frames-proportional host traffic.
+
+    Args:
+      soft: (C, S) complex soft plane (device array stays resident; numpy
+        is uploaded).
+      fmt: frame format (threshold/separation rule detect_peaks documents).
+      kmax: static candidate capacity (default: the densest legal packing,
+        one frame every ``separation`` positions on every channel).
+
+    Returns:
+      (N, 4) float32 host array of candidates [channel, t, norm, angle],
+      in (channel, t) row-major order.  Host bytes: one scalar + 16 bytes
+      per detected candidate.
+    """
+    from ..utils.transfer import to_device
+
+    if isinstance(soft, np.ndarray):
+        soft = to_device(soft)
+    c, s = soft.shape
+    u = fmt.uw_len
+    if s < u:
+        return np.zeros((0, 4), np.float32)
+    w = s - u + 1
+    if kmax is None:
+        kmax = c * (w // fmt.separation + 1)
+    kmax = max(int(kmax), 1)
+    total, cand = _detect_compact(soft, to_device(np.conj(fmt.points)),
+                                  jnp.float32(fmt.threshold), u,
+                                  fmt.separation, kmax)
+    n = int(total)                       # scalar fetch
+    if n == 0:
+        return np.zeros((0, 4), np.float32)
+    if n > kmax:                         # cannot happen with default kmax
+        raise RuntimeError(f"{n} peaks exceed candidate capacity {kmax}")
+    return np.asarray(cand[:n])          # prefix fetch: 16 bytes/candidate
+
+
+@functools.partial(jax.jit, static_argnames=("uw_len", "payload", "m"))
+def _extract_payloads(soft, ci, ti, ks, uw_len: int, payload: int, m: int):
+    cols = ti[:, None] + uw_len + jnp.arange(payload, dtype=ti.dtype)
+    pm = soft[ci[:, None], cols]                       # (N, payload) gather
+    ang = (-2.0 * np.pi / m) * ks.astype(jnp.float32)
+    pm = pm * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))[:, None]
+    nb = int(np.log2(m))
+    bits3 = slicers.slice_bits(m, pm)                  # (N, payload, >=nb)
+    bits = bits3[..., :nb].reshape(pm.shape[0], -1).astype(jnp.int8)
+    return pm, bits
+
+
+def extract_heads(soft, fmt: FrameFormat, heads_c, heads_t, ks):
+    """Batched payload derotation + re-slice for N committed frame heads.
+
+    One gather launch for the whole batch (padded to a power-of-two bucket
+    so block-to-block head counts reuse compiled programs); fetches exactly
+    the N payload rows.
+
+    Returns (soft (N, payload) complex64, bits (N, payload*nb) int8).
+    """
+    from ..utils.transfer import to_device
+
+    if isinstance(soft, np.ndarray):
+        soft = to_device(soft)
+    n = len(heads_c)
+    nb = int(np.log2(fmt.m))
+    if n == 0:
+        return (np.zeros((0, fmt.payload), np.complex64),
+                np.zeros((0, fmt.payload * nb), np.int8))
+    cap = 1 << max(0, (n - 1)).bit_length()            # next power of two
+    ci = np.zeros(cap, np.int32)
+    ti = np.zeros(cap, np.int32)
+    kk = np.zeros(cap, np.int32)
+    ci[:n] = heads_c
+    ti[:n] = heads_t
+    kk[:n] = ks
+    from ..utils.transfer import to_host
+
+    pm, bits = _extract_payloads(soft, to_device(ci), to_device(ti),
+                                 to_device(kk), fmt.uw_len, fmt.payload,
+                                 fmt.m)
+    return to_host(pm[:n]), np.asarray(bits[:n])
+
+
+def _peak_mask(norm, threshold, sep: int):
+    """Device local-max mask, same criterion as detect_peaks (channel-major
+    (C, W) norm plane)."""
+    c, w = norm.shape
+    k = max(int(sep), 1)
+    if k == 1:
+        return norm >= threshold
+    ninf = jnp.asarray(-jnp.inf, norm.dtype)
+    pad = jnp.full((c, k - 1), ninf, norm.dtype)
+    extl = jnp.concatenate([pad, norm], axis=1)
+    left = jax.lax.reduce_window(
+        extl, ninf, jax.lax.max, (1, k - 1), (1, 1), "VALID")[:, :w]
+    extr = jnp.concatenate([norm, pad], axis=1)
+    right = jax.lax.reduce_window(
+        extr, ninf, jax.lax.max, (1, k - 1), (1, 1), "VALID")[:, 1:]
+    return (norm >= threshold) & (norm > left) & (norm >= right)
+
+
+def sync_extract_topk(soft, fmt: FrameFormat, k: int):
+    """Jit-composable fixed-capacity frame sync for one (C, S) soft block.
+
+    The streaming FrameSyncer fetches a *dynamic* candidate list (host
+    bookkeeping between blocks); this is the fully-device building block
+    for single-launch receive chains (bench `--profile chain`,
+    demod -> sync -> FEC -> CRC in one program): every shape is static, so
+    it composes under jit/scan with the demod kernel and the Mosaic
+    Viterbi decoder with no host round trip.
+
+    Detects up to ``k`` earliest UW peaks per channel (detect_peaks
+    criterion) and returns their derotated payloads:
+
+      payloads: (C, k, payload) complex64, derotated by the resolved
+        M-fold rotation (rows where found is False are garbage),
+      found:    (C, k) bool,
+      pos:      (C, k) int32 peak positions (t of the UW's first symbol),
+      ang:      (C, k) float32 raw correlation angles.
+
+    Frames whose payload would run past the block edge are dropped (same
+    contract as extract_frames' containment rule).
+    """
+    uw_conj = jnp.asarray(np.conj(fmt.points))
+    u = fmt.uw_len
+    s = soft.shape[-1]
+    if s < fmt.frame_len:
+        raise ValueError(f"block shorter ({s}) than one frame "
+                         f"({fmt.frame_len})")
+    corr, norm = _correlate_core(soft, uw_conj, u)
+    w = norm.shape[-1]
+    is_peak = _peak_mask(norm, jnp.float32(fmt.threshold), fmt.separation)
+    # Containment: payload through pos + frame_len - 1 must exist.
+    t = jnp.arange(w, dtype=jnp.int32)
+    is_peak = is_peak & (t[None, :] <= s - fmt.frame_len)
+    # Earliest-k via top_k on a time-descending key (0 = no peak).
+    key = jnp.where(is_peak, w - t[None, :], 0).astype(jnp.int32)
+    vals, _ = jax.lax.top_k(key, k)                     # (C, k)
+    found = vals > 0
+    pos = jnp.where(found, w - vals, 0).astype(jnp.int32)
+    ang = jnp.take_along_axis(
+        jnp.angle(corr).astype(jnp.float32), pos, axis=1)
+    # Gather payloads: (C, k*payload) column indices into (C, S).
+    cols = (pos[:, :, None] + u
+            + jnp.arange(fmt.payload, dtype=jnp.int32)[None, None, :])
+    pm = jnp.take_along_axis(soft, cols.reshape(soft.shape[0], -1), axis=1)
+    pm = pm.reshape(soft.shape[0], k, fmt.payload)
+    rot = (-2.0 * np.pi / fmt.m) * jnp.round(ang * (fmt.m / (2 * np.pi)))
+    pm = pm * jax.lax.complex(jnp.cos(rot), jnp.sin(rot))[:, :, None]
+    return pm, found, pos, ang
 
 
 def extract_frames(fmt: FrameFormat, soft: np.ndarray,

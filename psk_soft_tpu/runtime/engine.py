@@ -541,6 +541,16 @@ class _PipelinedPackets:
         self._pipe_depth = int(depth)
         self._pending: list = []     # device outputs not yet assembled
         self._held: list[dict[str, Packet]] = []  # assembled, not yet emitted
+        self._device_tap_fn = None
+
+    def set_device_tap(self, fn) -> None:
+        """Register an observer called with each raw block output
+        (TMOutputs or channel-major DemodOutputs, still device-resident)
+        right before packet assembly fetches it.  Lets downstream stages
+        (runtime/framesync's device-resident syncer) consume the kernel's
+        output planes without any plane-sized host transfer.  One slot;
+        pass None to clear."""
+        self._device_tap_fn = fn
 
     def push_block(self, block: np.ndarray) -> None:
         """Channel-major (C, n) complex64 append — the native-bank fast
@@ -564,6 +574,8 @@ class _PipelinedPackets:
         return self.flush()
 
     def _emit(self, out, eos: bool = False) -> dict[str, Packet]:
+        if out is not None and self._device_tap_fn is not None:
+            self._device_tap_fn(out)
         if isinstance(out, TMOutputs):
             pkts = self.assembler.assemble_tm(out, eos=eos)
         else:

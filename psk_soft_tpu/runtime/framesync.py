@@ -14,18 +14,50 @@ detection statistic, so the syncer holds back just enough lookahead
 payload span before committing a frame start, and carries a bounded
 (C, ~frame+sep) soft tail across blocks -- no re-detection, no duplicates,
 identical frames for any block split (gated in tests/test_framesync.py).
-The device correlation re-runs over the short retained tail plus the new
-block; the heavy work stays one jitted launch per block.
+
+**Device-resident (round 4).**  The retained tail lives on device, the
+correlation/local-max/compaction run as one launch per scan
+(ops/framesync.detect_uw_sparse), and the host fetches only sparse
+candidates (16 bytes each) plus the committed frames' payload rows (one
+batched gather launch, ops/framesync.extract_heads) -- host bytes per
+block are proportional to FRAMES, not samples.  When the wrapped engine
+exposes ``set_device_tap`` (the _PipelinedPackets batch engines), the
+syncer observes the kernel's device-resident block outputs directly, so
+sync adds no plane-sized host transfer at all; otherwise it taps the
+host packet stream and uploads blocks once (the upload replaces the old
+path's full correlation-plane FETCH per scan, runtime/framesync.py@r3:96).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from ..ops.framesync import (Frame, FrameFormat, correlate_uw,
-                             detect_peaks, resolve_rotation)
-from ..ops import slicers
+from ..ops.framesync import (Frame, FrameFormat, detect_uw_sparse,
+                             extract_heads, resolve_rotation_angle)
 from .streams import PORT_SOFT
+
+
+@jax.jit
+def _tm_combine(re, im, inv):
+    """Time-major kernel planes -> channel-major complex soft block
+    (device; handles int8 soft_i8 planes via the dequantize scale)."""
+    return (jax.lax.complex(re.astype(jnp.float32) * inv,
+                            im.astype(jnp.float32) * inv)).T
+
+
+@jax.jit
+def _dequant_cmajor(re_q, im_q, inv):
+    return jax.lax.complex(re_q.astype(jnp.float32) * inv,
+                           im_q.astype(jnp.float32) * inv)
+
+
+@jax.jit
+def _append(tail, block):
+    return jnp.concatenate([tail, block], axis=1)
 
 
 class FrameSyncer:
@@ -40,7 +72,8 @@ class FrameSyncer:
         unboundedly.
     """
 
-    def __init__(self, engine, fmt: FrameFormat, max_frames: int = 4096):
+    def __init__(self, engine, fmt: FrameFormat, max_frames: int = 4096,
+                 device_tap: bool = True):
         if isinstance(engine, int):
             self.engine = None
             self._channels = engine
@@ -55,25 +88,95 @@ class FrameSyncer:
                                fmt.separation + fmt.uw_len - 1)
         # Left context so future peaks' look-back windows stay intact.
         self._keep_back = fmt.separation - 1
-        self._buf = np.zeros((self._channels, 0), np.complex64)
+        self._buf = None        # device (C, L) complex64; None = empty
+        self._buf_len = 0
         self._base = 0          # absolute symbol index of buf[:, 0]
         self._next_scan = 0     # first absolute start not yet committed
         self.frames: list[Frame] = []
         self.dropped_frames = 0
         self.frames_synced = 0
+        # Observe the wrapped engine's device-resident block outputs when
+        # it offers the hook (frames-proportional host traffic); fall back
+        # to tapping the host packet stream otherwise.
+        self._tap_device = False
+        if self.engine is not None and device_tap:
+            hook = getattr(self.engine, "set_device_tap", None)
+            if callable(hook):
+                hook(self._observe_engine_out)
+                self._tap_device = True
 
     # -- core ----------------------------------------------------------------
 
     def observe(self, soft: np.ndarray) -> list[Frame]:
         """Fold one (C, S) soft block; returns frames committed by it."""
+        from ..utils.transfer import to_device
+
         soft = np.asarray(soft, np.complex64)
         if soft.ndim != 2 or soft.shape[0] != self._channels:
             raise ValueError(f"expected ({self._channels}, S) soft block; "
                              f"got {soft.shape}")
-        self._buf = np.concatenate([self._buf, soft], axis=1)
+        if soft.shape[1] == 0:
+            return []
+        return self.observe_device(to_device(soft))
+
+    def observe_device(self, soft) -> list[Frame]:
+        """:meth:`observe` for an already-device-resident (C, S) complex
+        block: appends to the device tail, scans, fetches only sparse
+        candidates + committed payloads."""
+        if soft.shape[0] != self._channels:
+            raise ValueError(f"expected ({self._channels}, S) device block")
+        if soft.shape[1]:
+            self._buf = (soft if self._buf is None
+                         else _append(self._buf, soft))
+            self._buf_len = int(self._buf.shape[1])
         new = self._scan()
         self._trim()
         return self._commit(new)
+
+    def _observe_engine_out(self, out) -> None:
+        """Device tap (engine ``set_device_tap`` hook): fold one raw block
+        output -- TMOutputs or channel-major DemodOutputs -- without any
+        plane-sized host transfer."""
+        soft = self._engine_out_soft(out)
+        if soft is not None and soft.shape[1]:
+            self.observe_device(soft)
+
+    def _engine_out_soft(self, out):
+        from .engine import TMOutputs
+        from ..models.full import QuantSoft
+
+        if out is None:
+            return None
+        if isinstance(out, TMOutputs):
+            fo = out.fo
+            re, im = fo.soft_re, fo.soft_im
+            v = out.valid_rows
+            if v is not None:
+                idx = np.flatnonzero(np.asarray(v))
+                if idx.size == 0:
+                    return None
+                lo, hi = int(idx[0]), int(idx[-1]) + 1
+                if hi - lo != idx.size:      # non-contiguous (never today)
+                    sel = jnp.asarray(idx)
+                    re, im = jnp.take(re, sel, 0), jnp.take(im, sel, 0)
+                else:
+                    re, im = re[lo:hi], im[lo:hi]
+            inv = 1.0 / out.soft_scale if out.soft_scale else 1.0
+            return _tm_combine(re, im, jnp.float32(inv))
+        # Channel-major DemodOutputs (warm-up blocks): lockstep bank, so
+        # row 0 of the valid plane gives the emitted-symbol span.
+        soft = out.soft
+        if isinstance(soft, QuantSoft):
+            soft = _dequant_cmajor(soft.re_q, soft.im_q,
+                                   jnp.float32(1.0 / soft.scale))
+        v = np.asarray(out.valid[0] if out.valid.ndim > 1 else out.valid)
+        idx = np.flatnonzero(v)
+        if idx.size == 0:
+            return None
+        lo, hi = int(idx[0]), int(idx[-1]) + 1
+        if hi - lo != idx.size:
+            return jnp.take(soft, jnp.asarray(idx), axis=1)
+        return soft[:, lo:hi]
 
     def _commit(self, new: list[Frame]) -> list[Frame]:
         if new:
@@ -86,50 +189,52 @@ class FrameSyncer:
         return new
 
     def _scan(self, hi: int | None = None) -> list[Frame]:
-        l = self._buf.shape[1]
+        l = self._buf_len
         if hi is None:
             hi = l - self._need_after      # inclusive last committable t
         lo = self._next_scan - self._base
         if hi < lo or l < self.fmt.uw_len:
             return []
         fmt = self.fmt
-        from ..utils.transfer import to_device, to_host
-        corr, norm = to_host(correlate_uw(self._buf, fmt.points))
-        peaks = detect_peaks(norm, fmt.threshold, fmt.separation)
-        nb = int(np.log2(fmt.m))
-        heads = [(c, int(t)) for c, ts in enumerate(peaks)
-                 for t in ts[(ts >= lo) & (ts <= hi)]]
+        # One detection launch over the bounded device tail + new block;
+        # fetch = 16 bytes per candidate (ops/framesync sparse path).
+        cand = detect_uw_sparse(self._buf, fmt)
         self._next_scan = self._base + hi + 1
-        if not heads:
+        if cand.shape[0] == 0:
             return []
-        ks, ress, payloads = [], [], []
-        for c, t in heads:
-            k, res = resolve_rotation(corr[c, t], fmt.m)
-            derot = np.exp(-2j * np.pi * int(k) / fmt.m
-                           ).astype(np.complex64)
-            ks.append(int(k))
-            ress.append(float(res))
-            payloads.append(self._buf[c, t + fmt.uw_len: t + fmt.frame_len]
-                            * derot)
-        pm = np.asarray(payloads, np.complex64).reshape(len(heads),
-                                                        fmt.payload)
-        bits3 = np.asarray(slicers.slice_bits(fmt.m, to_device(pm)))
-        bits = bits3[:, :, :nb].reshape(len(heads), -1).astype(np.int8)
-        return [Frame(channel=c, start=self._base + t, rotation=ks[i],
-                      corr=float(norm[c, t]), residual_phase=ress[i],
+        ts = cand[:, 1].astype(np.int64)
+        keep = (ts >= lo) & (ts <= hi)
+        cand = cand[keep]
+        if cand.shape[0] == 0:
+            return []
+        cs = cand[:, 0].astype(np.int64)
+        ts = cand[:, 1].astype(np.int64)
+        ks, ress = resolve_rotation_angle(cand[:, 3].astype(np.float64),
+                                          fmt.m)
+        # Batched payload derotate + re-slice: ONE gather launch, fetch
+        # exactly the committed frames' payload rows.
+        pm, bits = extract_heads(self._buf, fmt, cs, ts, ks)
+        return [Frame(channel=int(cs[i]), start=self._base + int(ts[i]),
+                      rotation=int(ks[i]), corr=float(cand[i, 2]),
+                      residual_phase=float(ress[i]),
                       soft=pm[i], bits=bits[i])
-                for i, (c, t) in enumerate(heads)]
+                for i in range(cand.shape[0])]
 
     def _trim(self) -> None:
         keep_from = self._next_scan - self._base - self._keep_back
-        if keep_from > 0:
-            self._buf = self._buf[:, keep_from:]
+        if keep_from > 0 and self._buf is not None:
+            self._buf = (self._buf[:, keep_from:]
+                         if keep_from < self._buf_len else None)
+            self._buf_len = max(self._buf_len - keep_from, 0)
             self._base += keep_from
 
     # -- engine surface --------------------------------------------------------
 
     def _tap(self, pkts):
-        if pkts:
+        # With the device tap registered, blocks were already observed
+        # device-side at emit time; the packet stream passes through
+        # untouched.
+        if pkts and not self._tap_device:
             soft = pkts.get(PORT_SOFT)
             if soft is not None and soft.data.size:
                 self.observe(soft.data)
@@ -147,7 +252,7 @@ class FrameSyncer:
         """End of stream: commit frames in the held-back tail whose payload
         is fully present (right detection windows see the stream edge,
         matching one-shot extraction on the whole stream)."""
-        new = self._scan(hi=self._buf.shape[1] - self.fmt.frame_len)
+        new = self._scan(hi=self._buf_len - self.fmt.frame_len)
         self._trim()
         return self._commit(new)
 
@@ -162,7 +267,8 @@ class FrameSyncer:
             self.engine.reset()
 
     def reset_sync(self) -> None:
-        self._buf = np.zeros((self._channels, 0), np.complex64)
+        self._buf = None
+        self._buf_len = 0
         self._base = 0
         self._next_scan = 0
         self.frames = []
