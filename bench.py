@@ -404,7 +404,8 @@ def run_mesh(args):
     """Scaling-efficiency reports (eval/scaling.py), one JSON line each."""
     import jax
     from psk_soft_tpu import DemodConfig
-    from psk_soft_tpu.eval.scaling import (channel_scaling_report,
+    from psk_soft_tpu.eval.scaling import (chain_scaling_report,
+                                           channel_scaling_report,
                                            time_shard_report)
 
     if args.profile == "config3":
@@ -421,6 +422,12 @@ def run_mesh(args):
         reps=args.reps, pipeline="ff" if on_cpu else "full",
         interpret=False)
     print(json.dumps(rep))
+    if args.profile == "chain":
+        rep_c = chain_scaling_report(
+            cfg, channels_per_device=128, symbols=512,
+            iters=max(2, args.iters // 100), reps=args.reps,
+            interpret=on_cpu)
+        print(json.dumps(rep_c))
     if len(jax.devices()) > 1:
         rep_t = time_shard_report(
             cfg, channels=128, total_symbols=4096,

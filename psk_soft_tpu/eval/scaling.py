@@ -143,6 +143,124 @@ def channel_scaling_report(cfg: DemodConfig, *, device_counts=None,
             "channels_per_device": channels_per_device, "points": points}
 
 
+def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
+                         channels_per_device: int = 128,
+                         symbols: int = 512, iters: int = 5,
+                         reps: int = 3, interpret: bool = False) -> dict:
+    """Weak-scaling report for the FULL receive chain per shard: fused
+    demod kernel -> fixed-capacity device frame sync -> Mosaic Viterbi
+    (K=7 rate 1/2) -> CRC16, composed INSIDE the shard_map body so the
+    chan axis stays communication-free end-to-end (every post-demod stage
+    is per-channel independent).  The bench's ``--profile chain`` is the
+    single-device twin of this body (bench.py run_chain); here the same
+    work scales over the mesh.
+    """
+    from ..models.blockpsk import make_ff_demod_fn, ff_init
+    from ..models.full import FullState, demod_block_full, full_from_ff
+    from ..ops.crc import CRC16_CCITT, crc_bits
+    from ..ops.fec import CODE_K7, info_bits_for, psk_llrs
+    from ..ops.framesync import FrameFormat, sync_extract_topk
+    from ..ops.pallas.viterbi_kernel import viterbi_decode_pallas
+    from ..ops import tx
+    from ..utils.transfer import to_device
+
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32)
+                         if n <= len(devices)]
+    sps, m = cfg.sps, cfg.constellation_size
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(12)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, m, 32)), payload=64, m=m,
+                      threshold=0.7)
+    nb = int(np.log2(m))
+    n_info = info_bits_for(code, fmt.payload * nb)
+    n_msg = n_info - crc.degree
+    a1 = cfg.num_avg - 1
+    cadence = 128
+    starts, p = [], (-a1) % cadence
+    while p + a1 + fmt.frame_len <= symbols:
+        starts.append(p)
+        p += cadence
+    k_frames = len(starts)
+    if not k_frames:
+        raise ValueError("symbols too small for one frame per block")
+    # One frame pattern tiled across channels (identical chain work per
+    # channel; per-channel noise below keeps the signal non-degenerate).
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+    idx_row = tx.frame_stream(fmt, infos, starts, symbols, code=code,
+                              crc=crc, labeling="gray", seed=7)
+
+    def body(state, x_re, x_im):
+        st2, fo = demod_block_full(cfg, state, x_re, x_im,
+                                   debug_ports=False, interpret=interpret)
+        soft = jax.lax.complex(fo.soft_re, fo.soft_im).T
+        pm, found, pos, _ = sync_extract_topk(soft, fmt, k_frames)
+        n_rows = pm.shape[0] * k_frames
+        llr = psk_llrs(m, pm.reshape(n_rows, fmt.payload), labeling="gray")
+        bits = viterbi_decode_pallas(code,
+                                     llr.reshape(n_rows, fmt.payload * nb),
+                                     interpret=interpret)
+        msg, field = bits[:, :n_msg], bits[:, n_msg:]
+        ok = jnp.all(crc_bits(crc, msg) == field, axis=-1)
+        chk = (bits.astype(jnp.int32).sum() + found.sum() + ok.sum()
+               + pos.sum())
+        return st2, chk.astype(jnp.float32)[None]   # (1,) per shard
+
+    points = []
+    for n in device_counts:
+        C = channels_per_device * n
+        mesh = Mesh(np.asarray(devices[:n]), ("chan",))
+        x_np = np.repeat(np.exp(1j * (2 * np.pi
+                                      * np.tile(idx_row, (C, 1)) / m
+                                      + 0.4)), sps, axis=1)
+        x_np = (x_np + 0.01 * (np.random.default_rng(n).standard_normal(
+            x_np.shape))).astype(np.complex64)
+        warm = make_ff_demod_fn(cfg, channels=C)
+        st_ff, _ = warm(ff_init(cfg, (C,)), to_device(x_np))
+        state = full_from_ff(cfg, st_ff)
+        spec = P(None, "chan")
+        state_specs = FullState(win_re=spec, win_im=spec, planes=spec)
+        sharded = jax.shard_map(
+            body, mesh=mesh, in_specs=(state_specs, spec, spec),
+            out_specs=(state_specs, P("chan")), check_vma=False)
+        sh = NamedSharding(mesh, spec)
+        state = jax.tree.map(lambda v: jax.device_put(v, sh), state)
+        x_re = jax.device_put(jnp.asarray(
+            np.ascontiguousarray(x_np.real.T)), sh)
+        x_im = jax.device_put(jnp.asarray(
+            np.ascontiguousarray(x_np.imag.T)), sh)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_k(state, x_re, x_im, k):
+            def step(st, _):
+                st2, chk = sharded(st, x_re, x_im)
+                return st2, jnp.sum(chk)
+            st, chks = jax.lax.scan(step, state, None, length=k)
+            return st, jnp.sum(chks)
+
+        state, _ = run_k(state, x_re, x_im, 1)   # compile + warm
+
+        def run():
+            nonlocal state
+            state, chk = run_k(state, x_re, x_im, iters)
+            float(chk)
+
+        t = _timed_best(run, reps) / iters
+        points.append({
+            "devices": n, "channels": C, "step_s": t,
+            "throughput_sps": C * symbols * sps / t,
+            "infobits_per_s": C * k_frames * n_info / t,
+        })
+    t1 = points[0]["step_s"]
+    for p in points:
+        p["efficiency"] = t1 / p["step_s"]
+    return {"mode": "chain-weak", "symbols_per_block": symbols, "sps": sps,
+            "channels_per_device": channels_per_device,
+            "frames_per_block_per_channel": k_frames,
+            "code": "K7 rate 1/2 + CRC16", "points": points}
+
+
 def time_shard_report(cfg: DemodConfig, *, time_counts=None,
                       channels: int = 128, total_symbols: int = 4096,
                       iters: int = 5, reps: int = 3,

@@ -37,8 +37,9 @@ logger = logging.getLogger("psk_soft_tpu.engine")
 from ..config import DemodConfig
 from ..models import blockpsk, psk
 from .. import state as state_mod
-from .streams import (SRI, Packet, PORT_BITS, PORT_PHASE, PORT_SAMPLE_INDEX,
-                      PORT_SOFT, propagate_sri)
+from .streams import (SRI, Packet, PortStats, PORT_BITS, PORT_PHASE,
+                      PORT_SAMPLE_INDEX, PORT_SOFT, propagate_sri,
+                      record_packets)
 
 
 @dataclasses.dataclass
@@ -82,6 +83,9 @@ class StreamEngine:
         self._staging = np.zeros(0, np.complex64)
         self._sri: Optional[SRI] = None
         self._sri_dirty = True
+        # Per-output-port counters (ProvidesPortStatisticsProvider analog,
+        # psk_soft.scd.xml:86-95).
+        self.port_stats: dict[str, PortStats] = {}
         self._time_origin: Optional[float] = None  # time of stream sample 0
         self._symbols_emitted = 0    # valid outputs so far (for timestamps)
         self._symbols_consumed = 0   # whole symbols fed to the device
@@ -190,7 +194,7 @@ class StreamEngine:
         if packet.eos:
             self.metrics.eos_seen += 1
             outputs = self._mark_eos(outputs, packet)
-        return outputs
+        return record_packets(self.port_stats, outputs)
 
     # ------------------------------------------------------------- internals
 
@@ -542,6 +546,9 @@ class _PipelinedPackets:
         self._pending: list = []     # device outputs not yet assembled
         self._held: list[dict[str, Packet]] = []  # assembled, not yet emitted
         self._device_tap_fn = None
+        # Per-output-port counters (ProvidesPortStatisticsProvider analog,
+        # psk_soft.scd.xml:86-95); updated once per assembled block.
+        self.port_stats: dict[str, PortStats] = {}
 
     def set_device_tap(self, fn) -> None:
         """Register an observer called with each raw block output
@@ -590,7 +597,7 @@ class _PipelinedPackets:
             bitsp = pkts.get(PORT_BITS)
             if bitsp is not None:
                 self.metrics.bits_out += int(bitsp.data.size)
-        return pkts
+        return record_packets(self.port_stats, pkts)
 
     def _drain_pending(self) -> None:
         """Assemble every in-flight block now (old-config packets are held
@@ -1627,3 +1634,23 @@ class GroupEngine:
         """Full state reset of every group (resetState semantics)."""
         for _, _, eng in self.groups:
             eng.reset()
+
+    @property
+    def port_stats(self) -> dict[str, PortStats]:
+        """Bank-wide per-port statistics: groups' counters summed (each
+        group records its own packet pushes)."""
+        merged: dict[str, PortStats] = {}
+        for _, _, eng in self.groups:
+            for port, s in eng.port_stats.items():
+                m = merged.get(port)
+                if m is None:
+                    merged[port] = m = PortStats()
+                    m.last_t, m.last_wall, m._t0 = s.last_t, s.last_wall, s._t0
+                m.packets += s.packets
+                m.items += s.items
+                m.bytes += s.bytes
+                m.eos_count += s.eos_count
+                m.last_t = max(m.last_t, s.last_t)
+                m.last_wall = max(m.last_wall, s.last_wall)
+                m._t0 = min(m._t0, s._t0)
+        return merged

@@ -10,6 +10,8 @@ is a frozen dataclass pytree-side-channel; packets are host numpy arrays.
 from __future__ import annotations
 
 import dataclasses
+import time
+
 import numpy as np
 
 from ..config import DemodConfig
@@ -54,6 +56,65 @@ PORT_SOFT = "softDecision_dataFloat_out"
 PORT_BITS = "bits_dataShort_out"
 PORT_PHASE = "phase_dataFloat_out"
 PORT_SAMPLE_INDEX = "sampleIndex_dataShort_out"
+
+
+@dataclasses.dataclass
+class PortStats:
+    """Per-output-port statistics: the ``ProvidesPortStatisticsProvider``
+    analog the reference advertises on every port (psk_soft.scd.xml:86-95;
+    bulkio fills rates, queue depths, bytes per port).  One instance per
+    port name, updated by the packet layer on every push.
+    """
+
+    packets: int = 0          # pushPacket calls ("callsPerSecond" basis)
+    items: int = 0            # elements pushed ("elementsPerSecond" basis)
+    bytes: int = 0            # payload bytes ("bitsPerSecond" basis)
+    eos_count: int = 0
+    last_t: float = 0.0       # stream timestamp of the last packet head
+    last_wall: float = 0.0    # host wall clock of the last push
+    _t0: float = dataclasses.field(default_factory=time.monotonic)
+
+    def update(self, pkt: Packet) -> None:
+        self.packets += 1
+        self.items += int(pkt.data.size)
+        self.bytes += int(pkt.data.nbytes)
+        self.eos_count += bool(pkt.eos)
+        self.last_t = float(pkt.t)
+        self.last_wall = time.monotonic()
+
+    @property
+    def elements_per_second(self) -> float:
+        dt = max(self.last_wall - self._t0, 1e-9)
+        return self.items / dt
+
+    @property
+    def calls_per_second(self) -> float:
+        dt = max(self.last_wall - self._t0, 1e-9)
+        return self.packets / dt
+
+    @property
+    def bits_per_second(self) -> float:
+        dt = max(self.last_wall - self._t0, 1e-9)
+        return 8.0 * self.bytes / dt
+
+    @property
+    def time_since_last_call(self) -> float:
+        if not self.packets:
+            return 0.0
+        return max(time.monotonic() - self.last_wall, 0.0)
+
+
+def record_packets(stats: dict[str, PortStats],
+                   pkts: dict[str, Packet] | None):
+    """Fold one emitted {port: Packet} dict into a per-port stats map
+    (returns ``pkts`` unchanged so emit paths can tail-call it)."""
+    if pkts:
+        for port, pkt in pkts.items():
+            s = stats.get(port)
+            if s is None:
+                s = stats[port] = PortStats()
+            s.update(pkt)
+    return pkts
 
 
 def propagate_sri(cfg: DemodConfig, in_sri: SRI) -> dict[str, SRI]:
