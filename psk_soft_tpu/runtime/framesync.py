@@ -30,8 +30,6 @@ path's full correlation-plane FETCH per scan, runtime/framesync.py@r3:96).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
