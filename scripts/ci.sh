@@ -11,6 +11,16 @@ make -C native
 echo "== native static analysis (gcc -fanalyzer; cppcheck-stage analog) =="
 make -C native analyze
 
+echo "== version attestation + jax API-surface probe =="
+# The reference CI pins its toolchain matrix (.gitlab-ci.yml:88-116); this
+# env cannot install alternate jax versions, so drift fails loudly instead
+# (TESTED_VERSIONS.txt) and the semi-private surfaces the repo leans on
+# (Pallas interpret, shard_map collectives, sized nonzero, ...) are probed
+# in seconds rather than mid-suite.
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    python scripts/jax_compat_probe.py
+
 echo "== static checks =="
 python -m compileall -q psk_soft_tpu tests bench.py __graft_entry__.py
 python scripts/pylint_lite.py
@@ -23,6 +33,9 @@ python scripts/pycov.py --min 70 -m pytest tests/ -q
 
 echo "== CLI selftest =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m psk_soft_tpu selftest
+
+echo "== package-artifact validation (wheel build + offline install) =="
+bash scripts/wheel_smoke.sh
 
 echo "== runnable examples =="
 for ex in examples/*.py; do
