@@ -77,6 +77,26 @@ class EqConfig:
         value e.g. 1e-4 bounds drift on long silent streams).
       freeze: compute outputs but skip weight updates (decision-directed
         hold / converged production mode).
+      mode: "cma" (blind Godard error, acquisition) or "dd" --
+        decision-directed LMS on the sliced M-PSK decisions, the
+        post-lock refinement that removes the CMA excess-MSE floor (CMA's
+        error is zero anywhere ON the unit circle, so residual ISI that
+        only rotates symbols is invisible to it; the DD error e = y - a
+        sees it).  DD decisions are rotation-invariant: the block's
+        M-th-power phase (the same estimator as the carrier tracker,
+        cpp/psk_soft.cpp:474-481) anchors the decision grid, so CMA's
+        arbitrary unitary convergence rotation never breaks the slicer.
+        Switch after CMA lock (cm_err small) -- DD from a cold start can
+        lock onto wrong decisions.
+      dd_m: constellation order for DD decisions.
+      dd_gate: selective-DD reliability gate: error samples with
+        |y - a| >= dd_gate contribute NO gradient (with rect pulses and a
+        dispersive channel, samples near symbol transitions carry
+        inter-symbol mixtures no linear equalizer can fix; their
+        "decisions" are junk that biases the update -- gating them is
+        what makes DD actually beat the CMA floor, measured ~1.8x in
+        tests/test_equalizer.py).  In units of the unit-circle
+        constellation (QPSK min distance = sqrt(2)); 0 disables gating.
     """
 
     taps: int = 11
@@ -86,6 +106,9 @@ class EqConfig:
     center: int | None = None
     leak: float = 0.0
     freeze: bool = False
+    mode: str = "cma"
+    dd_m: int = 4
+    dd_gate: float = 0.25
 
     def __post_init__(self):
         if not (1 <= self.taps <= _MAX_TAPS):
@@ -97,6 +120,13 @@ class EqConfig:
             raise ValueError("center tap out of range")
         if self.mu < 0 or self.leak < 0:
             raise ValueError("mu and leak must be >= 0")
+        if self.mode not in ("cma", "dd"):
+            raise ValueError(f"unknown equalizer mode {self.mode!r}")
+        if self.dd_m not in (2, 4, 8, 16, 32):
+            raise ValueError(f"dd_m must be a supported PSK order; "
+                             f"got {self.dd_m}")
+        if self.dd_gate < 0:
+            raise ValueError("dd_gate must be >= 0")
 
     @property
     def center_tap(self) -> int:
@@ -159,8 +189,25 @@ def eq_block(cfg: EqConfig, state: EqState, x: jnp.ndarray):
     # Error samples on the stride grid.
     ys = y[..., ::cfg.stride]
     ms = mod[..., ::cfg.stride]
-    e = (ys * (ms - cfg.r2)).astype(jnp.complex64)
-    cm_err = jnp.mean((ms - cfg.r2) ** 2, axis=-1)
+    if cfg.mode == "dd":
+        # Rotation-invariant M-PSK decisions: anchor the grid on the
+        # block's M-th-power phase, quantize each symbol to it.
+        m = cfg.dd_m
+        phi = jnp.angle(jnp.sum(ys ** m, axis=-1, keepdims=True)) / m
+        theta = jnp.angle(ys)
+        kq = jnp.round((theta - phi) * (m / (2.0 * np.pi)))
+        a_ang = (phi + kq * (2.0 * np.pi / m)).astype(jnp.float32)
+        a = jax.lax.complex(jnp.cos(a_ang), jnp.sin(a_ang))
+        e = (ys - a).astype(jnp.complex64)
+        e2 = e.real * e.real + e.imag * e.imag
+        # Observable: decision-directed MSE (the quantity DD minimizes).
+        cm_err = jnp.mean(e2, axis=-1)
+        if cfg.dd_gate > 0:
+            # Selective DD: drop unreliable decisions from the gradient.
+            e = e * (e2 < cfg.dd_gate * cfg.dd_gate).astype(jnp.float32)
+    else:
+        e = (ys * (ms - cfg.r2)).astype(jnp.complex64)
+        cm_err = jnp.mean((ms - cfg.r2) ** 2, axis=-1)
 
     if cfg.freeze or cfg.mu == 0.0:
         new_w = state.w
@@ -176,11 +223,12 @@ def eq_block(cfg: EqConfig, state: EqState, x: jnp.ndarray):
         xw = jnp.stack(slices, axis=-2)               # (..., L, K)
         g = jnp.einsum("...lk,...k->...l", jnp.conj(xw), e)
         # Power normalization: the CMA gradient scales with the cube of
-        # the signal level; normalizing by (mean input power)^2 makes mu
-        # transfer across input scales.
+        # the signal level (normalize by power^2); the DD/LMS gradient is
+        # linear in it (normalize by power).  Either way mu transfers
+        # across input scales.
         p = jnp.mean(xx.real * xx.real + xx.imag * xx.imag,
                      axis=-1, keepdims=True)
-        g = g / jnp.maximum(p * p, 1e-12)
+        g = g / jnp.maximum(p if cfg.mode == "dd" else p * p, 1e-12)
         new_w = (state.w * (1.0 - cfg.leak) - cfg.mu * g).astype(
             jnp.complex64)
         gn = jnp.sqrt(jnp.sum(jnp.abs(g) ** 2, axis=-1)).astype(jnp.float32)

@@ -35,9 +35,17 @@ class EqFrontEnd:
         MixedKernelBatchEngine, ...).
       eq_cfg: equalizer configuration; ``stride`` defaults to 1
         (rectangular pulses -- set sps for band-limited ones).
+      dd_switch: enable the CMA -> DD-LMS handover: once the bank-mean
+        CMA cost stays below this threshold for ``dd_hold`` consecutive
+        updates (lock), the error switches to decision-directed LMS
+        (EqConfig.mode docs) which removes the CMA excess-MSE floor at
+        high SNR.  None (default) keeps pure CMA.  Ignored when eq_cfg
+        already starts in "dd" mode.
+      dd_hold: consecutive below-threshold updates required to switch.
     """
 
-    def __init__(self, engine, eq_cfg: EqConfig | None = None):
+    def __init__(self, engine, eq_cfg: EqConfig | None = None, *,
+                 dd_switch: float | None = None, dd_hold: int = 3):
         self.engine = engine
         self.eq_cfg = eq_cfg if eq_cfg is not None else EqConfig()
         self._state = eq_init(self.eq_cfg, (engine.channels,))
@@ -46,6 +54,9 @@ class EqFrontEnd:
         self._staged = [np.zeros(0, np.complex64)
                         for _ in range(engine.channels)]
         self.updates = 0
+        self.dd_switch = dd_switch
+        self.dd_hold = int(dd_hold)
+        self._lock_streak = 0
 
     def _run(self, x):
         from ..utils.transfer import to_device, to_host
@@ -56,7 +67,22 @@ class EqFrontEnd:
         self._last_cm_err = np.asarray(info["cm_err"], np.float32)
         if not self.eq_cfg.freeze:
             self.updates += 1
+            if (self.dd_switch is not None and self.eq_cfg.mode == "cma"
+                    and float(self._last_cm_err.mean()) < self.dd_switch):
+                self._lock_streak += 1
+                if self._lock_streak >= self.dd_hold:
+                    self.eq_cfg = dataclasses.replace(self.eq_cfg,
+                                                      mode="dd")
+                    self._fn = make_eq_fn(self.eq_cfg)
+            elif self.eq_cfg.mode == "cma":
+                self._lock_streak = 0
         return to_host(y)
+
+    @property
+    def mode(self) -> str:
+        """Current adaptation mode: "cma" (acquisition) or "dd"
+        (post-lock decision-directed refinement)."""
+        return self.eq_cfg.mode
 
     # -- data paths ----------------------------------------------------------
 
@@ -155,6 +181,12 @@ class EqFrontEnd:
         self.engine.reset()
 
     def reset_eq(self) -> None:
+        if self.dd_switch is not None and self.eq_cfg.mode == "dd":
+            # Fresh identity weights need re-acquisition: DD decisions on
+            # an unequalized channel are unreliable, so drop back to CMA.
+            self.eq_cfg = dataclasses.replace(self.eq_cfg, mode="cma")
+            self._fn = make_eq_fn(self.eq_cfg)
+        self._lock_streak = 0
         self._state = eq_init(self.eq_cfg, (self.engine.channels,))
         self._last_cm_err = np.zeros(self.engine.channels, np.float32)
         self._staged = [np.zeros(0, np.complex64)

@@ -87,7 +87,8 @@ def build_receiver(cfg: DemodConfig, channels: int, *,
     if equalize:
         from ..ops.equalizer import EqConfig
         from .equalizer import EqFrontEnd
-        eq_cfg = equalize if not isinstance(equalize, bool) else EqConfig()
+        eq_cfg = (equalize if not isinstance(equalize, bool)
+                  else EqConfig(dd_m=cfg.constellation_size))
         eng = EqFrontEnd(eng, eq_cfg)
     if agc:
         from ..ops.agc import AgcConfig
