@@ -28,8 +28,9 @@ python scripts/pylint_lite.py
 echo "== unit + integration tests (virtual 8-device CPU mesh, coverage) =="
 # pycov (sys.monitoring) gates line coverage of psk_soft_tpu/ -- the
 # reference CI's gcov/gcovr stage analog.  Subprocess (CLI) tests are not
-# traced, so the floor is conservative.
-python scripts/pycov.py --min 70 -m pytest tests/ -q
+# traced.  Floor ratcheted to the round-4 measurement (83.0%) minus a
+# small variance margin; ratchet again when the measured figure rises.
+python scripts/pycov.py --min 80 -m pytest tests/ -q
 
 echo "== CLI selftest =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m psk_soft_tpu selftest
