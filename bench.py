@@ -305,26 +305,40 @@ def run_chain(args):
     n_info = info_bits_for(code, fmt.payload * 2)       # 58 (CRC inside)
     n_msg = n_info - crc.degree
     a1 = cfg.num_avg - 1
-    # Frame starts in INPUT symbols, placed so output rows (p + a1) keep
-    # the whole frame inside [0, S - frame_len].
-    cadence = 128
-    starts, p = [], (-a1) % cadence
-    while p + a1 + fmt.frame_len <= S:
-        starts.append(p)
-        p += cadence
+    # Frame DETECTION rows r on a fixed cadence covering the output block
+    # (r + frame_len <= S); each maps to input position p = (r - a1) % S
+    # (demod output lags input by numAvg-1; the bench block repeats, so a
+    # frame planted near the block's end wraps into the next iteration's
+    # head -- contiguous in the periodic stream).  Wrapped plants must
+    # still fit the input block: p + frame_len <= S.
+    cadence = max(fmt.separation, 104)
+    rows, p_of = [], []
+    for r in range(0, S - fmt.frame_len + 1, cadence):
+        p = (r - a1) % S
+        if p + fmt.frame_len <= S:
+            rows.append(r)
+            p_of.append(p)
+    starts = p_of
     k_frames = len(starts)
     if k_frames == 0:
         raise ValueError("block too short for one frame; raise --symbols")
 
     # TX: per-channel info bits; no CFO so the repeated bench block is
     # phase-continuous and every iteration does identical chain work.
+    # Built batched (one CRC matmul + one conv_encode over all C*k frames;
+    # per-frame tx.build_frame would cost a device dispatch per frame).
+    from psk_soft_tpu.ops.crc import append_crc
+    from psk_soft_tpu.ops.fec import conv_encode
+
     infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
-    rows = []
-    for c in range(C):
-        idx = tx.frame_stream(fmt, list(infos[c]), starts, S, code=code,
-                              crc=crc, labeling="gray", seed=300 + c)
-        rows.append(idx)
-    idx = np.stack(rows)
+    coded = np.asarray(conv_encode(code, jnp.asarray(
+        append_crc(crc, infos))), np.int8)          # (C, k, payload*nb)
+    pay_syms = tx.bits_to_symbols(4, coded, "gray")  # (C, k, payload)
+    idx = rng.integers(0, 4, (C, S))
+    uw_arr = np.asarray(fmt.uw, np.int64)
+    for j, s0 in enumerate(starts):
+        idx[:, s0:s0 + fmt.uw_len] = uw_arr[None, :]
+        idx[:, s0 + fmt.uw_len:s0 + fmt.frame_len] = pay_syms[:, j]
     x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
                      sps, axis=1).astype(np.complex64)
     x_np += (0.01 * (rng.standard_normal(x_np.shape)
@@ -363,10 +377,10 @@ def run_chain(args):
     state, (msg, found, pos, ok) = chain_jit(state, x_re, x_im)
     msg, found, pos, ok = (np.asarray(msg), np.asarray(found),
                            np.asarray(pos), np.asarray(ok))
-    # Output row of the frame planted at input symbol p is p + a1 (demod
-    # lags by numAvg-1); top-k returns earliest-first, so rows line up
-    # with `starts` order exactly.
-    want_pos = np.asarray(starts) + a1
+    # top-k returns earliest detection rows first; `rows` is already
+    # ascending and infos[:, j] was planted at p_of[j] = row j's input
+    # position, so everything lines up index-for-index.
+    want_pos = np.asarray(rows)
     assert found.all(), f"missed {(~found).sum()} frames"
     assert (pos == want_pos[None, :]).all(), "frame positions off"
     assert ok.all(), f"{(~ok).sum()} CRC failures"
