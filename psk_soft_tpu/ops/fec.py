@@ -278,7 +278,14 @@ def _make_acs(exp_sign):
         cand = jnp.concatenate([pairs, pairs], axis=1) + bm  # (B, S, 2)
         dec = (cand[..., 1] > cand[..., 0])                  # (B, S) bool
         new = jnp.where(dec, cand[..., 1], cand[..., 0])
-        new = new - jnp.max(new, axis=1, keepdims=True)      # re-zero
+        # Re-zero against state 0's metric, not the max: any per-row
+        # constant bounds the growth (survivor metrics stay within the
+        # merge-depth spread of each other), decisions compare within a
+        # row so the reference choice cancels, and on the Mosaic kernel
+        # a row broadcast is ~75 cycles/step cheaper than a 64-sublane
+        # max reduction.  The kernel mirrors this term for term
+        # (ops/pallas/viterbi_kernel.py) so bit parity is preserved.
+        new = new - new[:, 0:1]                              # re-zero
         return new, dec
 
     return acs
