@@ -291,7 +291,7 @@ def run_chain(args):
     from psk_soft_tpu.ops import tx
     from psk_soft_tpu.ops.crc import CRC16_CCITT, crc_bits
     from psk_soft_tpu.ops.fec import CODE_K7, info_bits_for, psk_llrs
-    from psk_soft_tpu.ops.framesync import FrameFormat, sync_extract_topk
+    from psk_soft_tpu.ops.framesync import FrameFormat, sync_extract_topk_tm
     from psk_soft_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
     from psk_soft_tpu.utils.transfer import to_device
 
@@ -360,8 +360,10 @@ def run_chain(args):
 
     def chain_body(st, x_re, x_im):
         st2, fo = step(st, x_re, x_im)
-        soft = jax.lax.complex(fo.soft_re, fo.soft_im).T     # (C, S)
-        pm, found, pos, _ = sync_extract_topk(soft, fmt, k_frames)
+        # Kernel-native (S, C) planes feed the time-major sync core
+        # directly -- the (C, S) complex transpose alone cost 0.27 ms.
+        pm, found, pos, _ = sync_extract_topk_tm(fo.soft_re, fo.soft_im,
+                                                 fmt, k_frames)
         llr = psk_llrs(4, pm.reshape(C * k_frames, fmt.payload),
                        labeling="gray")                      # (N, P, nb)
         llr = llr.reshape(C * k_frames, fmt.payload * nb)

@@ -159,7 +159,7 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
     from ..models.full import FullState, demod_block_full, full_from_ff
     from ..ops.crc import CRC16_CCITT, crc_bits
     from ..ops.fec import CODE_K7, info_bits_for, psk_llrs
-    from ..ops.framesync import FrameFormat, sync_extract_topk
+    from ..ops.framesync import FrameFormat, sync_extract_topk_tm
     from ..ops.pallas.viterbi_kernel import viterbi_decode_pallas
     from ..ops import tx
     from ..utils.transfer import to_device
@@ -194,8 +194,8 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
     def body(state, x_re, x_im):
         st2, fo = demod_block_full(cfg, state, x_re, x_im,
                                    debug_ports=False, interpret=interpret)
-        soft = jax.lax.complex(fo.soft_re, fo.soft_im).T
-        pm, found, pos, _ = sync_extract_topk(soft, fmt, k_frames)
+        pm, found, pos, _ = sync_extract_topk_tm(fo.soft_re, fo.soft_im,
+                                                 fmt, k_frames)
         n_rows = pm.shape[0] * k_frames
         llr = psk_llrs(m, pm.reshape(n_rows, fmt.payload), labeling="gray")
         bits = viterbi_decode_pallas(code,

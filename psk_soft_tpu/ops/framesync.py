@@ -388,46 +388,132 @@ def sync_extract_topk(soft, fmt: FrameFormat, k: int):
 
     Frames whose payload would run past the block edge are dropped (same
     contract as extract_frames' containment rule).
+
+    Thin wrapper over :func:`sync_extract_topk_tm` (the time-major core);
+    callers holding the demod kernel's native (S, C) planes should call
+    that directly and skip this transpose.
     """
-    uw_conj = jnp.asarray(np.conj(fmt.points))
+    return sync_extract_topk_tm(soft.real.T, soft.imag.T, fmt, k)
+
+
+def sync_extract_topk_tm(soft_re, soft_im, fmt: FrameFormat, k: int):
+    """Time-major core of :func:`sync_extract_topk`: (S, C) float planes in.
+
+    Takes the demod kernel's native block layout (time on sublanes,
+    channels on lanes, real/imag split) so the chain composes with ZERO
+    relayout: the (C, S) entry point's complex transpose alone measured
+    0.27 ms at 1024x512 -- half the cost of the whole sync.  Outputs are
+    identical to the wrapper's, (C, ...) leading (they are tiny).
+
+    TPU-native selection, no gathers and no top_k:
+
+    - earliest-k peaks = the rank of each peak in time order, computed as
+      an exclusive ``cumsum`` of the peak mask along time; the j-th
+      frame's position/phasor then falls out of masked reductions over
+      the (W, C) planes (one-hot exact).  ``lax.top_k`` on the (C, W)
+      key plane measured 0.15 ms and forced the channel-major layout.
+    - payload extraction factors the one-hot contraction through a
+      (block, offset) radix decomposition of pos: select the covering
+      width-(BW+P) superblock with an (nq, C) one-hot, then the payload
+      inside it with a (BW, C) one-hot against P static shifts --
+      ~8x less reduction work than the single-stage shifted form
+      (P*W -> nq*(BW+P) + P*BW multiplies per head), and XLA-TPU's
+      per-row gather costs ~7x the single-stage form to begin with
+      (2.25 ms vs 0.34 ms at C=1024, k=3, P=64 -- measured r4).
+
+    One-hot sums are exact, so results are bit-identical to the dense
+    reference (tests/test_framesync_device.py).
+    """
     u = fmt.uw_len
-    s = soft.shape[-1]
+    s, c_dim = soft_re.shape
     if s < fmt.frame_len:
         raise ValueError(f"block shorter ({s}) than one frame "
                          f"({fmt.frame_len})")
-    corr, norm = _correlate_core(soft, uw_conj, u)
-    w = norm.shape[-1]
-    is_peak = _peak_mask(norm, jnp.float32(fmt.threshold), fmt.separation)
-    # Containment: payload through pos + frame_len - 1 must exist.
-    t = jnp.arange(w, dtype=jnp.int32)
-    is_peak = is_peak & (t[None, :] <= s - fmt.frame_len)
-    # Earliest-k via top_k on a time-descending key (0 = no peak).
-    key = jnp.where(is_peak, w - t[None, :], 0).astype(jnp.int32)
-    vals, _ = jax.lax.top_k(key, k)                     # (C, k)
-    found = vals > 0
-    pos = jnp.where(found, w - vals, 0).astype(jnp.int32)
-    ang = jnp.angle(jnp.take_along_axis(corr, pos, axis=1)
-                    ).astype(jnp.float32)
-    # Payload extraction WITHOUT a dynamic gather: XLA-TPU's per-row
-    # gather costs ~7x a shifted masked reduction at bank shapes
-    # (2.25 ms vs 0.34 ms at C=1024, k=3, P=64 -- measured r4), so build
-    # the (C, k, W) one-hot of pos once and contract it against P static
-    # shifts of the soft plane.  Zero-padding covers the shifted reads
-    # past S; those columns only meet sel = 0.
-    c_dim = soft.shape[0]
-    sel = (t[None, None, :] == pos[:, :, None]).astype(jnp.float32)
-    zpad = jnp.zeros((c_dim, fmt.payload), jnp.float32)
-    sre = jnp.concatenate([soft.real, zpad], axis=1)
-    sim = jnp.concatenate([soft.imag, zpad], axis=1)
-    re_p, im_p = [], []
-    for p in range(fmt.payload):
-        seg_r = jax.lax.slice_in_dim(sre, u + p, u + p + w, axis=1)
-        seg_i = jax.lax.slice_in_dim(sim, u + p, u + p + w, axis=1)
-        re_p.append(jnp.einsum("ckt,ct->ck", sel, seg_r))
-        im_p.append(jnp.einsum("ckt,ct->ck", sel, seg_i))
-    pm = jax.lax.complex(jnp.stack(re_p, axis=-1), jnp.stack(im_p, axis=-1))
-    rot = (-2.0 * np.pi / fmt.m) * jnp.round(ang * (fmt.m / (2 * np.pi)))
-    pm = pm * jax.lax.complex(jnp.cos(rot), jnp.sin(rot))[:, :, None]
+    uw_conj = np.conj(np.asarray(fmt.points, np.complex64))
+    w = s - u + 1
+    acc_r = jnp.zeros((w, c_dim), jnp.float32)
+    acc_i = jnp.zeros((w, c_dim), jnp.float32)
+    for tt in range(u):                   # static unroll: U shifted FMAs
+        xr = jax.lax.slice_in_dim(soft_re, tt, tt + w, axis=0)
+        xi = jax.lax.slice_in_dim(soft_im, tt, tt + w, axis=0)
+        ur = float(uw_conj[tt].real)
+        ui = float(uw_conj[tt].imag)
+        acc_r = acc_r + (ur * xr - ui * xi)
+        acc_i = acc_i + (ur * xi + ui * xr)
+    p = soft_re * soft_re + soft_im * soft_im
+    cs = jnp.concatenate([jnp.zeros((1, c_dim), jnp.float32),
+                          jnp.cumsum(p, axis=0)], axis=0)
+    energy = cs[u:] - cs[:-u]
+    norm = jnp.abs(jax.lax.complex(acc_r, acc_i)) / jnp.sqrt(
+        jnp.maximum(u * energy, 1e-20)).astype(jnp.float32)
+    # Local-max criterion of detect_peaks, along axis 0.
+    sep = max(int(fmt.separation), 1)
+    thr = jnp.float32(fmt.threshold)
+    if sep == 1:
+        is_peak = norm >= thr
+    else:
+        ninf = jnp.asarray(-jnp.inf, norm.dtype)
+        pad = jnp.full((sep - 1, c_dim), ninf, norm.dtype)
+        left = jax.lax.reduce_window(
+            jnp.concatenate([pad, norm], axis=0), ninf, jax.lax.max,
+            (sep - 1, 1), (1, 1), "VALID")[:w]
+        right = jax.lax.reduce_window(
+            jnp.concatenate([norm, pad], axis=0), ninf, jax.lax.max,
+            (sep - 1, 1), (1, 1), "VALID")[1:]
+        is_peak = (norm >= thr) & (norm > left) & (norm >= right)
+    t = jnp.arange(w, dtype=jnp.int32)[:, None]
+    is_peak = is_peak & (t <= s - fmt.frame_len)      # containment
+    ipk = is_peak.astype(jnp.int32)
+    rnk = jnp.cumsum(ipk, axis=0) - ipk               # exclusive peak rank
+    pl_len = fmt.payload
+    bw = 32
+    nq = -(-(s + pl_len) // bw)
+    pad_to = nq * bw + pl_len
+    zpad = jnp.zeros((pad_to - s, c_dim), jnp.float32)
+    sre = jnp.concatenate([soft_re, zpad], axis=0)
+    sim = jnp.concatenate([soft_im, zpad], axis=0)
+    sb_r = jnp.stack([jax.lax.slice_in_dim(sre, q * bw, q * bw + bw + pl_len,
+                                           axis=0) for q in range(nq)],
+                     axis=0)                          # (nq, BW+P, C)
+    sb_i = jnp.stack([jax.lax.slice_in_dim(sim, q * bw, q * bw + bw + pl_len,
+                                           axis=0) for q in range(nq)],
+                     axis=0)
+    iq = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    ir = jnp.arange(bw, dtype=jnp.int32)[:, None]
+    res = []
+    for j in range(k):
+        oh = is_peak & (rnk == j)                     # (W, C), <=1 hot/col
+        ohf = oh.astype(jnp.float32)
+        found_j = jnp.any(oh, axis=0)
+        pos_j = jnp.sum(jnp.where(oh, t, 0), axis=0)  # exact one-hot pick
+        cv_r = jnp.sum(ohf * acc_r, axis=0)
+        cv_i = jnp.sum(ohf * acc_i, axis=0)
+        q0 = pos_j + u                                # payload start row
+        qb = q0 // bw
+        selq = (iq == qb[None, :]).astype(jnp.float32)        # (nq, C)
+        sbk_r = jnp.einsum("nc,nwc->wc", selq, sb_r)          # (BW+P, C)
+        sbk_i = jnp.einsum("nc,nwc->wc", selq, sb_i)
+        selr = (ir == (q0 - qb * bw)[None, :]).astype(jnp.float32)
+        pr = [jnp.sum(selr * jax.lax.slice_in_dim(sbk_r, pp, pp + bw,
+                                                  axis=0), axis=0)
+              for pp in range(pl_len)]
+        pi = [jnp.sum(selr * jax.lax.slice_in_dim(sbk_i, pp, pp + bw,
+                                                  axis=0), axis=0)
+              for pp in range(pl_len)]
+        pm_r = jnp.stack(pr, axis=0)                  # (P, C)
+        pm_i = jnp.stack(pi, axis=0)
+        ang_j = jnp.arctan2(cv_i, cv_r).astype(jnp.float32)
+        rot = (-2.0 * np.pi / fmt.m) * jnp.round(
+            ang_j * (fmt.m / (2 * np.pi)))
+        cr, si = jnp.cos(rot), jnp.sin(rot)           # (C,)
+        res.append((pm_r * cr - pm_i * si, pm_r * si + pm_i * cr,
+                    found_j, pos_j.astype(jnp.int32), ang_j))
+    pm = jax.lax.complex(
+        jnp.stack([r[0] for r in res], axis=0),       # (k, P, C)
+        jnp.stack([r[1] for r in res], axis=0)).transpose(2, 0, 1)
+    found = jnp.stack([r[2] for r in res], axis=1)    # (C, k)
+    pos = jnp.stack([r[3] for r in res], axis=1)
+    ang = jnp.stack([r[4] for r in res], axis=1)
     return pm, found, pos, ang
 
 
