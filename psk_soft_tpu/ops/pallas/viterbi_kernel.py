@@ -150,6 +150,102 @@ def _back_kernel(t_actual: int, t_tile: int, s_count: int, k: int,
         0, t_hi, body, jnp.zeros((t_tile, b), jnp.int32)).astype(jnp.int8)
 
 
+def _fused_kernel(t_actual: int, t_pad: int, s_count: int, n: int,
+                  k: int, terminate: bool,
+                  pm0_ref, llr_ref, exp_ref, bits_ref,
+                  pm_ref, dec_ref, s_ref):
+    """ACS + traceback in ONE grid cell: the decision plane lives in a
+    VMEM scratch and never round-trips HBM, and the whole frame decode is
+    a single launch.  Used for short trellises (frame payloads): the
+    (T_pad, S, 128) int8 scratch must fit VMEM, see _fused_fits."""
+    pm_ref[:] = pm0_ref[:]
+
+    def body(t, _):
+        pm = pm_ref[:]                                    # (S, B)
+        bm = exp_ref[:, 0:1] * llr_ref[0, pl.ds(t, 1), :]
+        for j in range(1, n):
+            bm = bm + exp_ref[:, j:j + 1] * llr_ref[j, pl.ds(t, 1), :]
+        cand0 = pm + bm[:s_count]                         # as _acs_kernel
+        cand1 = pm + bm[s_count:]
+        p0 = cand0.reshape(s_count // 2, 2, cand0.shape[-1])
+        p1 = cand1.reshape(s_count // 2, 2, cand1.shape[-1])
+        c0 = jnp.concatenate([p0[:, 0, :], p1[:, 0, :]], axis=0)
+        c1 = jnp.concatenate([p0[:, 1, :], p1[:, 1, :]], axis=0)
+        dec = c1 > c0
+        new = jnp.where(dec, c1, c0)
+        pm_ref[:] = new - new[0:1, :]
+        dec_ref[pl.ds(t, 1), :, :] = dec.astype(jnp.int8)[None]
+        return 0
+
+    jax.lax.fori_loop(0, t_actual, body, 0)
+    pm = pm_ref[:]
+    b = pm.shape[-1]
+    if terminate:
+        s_ref[:] = jnp.zeros((1, b), jnp.int32)
+    else:                       # first-max argmax, as jnp.argmax(pm, 0)
+        m = jnp.max(pm, axis=0, keepdims=True)
+        ii = jax.lax.broadcasted_iota(jnp.int32, pm.shape, 0)
+        s_ref[:] = jnp.min(jnp.where(pm == m, ii, s_count), axis=0,
+                           keepdims=True)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, b), 0)
+
+    def back(i, acc):
+        t = t_actual - 1 - i
+        s = s_ref[:]
+        u = jnp.right_shift(s, k - 2) & 1
+        acc = jnp.where(rows == t, u, acc)
+        d = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.int32)
+        oh = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0) == s
+        p = jnp.max(jnp.where(oh, d, 0), axis=0, keepdims=True)
+        s_ref[:] = ((s << 1) & (s_count - 1)) | p
+        return acc
+
+    bits_ref[:] = jax.lax.fori_loop(
+        0, t_actual, back, jnp.zeros((t_pad, b), jnp.int32)).astype(jnp.int8)
+
+
+def _fused_fits(t_pad: int, s_count: int) -> bool:
+    # int8 decision scratch per 128-row tile, capped well under VMEM.
+    return t_pad * s_count * B_TILE <= 4 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "s_count", "n", "t_actual", "t_pad", "terminate", "interpret"))
+def viterbi_fused(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
+                  t_actual: int, t_pad: int, terminate: bool,
+                  interpret: bool):
+    """(n, T_pad, B) LLRs -> (T_pad, B) int8 bits, one launch per row tile.
+
+    Same arithmetic as viterbi_acs + viterbi_traceback (bit parity), but
+    grid (B/128,) with decisions resident in VMEM -- for frame-length
+    trellises this removes the decision-plane HBM round trip and the
+    second kernel launch."""
+    _, _, b = llr_t.shape
+    kern = functools.partial(_fused_kernel, t_actual, t_pad, s_count, n,
+                             k, terminate)
+    return pl.pallas_call(
+        kern,
+        grid=(b // B_TILE,),
+        in_specs=[
+            pl.BlockSpec((s_count, B_TILE), lambda bi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, t_pad, B_TILE), lambda bi: (0, 0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * s_count, n), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((t_pad, b), jnp.int8),
+        out_specs=pl.BlockSpec((t_pad, B_TILE), lambda bi: (0, bi),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s_count, B_TILE), jnp.float32),
+            pltpu.VMEM((t_pad, s_count, B_TILE), jnp.int8),
+            pltpu.VMEM((1, B_TILE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pm0, llr_t, exp_flat)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "k", "s_count", "n", "t_actual", "t_tile", "interpret"))
 def viterbi_acs(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
@@ -240,6 +336,16 @@ def _decode_planes(steps, exp_flat, *, k: int, s_count: int, n: int,
                    terminate: bool, t_tile: int, interpret: bool):
     """(B, T, n) LLR steps -> (B, T) int8 bits, all on device."""
     b, t, _ = steps.shape
+    t32 = -(-t // 32) * 32                # int8 sublane tiling
+    if _fused_fits(t32, s_count):
+        llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t32),
+                          2, B_TILE)
+        b_pad = llr_t.shape[2]
+        pm0 = jnp.full((s_count, b_pad), jnp.float32(-1e9)).at[0].set(0.0)
+        bits = viterbi_fused(llr_t, pm0, exp_flat, k=k, s_count=s_count,
+                             n=n, t_actual=t, t_pad=t32,
+                             terminate=terminate, interpret=interpret)
+        return bits[:t, :b].T                             # (B, T)
     llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t_tile),
                       2, B_TILE)                          # (n, T_pad, B_pad)
     b_pad = llr_t.shape[2]
