@@ -358,8 +358,7 @@ def run_chain(args):
     step = functools.partial(demod_block_full, cfg, debug_ports=False,
                              interpret=interp)
 
-    def chain_body(st, x_re, x_im):
-        st2, fo = step(st, x_re, x_im)
+    def _tail(fo):
         # Kernel-native (S, C) planes feed the time-major sync core
         # directly -- the (C, S) complex transpose alone cost 0.27 ms.
         pm, found, pos, _ = sync_extract_topk_tm(fo.soft_re, fo.soft_im,
@@ -370,8 +369,12 @@ def run_chain(args):
         bits = viterbi_decode_pallas(code, llr)              # (N, n_info)
         msg, field = bits[:, :n_msg], bits[:, n_msg:]
         ok = jnp.all(crc_bits(crc, msg) == field, axis=-1)
-        return st2, (msg.reshape(C, k_frames, n_msg),
-                     found, pos, ok.reshape(C, k_frames))
+        return (msg.reshape(C, k_frames, n_msg),
+                found, pos, ok.reshape(C, k_frames))
+
+    def chain_body(st, x_re, x_im):
+        st2, fo = step(st, x_re, x_im)
+        return st2, _tail(fo)
 
     # Warm-up + correctness gate on the steady block, BEFORE timing.
     chain_jit = jax.jit(chain_body)
@@ -388,19 +391,46 @@ def run_chain(args):
     assert ok.all(), f"{(~ok).sum()} CRC failures"
     assert (msg == infos).all(), "info bits wrong"
 
+    # Steady-state rolling-window mode (same as run_full / the production
+    # engine's _steady_step): the kernel reads its timing window in place
+    # from the previous block's HBM-resident planes, so the window-carry
+    # write+read disappears.  Gated with the full frame/CRC/info asserts
+    # before replacing the timed body.
+    body, carry = chain_body, state
+    if cfg.matched_filter == "none":
+        from psk_soft_tpu.models.full import demod_block_full_rolling
+        roll_step = functools.partial(demod_block_full_rolling, cfg,
+                                      debug_ports=False, interpret=interp)
+
+        def chain_body_roll(planes, x_re, x_im):
+            p2, fo = roll_step(planes, x_re, x_im, x_re, x_im)
+            return p2, _tail(fo)
+
+        try:
+            p2, (m2, f2, pp2, o2) = jax.jit(chain_body_roll)(
+                state.planes, x_re, x_im)
+        except ValueError:
+            pass          # alignment/tile can't roll; keep the carry path
+        else:
+            m2, f2, pp2, o2 = (np.asarray(m2), np.asarray(f2),
+                               np.asarray(pp2), np.asarray(o2))
+            assert f2.all() and (pp2 == want_pos[None, :]).all()
+            assert o2.all() and (m2 == infos).all()
+            body, carry = chain_body_roll, p2
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(st, x_re, x_im, k):
-        def body(s, _):
-            s2, (m, f, p, o) = chain_body(s, x_re, x_im)
+        def sbody(s, _):
+            s2, (m, f, p, o) = body(s, x_re, x_im)
             return s2, (m.astype(jnp.int32).sum() + f.sum() + o.sum())
-        st, chks = jax.lax.scan(body, st, None, length=k)
+        st, chks = jax.lax.scan(sbody, st, None, length=k)
         return st, jnp.sum(chks)
 
-    state, _ = run_k(state, x_re, x_im, args.warmup or 1)
+    carry, _ = run_k(carry, x_re, x_im, args.warmup or 1)
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        state, chk = run_k(state, x_re, x_im, args.iters)
+        carry, chk = run_k(carry, x_re, x_im, args.iters)
         float(chk)   # fetch forces completion of the whole chain
         best = min(best, time.perf_counter() - t0)
     info_rate = C * k_frames * n_info * args.iters / best
