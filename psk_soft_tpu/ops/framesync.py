@@ -446,20 +446,39 @@ def sync_extract_topk_tm(soft_re, soft_im, fmt: FrameFormat, k: int):
     energy = cs[u:] - cs[:-u]
     norm = jnp.abs(jax.lax.complex(acc_r, acc_i)) / jnp.sqrt(
         jnp.maximum(u * energy, 1e-20)).astype(jnp.float32)
-    # Local-max criterion of detect_peaks, along axis 0.
+    # Local-max criterion of detect_peaks, along axis 0.  The windowed
+    # maxes use log-doubling (exact: max is associative/idempotent, any
+    # window w = two overlapping power-of-two windows) -- lax.reduce_window
+    # with a (sep-1)-wide window lowered to a sliding loop and cost
+    # 0.115 ms of the 1024x512 sync; the doubling form is ~10 shifted
+    # maxes total.
     sep = max(int(fmt.separation), 1)
     thr = jnp.float32(fmt.threshold)
     if sep == 1:
         is_peak = norm >= thr
     else:
+        wwin = sep - 1
         ninf = jnp.asarray(-jnp.inf, norm.dtype)
-        pad = jnp.full((sep - 1, c_dim), ninf, norm.dtype)
-        left = jax.lax.reduce_window(
-            jnp.concatenate([pad, norm], axis=0), ninf, jax.lax.max,
-            (sep - 1, 1), (1, 1), "VALID")[:w]
-        right = jax.lax.reduce_window(
-            jnp.concatenate([norm, pad], axis=0), ninf, jax.lax.max,
-            (sep - 1, 1), (1, 1), "VALID")[1:]
+        pad = jnp.full((wwin, c_dim), ninf, norm.dtype)
+        ext = jnp.concatenate([pad, norm, pad], axis=0)  # (w + 2*wwin, C)
+
+        def win_max(x, start, count):
+            # max over x[start + i : start + i + wwin] for i in [0, count):
+            # doubling maxes to the largest power of two <= wwin, then two
+            # overlapping windows of that size.
+            h = 1 << (wwin.bit_length() - 1)             # 2^floor(log2)
+            y = x
+            j = 1
+            while j < h:                                  # y_i = max over j*2
+                y = jnp.maximum(y[:-j], y[j:])
+                j *= 2
+            a = jax.lax.slice_in_dim(y, start, start + count, axis=0)
+            b = jax.lax.slice_in_dim(y, start + wwin - h,
+                                     start + wwin - h + count, axis=0)
+            return jnp.maximum(a, b)
+
+        left = win_max(ext, 0, w)          # max over [t-wwin, t)
+        right = win_max(ext, wwin + 1, w)  # max over (t, t+wwin]
         is_peak = (norm >= thr) & (norm > left) & (norm >= right)
     t = jnp.arange(w, dtype=jnp.int32)[:, None]
     is_peak = is_peak & (t <= s - fmt.frame_len)      # containment
