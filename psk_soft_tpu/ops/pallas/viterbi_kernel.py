@@ -80,6 +80,31 @@ def _pick_t_tile(s_count: int, t: int) -> int:
     return min(tile, max(8, t))
 
 
+_UNROLL = 4          # ACS/traceback steps per loop iteration (scheduling)
+
+
+def _acs_step(llr_ref, exp_ref, s_count: int, n: int, t, pm):
+    """One ACS step: (pm, t) -> (re-zeroed pm', decisions).
+
+    Split halves instead of materializing concat([pm, pm]) + bm as one
+    (2S, B) plane: the strided pair extraction then runs on two (S, B)
+    planes and Mosaic schedules it ~20% faster -- measured bit-identical
+    (same candidate values row for row, since row a*S + 2j + p of the
+    concat form is row 2j+p of half a)."""
+    bm = exp_ref[:, 0:1] * llr_ref[0, pl.ds(t, 1), :]
+    for j in range(1, n):
+        bm = bm + exp_ref[:, j:j + 1] * llr_ref[j, pl.ds(t, 1), :]
+    cand0 = pm + bm[:s_count]                         # (S, B), a = 0
+    cand1 = pm + bm[s_count:]                         # (S, B), a = 1
+    p0 = cand0.reshape(s_count // 2, 2, cand0.shape[-1])
+    p1 = cand1.reshape(s_count // 2, 2, cand1.shape[-1])
+    c0 = jnp.concatenate([p0[:, 0, :], p1[:, 0, :]], axis=0)
+    c1 = jnp.concatenate([p0[:, 1, :], p1[:, 1, :]], axis=0)
+    dec = c1 > c0                                     # strict: fec tie-break
+    new = jnp.where(dec, c1, c0)
+    return new - new[0:1, :], dec                     # re-zero, as XLA path
+
+
 def _acs_kernel(t_actual: int, t_tile: int, s_count: int, n: int,
                 pm0_ref, llr_ref, exp_ref, dec_ref, pm_out_ref, pm_ref):
     ti = pl.program_id(1)
@@ -90,30 +115,22 @@ def _acs_kernel(t_actual: int, t_tile: int, s_count: int, n: int,
 
     t_hi = jnp.minimum(t_tile, t_actual - ti * t_tile)
 
-    def body(t, _):
+    # 4-step unroll: measured ~25% faster at frame shapes (the scheduler
+    # overlaps work across steps).  Sub-steps at t >= t_hi still read
+    # in-bounds padding rows, but their pm update is masked out and their
+    # decision rows land in the tile's unread t >= t_hi region.
+    def body(i, _):
+        t0 = i * _UNROLL
         pm = pm_ref[:]                                    # (S, B)
-        bm = exp_ref[:, 0:1] * llr_ref[0, pl.ds(t, 1), :]
-        for j in range(1, n):
-            bm = bm + exp_ref[:, j:j + 1] * llr_ref[j, pl.ds(t, 1), :]
-        # Split halves instead of materializing concat([pm, pm]) + bm as
-        # one (2S, B) plane: the strided pair extraction then runs on two
-        # (S, B) planes and Mosaic schedules it ~20% faster -- measured
-        # bit-identical (same candidate values row for row, since row
-        # a*S + 2j + p of the concat form is row 2j+p of half a).
-        cand0 = pm + bm[:s_count]                         # (S, B), a = 0
-        cand1 = pm + bm[s_count:]                         # (S, B), a = 1
-        p0 = cand0.reshape(s_count // 2, 2, cand0.shape[-1])
-        p1 = cand1.reshape(s_count // 2, 2, cand1.shape[-1])
-        c0 = jnp.concatenate([p0[:, 0, :], p1[:, 0, :]], axis=0)
-        c1 = jnp.concatenate([p0[:, 1, :], p1[:, 1, :]], axis=0)
-        dec = c1 > c0                                     # strict: fec tie-break
-        new = jnp.where(dec, c1, c0)
-        new = new - new[0:1, :]                           # re-zero, as XLA path
-        pm_ref[:] = new
-        dec_ref[pl.ds(t, 1), :, :] = dec.astype(jnp.int8)[None]
+        for j in range(_UNROLL):
+            t = t0 + j
+            new, dec = _acs_step(llr_ref, exp_ref, s_count, n, t, pm)
+            dec_ref[pl.ds(t, 1), :, :] = dec.astype(jnp.int8)[None]
+            pm = jnp.where(t < t_hi, new, pm)
+        pm_ref[:] = pm
         return 0
 
-    jax.lax.fori_loop(0, t_hi, body, 0)
+    jax.lax.fori_loop(0, (t_hi + _UNROLL - 1) // _UNROLL, body, 0)
     pm_out_ref[:] = pm_ref[:]
 
 
@@ -133,21 +150,30 @@ def _back_kernel(t_actual: int, t_tile: int, s_count: int, k: int,
     # Mosaic); the row select is one compare+where per step.
     rows = jax.lax.broadcasted_iota(jnp.int32, (t_tile, b), 0)
 
-    def body(i, acc):
-        t = t_hi - 1 - i
-        s = s_ref[:]                                      # (1, B) int32
+    def step(t, s, acc):
         u = jnp.right_shift(s, k - 2) & 1
         # Accumulate in int32 (the i1 mask carries the i32 tiling; a
         # mask relayout onto int8 tiles is unsupported), cast once below.
-        acc = jnp.where(rows == t, u, acc)
-        d = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.int32)   # (S, B)
+        acc = jnp.where(rows == t, u, acc)                # no-op if t < 0
+        d = dec_ref[pl.ds(jnp.maximum(t, 0), 1), :, :][0].astype(jnp.int32)
         oh = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0) == s
         p = jnp.max(jnp.where(oh, d, 0), axis=0, keepdims=True)
-        s_ref[:] = ((s << 1) & (s_count - 1)) | p
+        return ((s << 1) & (s_count - 1)) | p, acc
+
+    # 4-step unroll, masked past the tile's t_hi (see _acs_kernel).
+    def body(i, acc):
+        t0 = t_hi - 1 - i * _UNROLL
+        s = s_ref[:]                                      # (1, B) int32
+        for j in range(_UNROLL):
+            t = t0 - j
+            s_new, acc = step(t, s, acc)
+            s = jnp.where(t >= 0, s_new, s)
+        s_ref[:] = s
         return acc
 
     bits_ref[:] = jax.lax.fori_loop(
-        0, t_hi, body, jnp.zeros((t_tile, b), jnp.int32)).astype(jnp.int8)
+        0, (t_hi + _UNROLL - 1) // _UNROLL, body,
+        jnp.zeros((t_tile, b), jnp.int32)).astype(jnp.int8)
 
 
 def _fused_kernel(t_actual: int, t_pad: int, s_count: int, n: int,
@@ -159,26 +185,23 @@ def _fused_kernel(t_actual: int, t_pad: int, s_count: int, n: int,
     a single launch.  Used for short trellises (frame payloads): the
     (T_pad, S, 128) int8 scratch must fit VMEM, see _fused_fits."""
     pm_ref[:] = pm0_ref[:]
+    full_it = t_actual // _UNROLL
 
-    def body(t, _):
+    def body(i, _):
+        t0 = i * _UNROLL
         pm = pm_ref[:]                                    # (S, B)
-        bm = exp_ref[:, 0:1] * llr_ref[0, pl.ds(t, 1), :]
-        for j in range(1, n):
-            bm = bm + exp_ref[:, j:j + 1] * llr_ref[j, pl.ds(t, 1), :]
-        cand0 = pm + bm[:s_count]                         # as _acs_kernel
-        cand1 = pm + bm[s_count:]
-        p0 = cand0.reshape(s_count // 2, 2, cand0.shape[-1])
-        p1 = cand1.reshape(s_count // 2, 2, cand1.shape[-1])
-        c0 = jnp.concatenate([p0[:, 0, :], p1[:, 0, :]], axis=0)
-        c1 = jnp.concatenate([p0[:, 1, :], p1[:, 1, :]], axis=0)
-        dec = c1 > c0
-        new = jnp.where(dec, c1, c0)
-        pm_ref[:] = new - new[0:1, :]
-        dec_ref[pl.ds(t, 1), :, :] = dec.astype(jnp.int8)[None]
+        for j in range(_UNROLL):                          # 4-step unroll
+            pm, dec = _acs_step(llr_ref, exp_ref, s_count, n, t0 + j, pm)
+            dec_ref[pl.ds(t0 + j, 1), :, :] = dec.astype(jnp.int8)[None]
+        pm_ref[:] = pm
         return 0
 
-    jax.lax.fori_loop(0, t_actual, body, 0)
+    jax.lax.fori_loop(0, full_it, body, 0)
     pm = pm_ref[:]
+    for t in range(full_it * _UNROLL, t_actual):          # static remainder
+        pm, dec = _acs_step(llr_ref, exp_ref, s_count, n, t, pm)
+        dec_ref[pl.ds(t, 1), :, :] = dec.astype(jnp.int8)[None]
+    pm_ref[:] = pm
     b = pm.shape[-1]
     if terminate:
         s_ref[:] = jnp.zeros((1, b), jnp.int32)
@@ -189,19 +212,31 @@ def _fused_kernel(t_actual: int, t_pad: int, s_count: int, n: int,
                            keepdims=True)
     rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, b), 0)
 
-    def back(i, acc):
-        t = t_actual - 1 - i
-        s = s_ref[:]
+    def bstep(t, s, acc):
         u = jnp.right_shift(s, k - 2) & 1
         acc = jnp.where(rows == t, u, acc)
         d = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.int32)
         oh = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0) == s
         p = jnp.max(jnp.where(oh, d, 0), axis=0, keepdims=True)
-        s_ref[:] = ((s << 1) & (s_count - 1)) | p
+        return ((s << 1) & (s_count - 1)) | p, acc
+
+    rem = t_actual % _UNROLL                              # 4-step unroll
+
+    def back(i, acc):
+        t0 = t_actual - 1 - rem - i * _UNROLL
+        s = s_ref[:]
+        for j in range(_UNROLL):
+            s, acc = bstep(t0 - j, s, acc)
+        s_ref[:] = s
         return acc
 
+    acc = jnp.zeros((t_pad, b), jnp.int32)
+    s = s_ref[:]
+    for t in range(t_actual - 1, t_actual - 1 - rem, -1):  # static head
+        s, acc = bstep(t, s, acc)
+    s_ref[:] = s
     bits_ref[:] = jax.lax.fori_loop(
-        0, t_actual, back, jnp.zeros((t_pad, b), jnp.int32)).astype(jnp.int8)
+        0, t_actual // _UNROLL, back, acc).astype(jnp.int8)
 
 
 def _fused_fits(t_pad: int, s_count: int) -> bool:
