@@ -494,7 +494,7 @@ def viterbi_decode_parallel(code: ConvCode, llrs, chunk: int = 512,
         bits = _decode_planes(
             wins, jnp.asarray(butterfly_signs(code)), k=code.k,
             s_count=code.states, n=code.n, terminate=False,
-            t_tile=_pick_t_tile(code.states, span),
+            t_tile=_pick_t_tile(code.states, span), fuse=True,
             interpret=default_interpret())       # (B*P, span)
     else:
         _, exp_sign = _trellis(code)

@@ -366,13 +366,14 @@ def _pad_axis(x, axis: int, mult: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "s_count", "n", "terminate", "t_tile", "interpret"))
+    "k", "s_count", "n", "terminate", "t_tile", "fuse", "interpret"))
 def _decode_planes(steps, exp_flat, *, k: int, s_count: int, n: int,
-                   terminate: bool, t_tile: int, interpret: bool):
+                   terminate: bool, t_tile: int, fuse: bool,
+                   interpret: bool):
     """(B, T, n) LLR steps -> (B, T) int8 bits, all on device."""
     b, t, _ = steps.shape
     t32 = -(-t // 32) * 32                # int8 sublane tiling
-    if _fused_fits(t32, s_count):
+    if fuse and _fused_fits(t32, s_count):
         llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t32),
                           2, B_TILE)
         b_pad = llr_t.shape[2]
@@ -421,12 +422,13 @@ def viterbi_decode_pallas(code, llrs, terminate: bool = True, *,
                          f"{code.k - 1} flush bits")
     lead = y.shape[:-1]
     steps = y.reshape((-1, t, code.n))
+    fuse = t_tile is None       # explicit t_tile forces the two-phase path
     if t_tile is None:
         t_tile = _pick_t_tile(code.states, t)
     exp = jnp.asarray(butterfly_signs(code))
     bits = _decode_planes(steps, exp, k=code.k, s_count=code.states,
                           n=code.n, terminate=terminate, t_tile=t_tile,
-                          interpret=interpret)
+                          fuse=fuse, interpret=interpret)
     if terminate:
         bits = bits[:, :t - (code.k - 1)]
     return bits.reshape(lead + (bits.shape[-1],))

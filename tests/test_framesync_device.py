@@ -159,3 +159,28 @@ def test_device_tap_matches_packet_tap(soft_i8):
         np.testing.assert_array_equal(fa.bits, fb.bits)
         np.testing.assert_allclose(fa.soft, fb.soft, atol=1e-6)
         np.testing.assert_allclose(fa.corr, fb.corr, atol=1e-5)
+
+
+def test_sync_topk_tm_matches_wrapper():
+    # The time-major core and the (C, S) wrapper must agree exactly
+    # (the wrapper is a transpose; all picks are one-hot-exact).
+    from psk_soft_tpu.ops.framesync import (sync_extract_topk,
+                                            sync_extract_topk_tm)
+    from psk_soft_tpu.utils.transfer import to_device
+
+    rng = np.random.default_rng(7)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 24)), payload=32, m=4,
+                      threshold=0.7)
+    soft = _soft_bank(4, 512, fmt, seed=7, starts=[30, 200, 350])
+    k = 3
+    pm1, f1, p1, a1 = jax.jit(
+        lambda s: sync_extract_topk(s, fmt, k))(to_device(soft))
+    re_t = np.ascontiguousarray(soft.real.T)
+    im_t = np.ascontiguousarray(soft.imag.T)
+    pm2, f2, p2, a2 = jax.jit(
+        lambda r, i: sync_extract_topk_tm(r, i, fmt, k))(re_t, im_t)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    f = np.asarray(f1)
+    np.testing.assert_array_equal(np.asarray(a1)[f], np.asarray(a2)[f])
+    np.testing.assert_array_equal(to_host(pm1)[f], to_host(pm2)[f])

@@ -124,3 +124,19 @@ def test_butterfly_signs_layout():
 def test_backend_validation():
     with pytest.raises(ValueError):
         viterbi_decode(CODE_K3, np.zeros(16, np.float32), backend="cuda")
+
+
+@pytest.mark.parametrize("terminate", [True, False])
+def test_fused_matches_two_phase(terminate):
+    # The fused single-launch kernel (default for frame-length trellises)
+    # and the two-phase time-tiled path (forced by an explicit t_tile)
+    # must produce identical bits.
+    code = CODE_K7
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (4, 300)).astype(np.int8)
+    llr = _noisy_llrs(code, bits, 0.3, rng, terminate=terminate)
+    fused = np.asarray(viterbi_decode_pallas(code, llr, terminate=terminate,
+                                             interpret=True))
+    two = np.asarray(viterbi_decode_pallas(code, llr, terminate=terminate,
+                                           interpret=True, t_tile=64))
+    np.testing.assert_array_equal(fused, two)
