@@ -184,3 +184,51 @@ def test_sync_topk_tm_matches_wrapper():
     f = np.asarray(f1)
     np.testing.assert_array_equal(np.asarray(a1)[f], np.asarray(a2)[f])
     np.testing.assert_array_equal(to_host(pm1)[f], to_host(pm2)[f])
+
+
+def test_sync_topk_fuzz_vs_dense():
+    # Seeded property fuzz of the time-major sync core against the dense
+    # host criterion across random formats and bank shapes, including
+    # no-peak channels, more peaks than capacity, and frames whose
+    # payload runs past the block edge (containment drop).
+    from psk_soft_tpu.ops.framesync import sync_extract_topk
+    from psk_soft_tpu.utils.transfer import to_device
+
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        m = int(rng.choice([2, 4, 8]))
+        u_len = int(rng.integers(12, 33))
+        payload = int(rng.integers(8, 49))
+        s = int(rng.integers(2, 5)) * 128
+        c = int(rng.integers(2, 6))
+        fmt = FrameFormat(uw=tuple(rng.integers(0, m, u_len)),
+                          payload=payload, m=m, threshold=0.7)
+        if s < fmt.frame_len + 8:
+            continue
+        idx = rng.integers(0, m, (c, s))
+        for ch in range(c):
+            n_frames = int(rng.integers(0, 5))
+            spots = rng.choice(
+                max(1, (s - u_len) // fmt.separation), size=n_frames,
+                replace=False) * fmt.separation
+            for s0 in spots:          # some payloads intentionally overrun
+                idx[ch, s0:s0 + u_len] = fmt.uw
+        soft = psk_points(idx.reshape(-1), m).reshape(c, s)
+        soft = (soft + 0.05 * (rng.standard_normal((c, s))
+                               + 1j * rng.standard_normal((c, s)))
+                ).astype(np.complex64)
+        k = int(rng.integers(1, 5))
+        pm, found, pos, ang = jax.jit(
+            lambda x, fmt=fmt, k=k: sync_extract_topk(x, fmt, k)
+        )(to_device(soft))
+        pm, found, pos = to_host(pm), np.asarray(found), np.asarray(pos)
+        corr, norm = to_host(correlate_uw(soft, fmt.points))
+        dense = detect_peaks(norm, fmt.threshold, fmt.separation)
+        for ch, ts in enumerate(dense):
+            ts = ts[ts + fmt.frame_len <= s][:k]      # earliest-k contained
+            assert list(pos[ch][found[ch]]) == list(ts), (trial, ch)
+            for j, t in enumerate(ts):
+                kk, _ = resolve_rotation(corr[ch, t], fmt.m)
+                derot = np.exp(-2j * np.pi * int(kk) / fmt.m)
+                want = soft[ch, t + fmt.uw_len: t + fmt.frame_len] * derot
+                np.testing.assert_allclose(pm[ch, j], want, atol=1e-5)
