@@ -300,8 +300,8 @@ def run_chain(args):
                       phase_avg=50)
     code, crc = CODE_K7, CRC16_CCITT
     rng = np.random.default_rng(12)
-    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=64, m=4,
-                      threshold=0.7)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, args.uw_len)),
+                      payload=args.payload, m=4, threshold=0.7)
     n_info = info_bits_for(code, fmt.payload * 2)       # 58 (CRC inside)
     n_msg = n_info - crc.degree
     a1 = cfg.num_avg - 1
@@ -658,6 +658,12 @@ def main():
     ap.add_argument("--channels", type=int, default=1024)
     ap.add_argument("--symbols", type=int, default=512, help="symbols per block")
     ap.add_argument("--sps", type=int, default=8)
+    ap.add_argument("--payload", type=int, default=64,
+                    help="chain profile: payload symbols per frame "
+                         "(longer frames amortize the 32-symbol UW; the "
+                         "default matches rounds <= 4 for comparability)")
+    ap.add_argument("--uw-len", type=int, default=32,
+                    help="chain profile: unique-word length in symbols")
     ap.add_argument("--iters", type=int, default=500,
                     help="block steps per timed dispatch; large enough to "
                          "amortize the ~tens-of-ms fixed dispatch cost of "
