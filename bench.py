@@ -288,11 +288,11 @@ def run_chain(args):
     from psk_soft_tpu import DemodConfig
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
     from psk_soft_tpu.models.full import demod_block_full, full_from_ff
+    from psk_soft_tpu.models.chain import chain_tail
     from psk_soft_tpu.ops import tx
-    from psk_soft_tpu.ops.crc import CRC16_CCITT, crc_bits
-    from psk_soft_tpu.ops.fec import CODE_K7, info_bits_for, psk_llrs
-    from psk_soft_tpu.ops.framesync import FrameFormat, sync_extract_topk_tm
-    from psk_soft_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
+    from psk_soft_tpu.ops.crc import CRC16_CCITT
+    from psk_soft_tpu.ops.fec import CODE_K7, info_bits_for
+    from psk_soft_tpu.ops.framesync import FrameFormat
     from psk_soft_tpu.utils.transfer import to_device
 
     C, sps, S = args.channels, args.sps, args.symbols
@@ -353,24 +353,16 @@ def run_chain(args):
     x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
     x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
-    nb = 2
     interp = jax.default_backend() != "tpu"   # CPU smoke runs interpret
     step = functools.partial(demod_block_full, cfg, debug_ports=False,
                              interpret=interp)
 
     def _tail(fo):
-        # Kernel-native (S, C) planes feed the time-major sync core
-        # directly -- the (C, S) complex transpose alone cost 0.27 ms.
-        pm, found, pos, _ = sync_extract_topk_tm(fo.soft_re, fo.soft_im,
-                                                 fmt, k_frames)
-        llr = psk_llrs(4, pm.reshape(C * k_frames, fmt.payload),
-                       labeling="gray")                      # (N, P, nb)
-        llr = llr.reshape(C * k_frames, fmt.payload * nb)
-        bits = viterbi_decode_pallas(code, llr)              # (N, n_info)
-        msg, field = bits[:, :n_msg], bits[:, n_msg:]
-        ok = jnp.all(crc_bits(crc, msg) == field, axis=-1)
-        return (msg.reshape(C, k_frames, n_msg),
-                found, pos, ok.reshape(C, k_frames))
+        # The public one-launch composition (models/chain.py): kernel-
+        # native (S, C) planes feed the time-major sync core directly.
+        out = chain_tail(fo.soft_re, fo.soft_im, fmt, code, k_frames,
+                         crc=crc, labeling="gray", interpret=interp)
+        return out.msg, out.found, out.pos, out.ok
 
     def chain_body(st, x_re, x_im):
         st2, fo = step(st, x_re, x_im)

@@ -156,11 +156,11 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
     work scales over the mesh.
     """
     from ..models.blockpsk import make_ff_demod_fn, ff_init
+    from ..models.chain import chain_tail
     from ..models.full import FullState, demod_block_full, full_from_ff
-    from ..ops.crc import CRC16_CCITT, crc_bits
-    from ..ops.fec import CODE_K7, info_bits_for, psk_llrs
-    from ..ops.framesync import FrameFormat, sync_extract_topk_tm
-    from ..ops.pallas.viterbi_kernel import viterbi_decode_pallas
+    from ..ops.crc import CRC16_CCITT
+    from ..ops.fec import CODE_K7, info_bits_for
+    from ..ops.framesync import FrameFormat
     from ..ops import tx
     from ..utils.transfer import to_device
 
@@ -192,19 +192,15 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
                               crc=crc, labeling="gray", seed=7)
 
     def body(state, x_re, x_im):
+        # The public one-launch composition (models/chain.py) inside the
+        # shard_map body -- the bench's --profile chain is its
+        # single-device twin.
         st2, fo = demod_block_full(cfg, state, x_re, x_im,
                                    debug_ports=False, interpret=interpret)
-        pm, found, pos, _ = sync_extract_topk_tm(fo.soft_re, fo.soft_im,
-                                                 fmt, k_frames)
-        n_rows = pm.shape[0] * k_frames
-        llr = psk_llrs(m, pm.reshape(n_rows, fmt.payload), labeling="gray")
-        bits = viterbi_decode_pallas(code,
-                                     llr.reshape(n_rows, fmt.payload * nb),
-                                     interpret=interpret)
-        msg, field = bits[:, :n_msg], bits[:, n_msg:]
-        ok = jnp.all(crc_bits(crc, msg) == field, axis=-1)
-        chk = (bits.astype(jnp.int32).sum() + found.sum() + ok.sum()
-               + pos.sum())
+        out = chain_tail(fo.soft_re, fo.soft_im, fmt, code, k_frames,
+                         crc=crc, labeling="gray", interpret=interpret)
+        chk = (out.msg.astype(jnp.int32).sum() + out.found.sum()
+               + out.ok.sum() + out.pos.sum())
         return st2, chk.astype(jnp.float32)[None]   # (1,) per shard
 
     points = []

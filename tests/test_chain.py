@@ -1,0 +1,70 @@
+"""models/chain.py: the public one-launch receive chain.
+
+The composition itself is equivalence-gated stage by stage elsewhere
+(kernel parity, sync vs dense criterion, Viterbi vs oracle, CRC); here we
+gate the assembled API end-to-end on a synthetic coded stream: every
+planted frame found at its position, every payload decoded to the
+transmitted message bits, every CRC green -- the same asserts the chain
+benchmark runs before timing (bench.py run_chain).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
+from psk_soft_tpu.models.chain import (ChainOutputs, chain_msg_bits,
+                                       make_chain_fn)
+from psk_soft_tpu.models.full import full_from_ff
+from psk_soft_tpu.ops import tx
+from psk_soft_tpu.ops.crc import CRC16_CCITT
+from psk_soft_tpu.ops.fec import CODE_K7
+from psk_soft_tpu.ops.framesync import FrameFormat
+from psk_soft_tpu.utils.transfer import to_device
+
+
+def test_chain_fn_decodes_planted_frames():
+    C, sps, S = 128, 8, 512
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(5)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    a1 = cfg.num_avg - 1
+    # Two frames per block, planted so they land fully inside the demod
+    # output block (output lags input by num_avg - 1 symbols).
+    rows = [60, 300]
+    starts = [r - a1 for r in rows]
+    assert all(p + fmt.frame_len <= S for p in starts)
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+    idx_row = tx.frame_stream(fmt, infos, starts, S, code=code, crc=crc,
+                              labeling="gray", seed=3)
+    x_np = np.repeat(np.exp(1j * (2 * np.pi
+                                  * np.tile(idx_row, (C, 1)) / 4 + 0.4)),
+                     sps, axis=1).astype(np.complex64)
+    x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                     + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x_np))
+    state = full_from_ff(cfg, st_ff)
+    x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
+    x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
+
+    step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
+                                 interpret=True))
+    state, out = step(state, x_re, x_im)
+    state, out = step(state, x_re, x_im)       # steady block
+    assert isinstance(out, ChainOutputs)
+    assert np.asarray(out.found).all()
+    np.testing.assert_array_equal(np.asarray(out.pos),
+                                  np.tile(rows, (C, 1)))
+    assert np.asarray(out.ok).all()
+    want = np.stack(infos)                      # (k, n_msg)
+    np.testing.assert_array_equal(np.asarray(out.msg),
+                                  np.tile(want, (C, 1, 1)))
