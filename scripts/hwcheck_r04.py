@@ -271,6 +271,88 @@ def check_device_framesync(C=1024, S=4096):
     return rate
 
 
+def check_chain(C=1024, S=512, min_rate=150e6):
+    """The one-launch receive chain (models/chain.make_chain_fn) on-chip:
+    correctness gated (frames found at exact positions, payloads decoding
+    to the transmitted message bits, CRCs green), then scan-amortized
+    checksum-forced throughput -- the regression anchor for the chain
+    bench (bench.py --profile chain)."""
+    import functools
+
+    from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
+    from psk_soft_tpu.models.chain import chain_msg_bits, make_chain_fn
+    from psk_soft_tpu.models.full import full_from_ff
+    from psk_soft_tpu.ops import tx
+    from psk_soft_tpu.ops.crc import CRC16_CCITT
+    from psk_soft_tpu.ops.fec import CODE_K7
+    from psk_soft_tpu.ops.framesync import FrameFormat
+    from psk_soft_tpu.utils.transfer import to_device
+
+    cfg = DemodConfig(sps=SPS, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(12)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=64, m=4,
+                      threshold=0.7)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    a1 = cfg.num_avg - 1
+    rows = [120, 280]
+    starts = [r - a1 for r in rows]
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in rows]
+    idx_row = tx.frame_stream(fmt, infos, starts, S, code=code, crc=crc,
+                              labeling="gray", seed=3)
+    x_np = np.repeat(np.exp(1j * (2 * np.pi
+                                  * np.tile(idx_row, (C, 1)) / 4 + 0.4)),
+                     SPS, axis=1).astype(np.complex64)
+    x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                     + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x_np))
+    state = full_from_ff(cfg, st_ff)
+    x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
+    x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
+
+    step = make_chain_fn(cfg, fmt, code, len(rows), crc=crc)
+    sj = jax.jit(step)
+    state, out = sj(state, x_re, x_im)
+    state, out = sj(state, x_re, x_im)               # steady block
+    assert np.asarray(out.found).all(), "chain: frames missed"
+    assert (np.asarray(out.pos) == np.tile(rows, (C, 1))).all()
+    assert np.asarray(out.ok).all(), "chain: CRC failures"
+    assert np.array_equal(np.asarray(out.msg),
+                          np.tile(np.stack(infos), (C, 1, 1)))
+
+    iters = 100
+
+    @jax.jit
+    def run_k(st):
+        def body(s, _):
+            s2, o = step(s, x_re, x_im)
+            return s2, (o.msg.astype(jnp.int32).sum() + o.found.sum()
+                        + o.ok.sum())
+        st, chks = jax.lax.scan(body, st, None, length=iters)
+        return st, jnp.sum(chks)
+
+    state, chk = run_k(state)
+    float(chk)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, chk = run_k(state)
+        float(chk)
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / iters
+    n_info = n_msg + crc.degree
+    rate = C * len(rows) * n_info / dt
+    print(f"chain: {C} ch x {S} syms, {len(rows)} frames/ch exact "
+          f"(pos/CRC/info bits); {rate / 1e6:.0f} Minfobits/s "
+          f"({C * S * SPS / dt / 1e9:.2f} Gsps input, checksum-forced)")
+    assert rate >= min_rate, f"chain rate {rate / 1e6:.0f}M < target"
+    return rate
+
+
 def main():
     dev = jax.devices()[0]
     print("platform:", dev.platform, dev.device_kind)
@@ -279,6 +361,7 @@ def main():
     check_viterbi_onchip(rows=2048)                     # VERDICT gate
     check_viterbi_onchip(rows=8192, min_rate=200e6)     # chip-filling batch
     check_device_framesync()
+    check_chain()                                       # one-launch chain
     print("HWCHECK_R04 PASS")
 
 
