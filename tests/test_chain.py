@@ -24,13 +24,17 @@ from psk_soft_tpu.ops.framesync import FrameFormat
 from psk_soft_tpu.utils.transfer import to_device
 
 
-def test_chain_fn_decodes_planted_frames():
+import pytest
+
+
+@pytest.mark.parametrize("m", [4, 8])
+def test_chain_fn_decodes_planted_frames(m):
     C, sps, S = 128, 8, 512
-    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=m,
                       phase_avg=30)
     code, crc = CODE_K7, CRC16_CCITT
     rng = np.random.default_rng(5)
-    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+    fmt = FrameFormat(uw=tuple(rng.integers(0, m, 32)), payload=48, m=m,
                       threshold=0.7)
     n_msg = chain_msg_bits(fmt, code, crc)
     a1 = cfg.num_avg - 1
@@ -43,7 +47,7 @@ def test_chain_fn_decodes_planted_frames():
     idx_row = tx.frame_stream(fmt, infos, starts, S, code=code, crc=crc,
                               labeling="gray", seed=3)
     x_np = np.repeat(np.exp(1j * (2 * np.pi
-                                  * np.tile(idx_row, (C, 1)) / 4 + 0.4)),
+                                  * np.tile(idx_row, (C, 1)) / m + 0.4)),
                      sps, axis=1).astype(np.complex64)
     x_np += (0.01 * (rng.standard_normal(x_np.shape)
                      + 1j * rng.standard_normal(x_np.shape))
