@@ -154,8 +154,10 @@ def check_sharded_flagship(profile: str):
     assert idx_mis == 0, (profile, idx_mis)
 
 
-def check_viterbi_onchip(rows, info_bits=4096, min_rate=100e6):
-    """Mosaic Viterbi, compiled, K=7 rate-1/2.
+def check_viterbi_onchip(rows, info_bits=4096, min_rate=100e6,
+                        code_name="K7"):
+    """Mosaic Viterbi, compiled (K=7 rate-1/2 by default; K=9 leg pins
+    the 256-state layout on silicon).
 
     Timing is checksum-forced: the axon relay's ``block_until_ready``
     returns before device execution completes, so each timed call fetches a
@@ -164,7 +166,7 @@ def check_viterbi_onchip(rows, info_bits=4096, min_rate=100e6):
     a scalar) -- no multi-MB relay fetch -- plus a host spot-check of the
     first rows against the XLA scan decoder.
     """
-    code = fec.CODE_K7
+    code = getattr(fec, f"CODE_{code_name}")
     rng = np.random.default_rng(3)
     bits = rng.integers(0, 2, (rows, info_bits)).astype(np.int8)
     coded = fec.conv_encode(code, jnp.asarray(bits))
@@ -195,7 +197,7 @@ def check_viterbi_onchip(rows, info_bits=4096, min_rate=100e6):
         jax.jit(lambda y: fec.viterbi_decode(code, y))(llrs[:8])))
     head = np.asarray(dec_head(llrs[:8]))
     assert np.array_equal(head, ref), "kernel != XLA scan decoder"
-    print(f"viterbi-kernel: K=7 rate-1/2, {rows} rows x {info_bits} info "
+    print(f"viterbi-kernel: {code_name} rate-1/2, {rows} rows x {info_bits} info "
           f"bits, exact vs tx bits (device-side, full) + XLA decoder; "
           f"compile {t_compile:.1f}s, {rate / 1e6:.0f} Minfobits/s on-chip "
           f"(checksum-forced)")
@@ -271,7 +273,7 @@ def check_device_framesync(C=1024, S=4096):
     return rate
 
 
-def check_chain(C=1024, S=512, min_rate=150e6):
+def check_chain(C=1024, S=512, min_rate=120e6):
     """The one-launch receive chain (models/chain.make_chain_fn) on-chip:
     correctness gated (frames found at exact positions, payloads decoding
     to the transmitted message bits, CRCs green), then scan-amortized
@@ -360,6 +362,8 @@ def main():
     check_sharded_flagship("rrc")
     check_viterbi_onchip(rows=2048)                     # VERDICT gate
     check_viterbi_onchip(rows=8192, min_rate=200e6)     # chip-filling batch
+    check_viterbi_onchip(rows=1024, info_bits=1024, min_rate=10e6,
+                         code_name="K9")               # 256-state layout
     check_device_framesync()
     check_chain()                                       # one-launch chain
     print("HWCHECK_R04 PASS")
