@@ -72,3 +72,92 @@ def test_chain_fn_decodes_planted_frames(m):
     want = np.stack(infos)                      # (k, n_msg)
     np.testing.assert_array_equal(np.asarray(out.msg),
                                   np.tile(want, (C, 1, 1)))
+
+
+def test_chain_fn_absorbs_cfo():
+    # A small carrier offset rides the demod tracker's phase ramp; the
+    # sync stage resolves the residual M-fold rotation per frame -- the
+    # chain should decode exactly through it.
+    C, sps, S = 128, 8, 512
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(9)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    rows = [80, 320]
+    starts = [r - (cfg.num_avg - 1) for r in rows]
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in rows]
+    idx_row = tx.frame_stream(fmt, infos, starts, S, code=code, crc=crc,
+                              labeling="gray", seed=6)
+    n_samp = S * sps
+    cfo = np.exp(2j * np.pi * 2e-5 * np.arange(n_samp))
+    x_np = (np.repeat(np.exp(1j * (2 * np.pi
+                                   * np.tile(idx_row, (C, 1)) / 4)),
+                      sps, axis=1) * cfo[None]).astype(np.complex64)
+    x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                     + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x_np))
+    state = full_from_ff(cfg, st_ff)
+    step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
+                                 interpret=True))
+    state, out = step(state, jnp.asarray(np.ascontiguousarray(x_np.real.T)),
+                      jnp.asarray(np.ascontiguousarray(x_np.imag.T)))
+    assert np.asarray(out.found).all()
+    assert np.asarray(out.ok).all()
+    assert np.array_equal(np.asarray(out.msg),
+                          np.tile(np.stack(infos), (C, 1, 1)))
+
+
+def test_chain_fn_variable_frame_counts():
+    # Blocks carry FEWER frames than the fixed capacity k: the chain must
+    # report exactly the planted frames as found (in time order) and
+    # garbage rows as not-found, per channel, block after block.
+    C, sps, S = 128, 8, 512
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(11)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    k = 3
+    step = jax.jit(make_chain_fn(cfg, fmt, code, k, crc=crc,
+                                 interpret=True))
+    a1 = cfg.num_avg - 1
+    state = None
+    for blk, n_frames in enumerate([2, 0, 1]):
+        rows = [80, 250][:n_frames] if n_frames != 1 else [150]
+        starts = [r - a1 for r in rows]
+        infos = [rng.integers(0, 2, n_msg, np.int8) for _ in rows]
+        idx_row = tx.frame_stream(fmt, infos, starts, S, code=code,
+                                  crc=crc, labeling="gray", seed=20 + blk)
+        x_np = np.repeat(np.exp(1j * (2 * np.pi
+                                      * np.tile(idx_row, (C, 1)) / 4
+                                      + 0.4)),
+                         sps, axis=1).astype(np.complex64)
+        x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                         + 1j * rng.standard_normal(x_np.shape))
+                 ).astype(np.complex64)
+        if state is None:
+            st_ff = ff_init(cfg, (C,))
+            warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+            st_ff, _ = warm(st_ff, to_device(x_np))
+            state = full_from_ff(cfg, st_ff)
+        state, out = step(
+            state, jnp.asarray(np.ascontiguousarray(x_np.real.T)),
+            jnp.asarray(np.ascontiguousarray(x_np.imag.T)))
+        found = np.asarray(out.found)
+        assert (found[:, :n_frames]).all(), (blk, n_frames)
+        assert not found[:, n_frames:].any(), (blk, n_frames)
+        if n_frames:
+            np.testing.assert_array_equal(
+                np.asarray(out.pos)[:, :n_frames], np.tile(rows, (C, 1)))
+            assert np.asarray(out.ok)[:, :n_frames].all()
+            np.testing.assert_array_equal(
+                np.asarray(out.msg)[:, :n_frames],
+                np.tile(np.stack(infos), (C, 1, 1)))
