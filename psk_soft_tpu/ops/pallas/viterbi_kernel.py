@@ -6,7 +6,8 @@ add-compare-select recursion as a ``jax.lax.scan`` whose per-step dispatch
 below the demod feeding it (the bits pipeline anchor:
 /root/reference/cpp/psk_soft.cpp:502-566, 605-615).  Here the entire T-step
 recursion runs inside one ``pallas_call`` with the path-metric plane resident
-in VMEM, so a step costs ~150 VPU cycles instead of a dispatch.
+in VMEM, so a step costs ~100 VPU cycles instead of a dispatch
+(531 Minfobits/s at 8192x4096 on one v5e chip, docs/HWCHECK_r04.md).
 
 Layout (TPU-native):
 
@@ -16,18 +17,32 @@ Layout (TPU-native):
   lane utilization even for the K=7 code's S=64 states.
 - **Butterfly predecessor access is a concat, not a gather.**  States
   s' = (S/2)*a + j (a the new input bit's complement position, j = s' mod
-  S/2) share the predecessor pair {2j, 2j+1}; laying candidates out as flat
-  rows r = a*S + 2j + p makes the predecessor contribution exactly
-  ``concat([pm, pm], axis=0)`` -- a sublane-contiguous copy -- and the
-  post-select compaction a (2S,B)->(S,2,B) pair reduction.  Row r//2 of the
-  result is state s' in natural order, so the plane never needs a permute.
-  (Same algebra as ops/fec._make_acs; gathers measured ~100x slower there.)
-- **Decisions round-trip HBM as int8 planes** (T, S, B): at B=128 rows that
-  is 64 bytes/info-bit of traffic -- a ~6 Gbit/s HBM ceiling per tile, far
-  above the ~0.8 Gbit/s VPU bound, so the recursion stays compute-bound.
-- **Grid (B/128, T/T_TILE)** with time minor: the pm scratch carries across
-  time tiles of one row block (TPU grid steps are sequential), re-initialized
-  at each row block's first tile.
+  S/2) share the predecessor pair {2j, 2j+1}; building the candidate plane
+  as two (S, B) halves (half a holds pm + bm[a*S:]) keeps the predecessor
+  contribution a plain add and the pair extraction on half-size planes
+  (~20% faster scheduling than the concat([pm, pm]) + bm form, bit
+  identical).  Pair i of the reassembled halves is state s' in natural
+  order, so the plane never needs a permute.  (Same algebra as
+  ops/fec._make_acs; gathers measured ~100x slower there.)
+- **Re-zeroing subtracts state 0's metric, not the max** -- any per-row
+  constant bounds growth (survivor spread is merge-depth bounded) and a
+  row broadcast is ~75 cyc/step cheaper than a 64-sublane max reduce.
+- **4-step loop unrolling** in ACS and traceback (~25%: the scheduler
+  overlaps across steps; dynamic tile tails are mask-predicated).
+- **Two decode paths.**  Frame-length trellises (the receive-chain case)
+  use the FUSED kernel: grid (B/128,), ACS + traceback in one grid cell
+  with decisions in a VMEM scratch -- no HBM decision round trip, one
+  launch.  Long trellises use the two-phase path: grid (B/128, T/T_TILE)
+  with time minor (pm scratch carries across a row block's time tiles),
+  decisions round-tripping HBM as int8 (T, S, B) planes -- 64
+  bytes/info-bit at B=128, far above the VPU bound, so still
+  compute-bound.
+
+Exactness: the arithmetic (branch-metric accumulation order, strict ``>``
+tie-break, per-step state-0 re-zeroing) mirrors ops/fec._make_acs /_make_back
+term for term, so decoded bits are gated EQUAL to the XLA scan decoder
+(tests/test_viterbi_kernel.py), which is itself gated against the numpy
+register-walk oracle (tests/test_fec.py).
 
 Exactness: the arithmetic (branch-metric accumulation order, strict ``>``
 tie-break, per-step state-0 re-zeroing) mirrors ops/fec._make_acs /_make_back
