@@ -259,15 +259,30 @@ def _fused_fits(t_pad: int, s_count: int) -> bool:
     return t_pad * s_count * B_TILE <= 4 * 1024 * 1024
 
 
+def _pick_b_tile(b128: int, t_pad: int, s_count: int) -> int:
+    """Widest lane tile for the fused kernel: wider tiles hide the ACS
+    chain's dependent-op latency (measured ~14% at 512 vs 128 lanes at
+    frame shapes).  Bounded by the decision scratch budget and by padding
+    waste (b128 is the 128-padded row count; don't pad more than ~1/8
+    extra)."""
+    for tile in (512, 384, 256):
+        pad = (-b128) % tile
+        if (t_pad * s_count * tile <= 4 * 1024 * 1024
+                and pad * 8 <= b128):
+            return tile
+    return B_TILE
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "k", "s_count", "n", "t_actual", "t_pad", "terminate", "interpret"))
+    "k", "s_count", "n", "t_actual", "t_pad", "terminate", "b_tile",
+    "interpret"))
 def viterbi_fused(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
                   t_actual: int, t_pad: int, terminate: bool,
-                  interpret: bool):
+                  b_tile: int = B_TILE, interpret: bool):
     """(n, T_pad, B) LLRs -> (T_pad, B) int8 bits, one launch per row tile.
 
     Same arithmetic as viterbi_acs + viterbi_traceback (bit parity), but
-    grid (B/128,) with decisions resident in VMEM -- for frame-length
+    grid (B/b_tile,) with decisions resident in VMEM -- for frame-length
     trellises this removes the decision-plane HBM round trip and the
     second kernel launch."""
     _, _, b = llr_t.shape
@@ -275,22 +290,22 @@ def viterbi_fused(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
                              k, terminate)
     return pl.pallas_call(
         kern,
-        grid=(b // B_TILE,),
+        grid=(b // b_tile,),
         in_specs=[
-            pl.BlockSpec((s_count, B_TILE), lambda bi: (0, bi),
+            pl.BlockSpec((s_count, b_tile), lambda bi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, t_pad, B_TILE), lambda bi: (0, 0, bi),
+            pl.BlockSpec((n, t_pad, b_tile), lambda bi: (0, 0, bi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * s_count, n), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((t_pad, b), jnp.int8),
-        out_specs=pl.BlockSpec((t_pad, B_TILE), lambda bi: (0, bi),
+        out_specs=pl.BlockSpec((t_pad, b_tile), lambda bi: (0, bi),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((s_count, B_TILE), jnp.float32),
-            pltpu.VMEM((t_pad, s_count, B_TILE), jnp.int8),
-            pltpu.VMEM((1, B_TILE), jnp.int32),
+            pltpu.VMEM((s_count, b_tile), jnp.float32),
+            pltpu.VMEM((t_pad, s_count, b_tile), jnp.int8),
+            pltpu.VMEM((1, b_tile), jnp.int32),
         ],
         interpret=interpret,
     )(pm0, llr_t, exp_flat)
@@ -389,13 +404,15 @@ def _decode_planes(steps, exp_flat, *, k: int, s_count: int, n: int,
     b, t, _ = steps.shape
     t32 = -(-t // 32) * 32                # int8 sublane tiling
     if fuse and _fused_fits(t32, s_count):
+        b_tile = _pick_b_tile(-(-b // B_TILE) * B_TILE, t32, s_count)
         llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t32),
-                          2, B_TILE)
+                          2, b_tile)
         b_pad = llr_t.shape[2]
         pm0 = jnp.full((s_count, b_pad), jnp.float32(-1e9)).at[0].set(0.0)
         bits = viterbi_fused(llr_t, pm0, exp_flat, k=k, s_count=s_count,
                              n=n, t_actual=t, t_pad=t32,
-                             terminate=terminate, interpret=interpret)
+                             terminate=terminate, b_tile=b_tile,
+                             interpret=interpret)
         return bits[:t, :b].T                             # (B, T)
     llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t_tile),
                       2, B_TILE)                          # (n, T_pad, B_pad)
