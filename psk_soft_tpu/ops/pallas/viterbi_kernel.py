@@ -43,12 +43,6 @@ tie-break, per-step state-0 re-zeroing) mirrors ops/fec._make_acs /_make_back
 term for term, so decoded bits are gated EQUAL to the XLA scan decoder
 (tests/test_viterbi_kernel.py), which is itself gated against the numpy
 register-walk oracle (tests/test_fec.py).
-
-Exactness: the arithmetic (branch-metric accumulation order, strict ``>``
-tie-break, per-step state-0 re-zeroing) mirrors ops/fec._make_acs /_make_back
-term for term, so decoded bits are gated EQUAL to the XLA scan decoder
-(tests/test_viterbi_kernel.py), which is itself gated against the numpy
-register-walk oracle (tests/test_fec.py).
 """
 
 from __future__ import annotations
@@ -312,25 +306,26 @@ def viterbi_fused(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "s_count", "n", "t_actual", "t_tile", "interpret"))
+    "k", "s_count", "n", "t_actual", "t_tile", "b_tile", "interpret"))
 def viterbi_acs(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
-                t_actual: int, t_tile: int, interpret: bool):
+                t_actual: int, t_tile: int, b_tile: int = B_TILE,
+                interpret: bool):
     """Run the ACS recursion; (n, T_pad, B) LLRs -> (T_pad, S, B) decisions.
 
-    B must be a multiple of 128 and T_pad of ``t_tile``; ``t_actual`` steps
-    are computed, the padded remainder left untouched.  ``pm0`` is (S, B)
-    initial path metrics; returns (decisions int8, final pm).
+    B must be a multiple of ``b_tile`` and T_pad of ``t_tile``; ``t_actual``
+    steps are computed, the padded remainder left untouched.  ``pm0`` is
+    (S, B) initial path metrics; returns (decisions int8, final pm).
     """
     _, t_pad, b = llr_t.shape
-    grid = (b // B_TILE, t_pad // t_tile)
+    grid = (b // b_tile, t_pad // t_tile)
     kern = functools.partial(_acs_kernel, t_actual, t_tile, s_count, n)
     dec, pm = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((s_count, B_TILE), lambda bi, ti: (0, bi),
+            pl.BlockSpec((s_count, b_tile), lambda bi, ti: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, t_tile, B_TILE), lambda bi, ti: (0, ti, bi),
+            pl.BlockSpec((n, t_tile, b_tile), lambda bi, ti: (0, ti, bi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * s_count, n), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -340,22 +335,23 @@ def viterbi_acs(llr_t, pm0, exp_flat, *, k: int, s_count: int, n: int,
             jax.ShapeDtypeStruct((s_count, b), jnp.float32),
         ],
         out_specs=[
-            pl.BlockSpec((t_tile, s_count, B_TILE),
+            pl.BlockSpec((t_tile, s_count, b_tile),
                          lambda bi, ti: (ti, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_count, B_TILE), lambda bi, ti: (0, bi),
+            pl.BlockSpec((s_count, b_tile), lambda bi, ti: (0, bi),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((s_count, B_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s_count, b_tile), jnp.float32)],
         interpret=interpret,
     )(pm0, llr_t, exp_flat)
     return dec, pm
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "s_count", "t_actual", "t_tile", "interpret"))
+    "k", "s_count", "t_actual", "t_tile", "b_tile", "interpret"))
 def viterbi_traceback(dec, start, *, k: int, s_count: int,
-                      t_actual: int, t_tile: int, interpret: bool):
+                      t_actual: int, t_tile: int, b_tile: int = B_TILE,
+                      interpret: bool):
     """(T_pad, S, B) decisions + (1, B) start states -> (T_pad, B) int8 bits.
 
     Walks the survivor chain backward from ``start`` (time tiles iterate in
@@ -363,24 +359,24 @@ def viterbi_traceback(dec, start, *, k: int, s_count: int,
     input bit that entered the state after step t (ops/fec._make_back).
     """
     t_pad, _, b = dec.shape
-    grid = (b // B_TILE, t_pad // t_tile)
+    grid = (b // b_tile, t_pad // t_tile)
     nt = t_pad // t_tile
     kern = functools.partial(_back_kernel, t_actual, t_tile, s_count, k)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, B_TILE), lambda bi, ti: (0, bi),
+            pl.BlockSpec((1, b_tile), lambda bi, ti: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_tile, s_count, B_TILE),
+            pl.BlockSpec((t_tile, s_count, b_tile),
                          lambda bi, ti, n=nt: (n - 1 - ti, 0, bi),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((t_pad, b), jnp.int8),
-        out_specs=pl.BlockSpec((t_tile, B_TILE),
+        out_specs=pl.BlockSpec((t_tile, b_tile),
                                lambda bi, ti, n=nt: (n - 1 - ti, bi),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, B_TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, b_tile), jnp.int32)],
         interpret=interpret,
     )(start, dec)
 
@@ -414,20 +410,33 @@ def _decode_planes(steps, exp_flat, *, k: int, s_count: int, n: int,
                              terminate=terminate, b_tile=b_tile,
                              interpret=interpret)
         return bits[:t, :b].T                             # (B, T)
+    # Adaptive lane width for the auto-tiled path (fuse=True means the
+    # caller gave no explicit t_tile): 256-row tiles with a halved time
+    # tile keep the decision block at the same VMEM budget and measured
+    # ~11% faster than 128x256 at long T (dependent-chain latency hiding,
+    # as in the fused kernel).
+    b2 = B_TILE
+    if fuse:
+        b128 = -(-b // B_TILE) * B_TILE
+        if ((-b128) % 256) * 8 <= b128:
+            b2 = 256
+            t_tile = max(8, _pick_t_tile(s_count, t) // 2)
     llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t_tile),
-                      2, B_TILE)                          # (n, T_pad, B_pad)
+                      2, b2)                              # (n, T_pad, B_pad)
     b_pad = llr_t.shape[2]
     # State-0 pin for both modes (the XLA path does the same); terminate
     # additionally pins the traceback start below.
     pm0 = jnp.full((s_count, b_pad), jnp.float32(-1e9)).at[0].set(0.0)
     dec, pm = viterbi_acs(llr_t, pm0, exp_flat, k=k, s_count=s_count, n=n,
-                          t_actual=t, t_tile=t_tile, interpret=interpret)
+                          t_actual=t, t_tile=t_tile, b_tile=b2,
+                          interpret=interpret)
     if terminate:
         start = jnp.zeros((1, b_pad), jnp.int32)
     else:
         start = jnp.argmax(pm, axis=0).astype(jnp.int32)[None]
     bits = viterbi_traceback(dec, start, k=k, s_count=s_count,
-                             t_actual=t, t_tile=t_tile, interpret=interpret)
+                             t_actual=t, t_tile=t_tile, b_tile=b2,
+                             interpret=interpret)
     return bits[:t, :b].T                                 # (B, T)
 
 
