@@ -85,8 +85,12 @@ def butterfly_signs(code) -> np.ndarray:
 
 def _pick_t_tile(s_count: int, t: int) -> int:
     # Keep the (T_TILE, S, 128) int8 decision block ~<= 2 MB (x2 buffers).
+    # Rounded up to a multiple of _UNROLL: the unrolled ACS/traceback
+    # loops round their step count up, and a full tile (t_hi == t_tile)
+    # must not write decision rows past the block.
     tile = max(8, 16384 // max(s_count, 64))
-    return min(tile, max(8, t))
+    tile = min(tile, max(8, t))
+    return -(-tile // _UNROLL) * _UNROLL
 
 
 _UNROLL = 4          # ACS/traceback steps per loop iteration (scheduling)
@@ -466,6 +470,11 @@ def viterbi_decode_pallas(code, llrs, terminate: bool = True, *,
     fuse = t_tile is None       # explicit t_tile forces the two-phase path
     if t_tile is None:
         t_tile = _pick_t_tile(code.states, t)
+    else:
+        # The unrolled kernels need t_tile % _UNROLL == 0 (full tiles
+        # must not overrun their decision block); padding semantics are
+        # unchanged by rounding the tiling parameter up.
+        t_tile = -(-t_tile // _UNROLL) * _UNROLL
     exp = jnp.asarray(butterfly_signs(code))
     bits = _decode_planes(steps, exp, k=code.k, s_count=code.states,
                           n=code.n, terminate=terminate, t_tile=t_tile,

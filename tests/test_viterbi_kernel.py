@@ -140,3 +140,18 @@ def test_fused_matches_two_phase(terminate):
     two = np.asarray(viterbi_decode_pallas(code, llr, terminate=terminate,
                                            interpret=True, t_tile=64))
     np.testing.assert_array_equal(fused, two)
+
+
+def test_decode_parity_odd_t_tile():
+    # An explicit t_tile that is not a multiple of the unroll factor is
+    # rounded up internally: a full tile's rounded-up step loop must not
+    # write decision rows past its block (regression for the 4-step
+    # unroll; t_tile=18 -> 20).
+    code = CODE_K7
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, (3, 90)).astype(np.int8)
+    llr = _noisy_llrs(code, bits, 0.3, rng)
+    ref = np.asarray(viterbi_decode(code, llr, backend="xla"))
+    out = np.asarray(viterbi_decode_pallas(code, llr, interpret=True,
+                                           t_tile=18))
+    np.testing.assert_array_equal(out, ref)
