@@ -424,7 +424,8 @@ def _decode_planes(steps, exp_flat, *, k: int, s_count: int, n: int,
         b128 = -(-b // B_TILE) * B_TILE
         if ((-b128) % 256) * 8 <= b128:
             b2 = 256
-            t_tile = max(8, _pick_t_tile(s_count, t) // 2)
+            t_tile = max(8, -(-(_pick_t_tile(s_count, t) // 2)
+                             // _UNROLL) * _UNROLL)
     llr_t = _pad_axis(_pad_axis(jnp.transpose(steps, (2, 1, 0)), 1, t_tile),
                       2, b2)                              # (n, T_pad, B_pad)
     b_pad = llr_t.shape[2]
