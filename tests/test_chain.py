@@ -209,3 +209,47 @@ def test_chain_fn_under_awgn():
     msg = np.asarray(out.msg)
     want = np.tile(np.stack(infos), (C, 1, 1))
     assert (msg[ok] == want[ok]).all()
+
+
+def test_chain_fn_config3_rrc_8psk():
+    # The chain composed with the hardest kernel profile (BASELINE
+    # config 3): 8-PSK + RRC matched filter + fractional timing.  RRC
+    # TX pulses -> matched filter -> sync -> Viterbi -> CRC, all frames
+    # decoding to the transmitted message bits.
+    C, sps, S = 128, 8, 512
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=8,
+                      phase_avg=30, matched_filter="rrc", rrc_beta=0.35,
+                      rrc_span=8, timing_interp=True)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(23)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 8, 32)), payload=40, m=8,
+                      threshold=0.65)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    rows = [60, 280]
+    starts = [r - (cfg.num_avg - 1) for r in rows]
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in rows]
+    idx_row = tx.frame_stream(fmt, infos, starts, S, code=code, crc=crc,
+                              labeling="gray", seed=14)
+    x_np = np.tile(tx.shape(8, np.asarray(idx_row), sps, pulse="rrc",
+                            rrc_beta=0.35, rrc_span=8)[None], (C, 1))
+    x_np = (x_np * np.exp(0.25j)).astype(np.complex64)
+    x_np += (0.005 * (rng.standard_normal(x_np.shape)
+                      + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x_np))
+    keep = (cfg.num_avg - 1) * sps + cfg.mf_ntaps - 1
+    state = full_from_ff(cfg, st_ff, raw_win=x_np[:, -keep:])
+    step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
+                                 interpret=True))
+    state, out = step(state,
+                      jnp.asarray(np.ascontiguousarray(x_np.real.T)),
+                      jnp.asarray(np.ascontiguousarray(x_np.imag.T)))
+    state, out = step(state,
+                      jnp.asarray(np.ascontiguousarray(x_np.real.T)),
+                      jnp.asarray(np.ascontiguousarray(x_np.imag.T)))
+    assert np.asarray(out.found).all()
+    assert np.asarray(out.ok).all()
+    assert np.array_equal(np.asarray(out.msg),
+                          np.tile(np.stack(infos), (C, 1, 1)))
