@@ -155,3 +155,32 @@ def test_decode_parity_odd_t_tile():
     out = np.asarray(viterbi_decode_pallas(code, llr, interpret=True,
                                            t_tile=18))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_decode_parity_fuzz():
+    # Seeded property fuzz: random constraint lengths, polynomials,
+    # frame lengths, batch sizes, modes -- kernel (fused or two-phase,
+    # depending on shape) must equal the XLA scan decoder bit for bit.
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        k = int(rng.choice([3, 4, 5, 7]))
+        polys = tuple(int(p) | (1 << (k - 1)) | 1
+                      for p in rng.integers(1, 1 << k, 2))
+        if polys[0] == polys[1]:
+            continue
+        code = ConvCode(k, polys)
+        t = int(rng.integers(20, 300))
+        b = int(rng.integers(1, 8))
+        terminate = bool(rng.integers(0, 2))
+        bits = rng.integers(0, 2, (b, t)).astype(np.int8)
+        enc = np.asarray(hard_llrs(conv_encode(code, bits,
+                                               terminate=terminate)))
+        llr = (enc + 0.35 * rng.standard_normal(enc.shape)
+               ).astype(np.float32)
+        ref = np.asarray(viterbi_decode(code, llr, terminate=terminate,
+                                        backend="xla"))
+        out = np.asarray(viterbi_decode_pallas(code, llr,
+                                               terminate=terminate,
+                                               interpret=True))
+        np.testing.assert_array_equal(out, ref, err_msg=str(
+            (trial, k, polys, t, b, terminate)))
