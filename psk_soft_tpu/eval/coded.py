@@ -30,6 +30,7 @@ gen-frames/demod-batch ``--fec-labeling gray``.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import numpy as np
 
@@ -123,3 +124,89 @@ def measure_coded_ber(code: ConvCode, m: int, esn0_db: float,
 def coded_ber_sweep(code: ConvCode, m: int, esn0_dbs,
                     **kw) -> list[CodedBerPoint]:
     return [measure_coded_ber(code, m, e, **kw) for e in esn0_dbs]
+
+
+class ChainFerPoint(NamedTuple):
+    """One chain-level operating point (see :func:`measure_chain_fer`)."""
+
+    esn0_db: float
+    frames: int          # frames transmitted
+    found: int           # frames detected (UW sync)
+    crc_ok: int          # detected frames with CRC green
+    msg_exact: int       # detected frames decoding to the exact message
+
+    @property
+    def fer(self) -> float:
+        """Frame-error rate: anything short of an exact, CRC-green,
+        detected frame counts as an error."""
+        return 1.0 - self.msg_exact / max(self.frames, 1)
+
+
+def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
+                      channels: int = 128, blocks: int = 3,
+                      rows=(80, 300), seed: int = 0,
+                      interpret: bool | None = None) -> ChainFerPoint:
+    """Frame-error rate of the ONE-LAUNCH receive chain at a given Es/N0.
+
+    Where :func:`measure_coded_ber` isolates the FEC layer, this drives
+    the full composed program (models/chain.make_chain_fn: demod ->
+    frame sync -> Viterbi -> CRC) against AWGN -- acquisition, timing,
+    phase tracking, UW detection, and decode all inside the measured
+    loop.  Es/N0 is at the decision sample (rect pulses: per-sample
+    channel SNR).  Each block carries fresh message bits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.blockpsk import demod_block_ff, ff_init
+    from ..models.chain import chain_msg_bits, make_chain_fn
+    from ..models.full import full_from_ff
+    from ..ops import tx
+    from ..utils.transfer import to_device
+
+    if interpret is None:
+        from ..ops.pallas.viterbi_kernel import default_interpret
+        interpret = default_interpret()
+    m = cfg.constellation_size
+    rng = np.random.default_rng(seed)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    a1 = cfg.num_avg - 1
+    starts = [r - a1 for r in rows]
+    if any(s < 0 for s in starts):
+        raise ValueError("rows must be >= num_avg - 1")
+    s_total = max(starts) + fmt.frame_len + a1 + 8
+    s_total = -(-s_total // 8) * 8
+    sigma = float(np.sqrt(10.0 ** (-esn0_db / 10.0) / 2.0))
+    step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
+                                 interpret=interpret))
+    state = None
+    frames = found = crc_ok = msg_exact = 0
+    for blk in range(blocks):
+        infos = [rng.integers(0, 2, n_msg, np.int8) for _ in rows]
+        idx_row = tx.frame_stream(fmt, infos, starts, s_total, code=code,
+                                  crc=crc, labeling="gray",
+                                  seed=seed * 101 + blk)
+        x = np.repeat(np.exp(1j * (2 * np.pi
+                                   * np.tile(idx_row, (channels, 1)) / m
+                                   + 0.3)),
+                      cfg.sps, axis=1).astype(np.complex64)
+        x += (sigma * (rng.standard_normal(x.shape)
+                       + 1j * rng.standard_normal(x.shape))
+              ).astype(np.complex64)
+        if state is None:
+            st_ff = ff_init(cfg, (channels,))
+            warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+            st_ff, _ = warm(st_ff, to_device(x))
+            state = full_from_ff(cfg, st_ff)
+        state, out = step(
+            state, jnp.asarray(np.ascontiguousarray(x.real.T)),
+            jnp.asarray(np.ascontiguousarray(x.imag.T)))
+        f = np.asarray(out.found)
+        ok = np.asarray(out.ok) & f
+        want = np.stack(infos)[None]                  # (1, k, n_msg)
+        exact = ok & (np.asarray(out.msg) == want).all(axis=-1)
+        frames += channels * len(rows)
+        found += int(f.sum())
+        crc_ok += int(ok.sum())
+        msg_exact += int(exact.sum())
+    return ChainFerPoint(esn0_db, frames, found, crc_ok, msg_exact)

@@ -63,3 +63,26 @@ def test_punctured_point_runs():
     p = measure_coded_ber(code, 4, esn0_db=6.0, num_bits=30_000, seed=5)
     assert p.ebn0_db == pytest.approx(6.0 - 10 * np.log10(4 / 3), abs=1e-3)
     assert 0 <= p.ber < 0.02
+
+
+def test_chain_fer_waterfall():
+    # Chain-level FER (acquisition + sync + decode in one program):
+    # clean at the coded operating point, failing hard far below it.
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.eval.coded import measure_chain_fer
+    from psk_soft_tpu.ops.crc import CRC16_CCITT
+    from psk_soft_tpu.ops.framesync import FrameFormat
+
+    rng = np.random.default_rng(31)
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    hi = measure_chain_fer(cfg, fmt, CODE_K7, CRC16_CCITT, 12.0,
+                           channels=128, blocks=2, seed=3)
+    lo = measure_chain_fer(cfg, fmt, CODE_K7, CRC16_CCITT, -2.0,
+                           channels=128, blocks=2, seed=3)
+    assert hi.fer <= 0.01, hi
+    assert hi.found == hi.frames
+    assert lo.fer >= 0.3, lo
+    assert lo.fer > hi.fer
