@@ -174,8 +174,10 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
     starts = [r - a1 for r in rows]
     if any(s < 0 for s in starts):
         raise ValueError("rows must be >= num_avg - 1")
+    # Multiple of 128 symbols: Mosaic block tiling needs 8-row-divisible
+    # time tiles on the compiled kernel (interpret mode doesn't check).
     s_total = max(starts) + fmt.frame_len + a1 + 8
-    s_total = -(-s_total // 8) * 8
+    s_total = -(-s_total // 128) * 128
     sigma = float(np.sqrt(10.0 ** (-esn0_db / 10.0) / 2.0))
     step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
                                  interpret=interpret))
