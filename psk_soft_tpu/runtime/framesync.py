@@ -198,25 +198,25 @@ class FrameSyncer:
         # fetch = 16 bytes per candidate (ops/framesync sparse path).
         cand = detect_uw_sparse(self._buf, fmt)
         self._next_scan = self._base + hi + 1
-        if cand.shape[0] == 0:
+        if cand.idx.shape[0] == 0:
             return []
-        ts = cand[:, 1].astype(np.int64)
+        ts = cand.idx[:, 1].astype(np.int64)
         keep = (ts >= lo) & (ts <= hi)
-        cand = cand[keep]
-        if cand.shape[0] == 0:
+        idx, vals = cand.idx[keep], cand.vals[keep]
+        if idx.shape[0] == 0:
             return []
-        cs = cand[:, 0].astype(np.int64)
-        ts = cand[:, 1].astype(np.int64)
-        ks, ress = resolve_rotation_angle(cand[:, 3].astype(np.float64),
+        cs = idx[:, 0].astype(np.int64)
+        ts = idx[:, 1].astype(np.int64)
+        ks, ress = resolve_rotation_angle(vals[:, 1].astype(np.float64),
                                           fmt.m)
         # Batched payload derotate + re-slice: ONE gather launch, fetch
         # exactly the committed frames' payload rows.
         pm, bits = extract_heads(self._buf, fmt, cs, ts, ks)
         return [Frame(channel=int(cs[i]), start=self._base + int(ts[i]),
-                      rotation=int(ks[i]), corr=float(cand[i, 2]),
+                      rotation=int(ks[i]), corr=float(vals[i, 0]),
                       residual_phase=float(ress[i]),
                       soft=pm[i], bits=bits[i])
-                for i in range(cand.shape[0])]
+                for i in range(idx.shape[0])]
 
     def _trim(self) -> None:
         keep_from = self._next_scan - self._base - self._keep_back

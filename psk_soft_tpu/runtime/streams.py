@@ -82,20 +82,29 @@ class PortStats:
         self.last_t = float(pkt.t)
         self.last_wall = time.monotonic()
 
+    # Rates are lifetime averages over the span since the stats object was
+    # created (on the port's first push).  With a single packet that span
+    # is ~microseconds and a naive division reads out absurd ~1e12 rates,
+    # so all three report 0.0 until a second packet establishes a real
+    # span (bulkio's windowed statistics answer the same "no meaningful
+    # rate yet" case the same way: zeros).
+
+    def _rate(self, amount: float) -> float:
+        if self.packets < 2:
+            return 0.0
+        return amount / max(self.last_wall - self._t0, 1e-9)
+
     @property
     def elements_per_second(self) -> float:
-        dt = max(self.last_wall - self._t0, 1e-9)
-        return self.items / dt
+        return self._rate(self.items)
 
     @property
     def calls_per_second(self) -> float:
-        dt = max(self.last_wall - self._t0, 1e-9)
-        return self.packets / dt
+        return self._rate(self.packets)
 
     @property
     def bits_per_second(self) -> float:
-        dt = max(self.last_wall - self._t0, 1e-9)
-        return 8.0 * self.bytes / dt
+        return self._rate(8.0 * self.bytes)
 
     @property
     def time_since_last_call(self) -> float:

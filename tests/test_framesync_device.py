@@ -53,19 +53,22 @@ def test_sparse_detection_matches_dense(m):
     corr, norm = to_host(correlate_uw(soft, fmt.points))
     dense = detect_peaks(norm, fmt.threshold, fmt.separation)
     cand = detect_uw_sparse(soft, fmt)
+    assert cand.idx.dtype == np.int32     # exact at any block length
     got = {}
-    for row in cand:
-        got.setdefault(int(row[0]), []).append(row)
+    for i in range(cand.idx.shape[0]):
+        got.setdefault(int(cand.idx[i, 0]), []).append(i)
     for c, ts in enumerate(dense):
         rows = got.get(c, [])
-        assert [int(r[1]) for r in rows] == list(ts)
-        for r in rows:
-            t = int(r[1])
-            np.testing.assert_allclose(r[2], norm[c, t], atol=1e-5)
+        assert [int(cand.idx[i, 1]) for i in rows] == list(ts)
+        for i in rows:
+            t = int(cand.idx[i, 1])
+            np.testing.assert_allclose(cand.vals[i, 0], norm[c, t],
+                                       atol=1e-5)
             # angle parity up to f32 rounding
-            d = np.angle(np.exp(1j * (r[3] - np.angle(corr[c, t]))))
+            d = np.angle(np.exp(1j * (cand.vals[i, 1]
+                                      - np.angle(corr[c, t]))))
             assert abs(d) < 1e-4
-    assert cand.shape[0] == sum(len(ts) for ts in dense) > 6
+    assert cand.idx.shape[0] == sum(len(ts) for ts in dense) > 6
 
 
 def test_extract_heads_matches_host():
