@@ -268,18 +268,21 @@ def _time_run_k(args, run_k, carry, x_re, x_im, C, T, warmed=False):
 
 
 def run_chain(args):
-    """One-number receive-chain benchmark (VERDICT r4 item 3): capture ->
-    flagship demod kernel -> device frame sync -> Mosaic Viterbi -> CRC,
+    """One-number receive-chain benchmark: capture -> flagship demod
+    kernel -> SEAM-CARRYING device frame sync -> Mosaic Viterbi -> CRC,
     composed as ONE jitted program per block (no host round trips inside
     the chain), info-bits/s with the standard fetch-forced timing.
 
-    The block carries UW-led frames (K=7 rate-1/2 coded + CRC16) at a
-    fixed cadence chosen so every frame lands fully inside the demod
-    output block (output lags input by numAvg-1 symbols); correctness --
-    every frame found, every payload decoded to the transmitted info
-    bits, every CRC green -- is asserted on the warm-up step before
-    anything is timed.  vs_baseline stays in the bench's standard unit
-    (input samples/s against the per-chip north-star share).
+    Round 5: the measured path is the seam chain (models/chain.py seam
+    mode) on an UNALIGNED cadence -- frames are planted wherever the
+    cadence lands them, including straddling the block seam -- and the
+    warm-up asserts every planted frame is decoded exactly once per
+    period (exact position, exact bits, CRC green) before anything is
+    timed.  The round-4 bench required a cadence with p + frame_len <= S
+    (containment); that restriction is gone because the chain carries a
+    soft tail across blocks (VERDICT r4 item 1).  vs_baseline stays in
+    the bench's standard unit (input samples/s against the per-chip
+    north-star share).
     """
     import functools
 
@@ -288,7 +291,7 @@ def run_chain(args):
     from psk_soft_tpu import DemodConfig
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
     from psk_soft_tpu.models.full import demod_block_full, full_from_ff
-    from psk_soft_tpu.models.chain import chain_tail
+    from psk_soft_tpu.models.chain import make_seam_tail_fn, seam_tail_init
     from psk_soft_tpu.ops import tx
     from psk_soft_tpu.ops.crc import CRC16_CCITT
     from psk_soft_tpu.ops.fec import CODE_K7, info_bits_for
@@ -305,23 +308,17 @@ def run_chain(args):
     n_info = info_bits_for(code, fmt.payload * 2)       # 58 (CRC inside)
     n_msg = n_info - crc.degree
     a1 = cfg.num_avg - 1
-    # Frame DETECTION rows r on a fixed cadence covering the output block
-    # (r + frame_len <= S); each maps to input position p = (r - a1) % S
-    # (demod output lags input by numAvg-1; the bench block repeats, so a
-    # frame planted near the block's end wraps into the next iteration's
-    # head -- contiguous in the periodic stream).  Wrapped plants must
-    # still fit the input block: p + frame_len <= S.
-    cadence = max(fmt.separation, 104)
-    rows, p_of = [], []
-    for r in range(0, S - fmt.frame_len + 1, cadence):
-        p = (r - a1) % S
-        if p + fmt.frame_len <= S:
-            rows.append(r)
-            p_of.append(p)
-    starts = p_of
-    k_frames = len(starts)
+    # Frames on an UNALIGNED cadence over the S-periodic stream: input
+    # positions p_j = 17 + j*cadence (mod S), planted with wraparound
+    # (a frame spanning the block edge continues at the next period's
+    # head -- the seam the chain must carry).  cadence chosen to not
+    # divide S so at least one frame straddles whenever S % cadence != 0.
+    cadence = max(fmt.separation, 104) + 1
+    k_frames = S // cadence
     if k_frames == 0:
         raise ValueError("block too short for one frame; raise --symbols")
+    starts = [(17 + j * cadence) % S for j in range(k_frames)]
+    rows = [(p + a1) % S for p in starts]       # detection rows (mod S)
 
     # TX: per-channel info bits; no CFO so the repeated bench block is
     # phase-continuous and every iteration does identical chain work.
@@ -337,8 +334,9 @@ def run_chain(args):
     idx = rng.integers(0, 4, (C, S))
     uw_arr = np.asarray(fmt.uw, np.int64)
     for j, s0 in enumerate(starts):
-        idx[:, s0:s0 + fmt.uw_len] = uw_arr[None, :]
-        idx[:, s0 + fmt.uw_len:s0 + fmt.frame_len] = pay_syms[:, j]
+        cols = (s0 + np.arange(fmt.frame_len)) % S      # wraparound plant
+        idx[:, cols[:fmt.uw_len]] = uw_arr[None, :]
+        idx[:, cols[fmt.uw_len:]] = pay_syms[:, j]
     x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
                      sps, axis=1).astype(np.complex64)
     x_np += (0.01 * (rng.standard_normal(x_np.shape)
@@ -356,65 +354,77 @@ def run_chain(args):
     interp = jax.default_backend() != "tpu"   # CPU smoke runs interpret
     step = functools.partial(demod_block_full, cfg, debug_ports=False,
                              interpret=interp)
+    tail_step = make_seam_tail_fn(fmt, code, k_frames, crc=crc,
+                                  labeling="gray", interpret=interp)
+    tail0 = seam_tail_init(fmt, C)
 
-    def _tail(fo):
-        # The public one-launch composition (models/chain.py): kernel-
-        # native (S, C) planes feed the time-major sync core directly.
-        out = chain_tail(fo.soft_re, fo.soft_im, fmt, code, k_frames,
-                         crc=crc, labeling="gray", interpret=interp)
-        return out.msg, out.found, out.pos, out.ok
-
-    def chain_body(st, x_re, x_im):
+    def chain_body(carry, x_re, x_im):
+        st, tail = carry
         st2, fo = step(st, x_re, x_im)
-        return st2, _tail(fo)
+        tail2, out = tail_step(tail, fo.soft_re, fo.soft_im)
+        return (st2, tail2), (out.msg, out.found, out.pos, out.ok,
+                              out.count)
+
+    def check_steady(msg, found, pos, ok, count):
+        """Steady-state gate: exactly the k planted frames per period,
+        each at its planted row (mod S), exact bits, CRC green."""
+        msg, found, pos, ok, count = map(np.asarray,
+                                         (msg, found, pos, ok, count))
+        assert found.all(), f"missed {(~found).sum()} frames"
+        assert (count == k_frames).all(), "unexpected extra peaks"
+        assert ok.all(), f"{(~ok).sum()} CRC failures"
+        pos_mod = np.mod(pos, S)
+        # Commits come earliest-first; map each to its planted frame.
+        order = {r: j for j, r in enumerate(rows)}
+        for slot in range(k_frames):
+            r = pos_mod[:, slot]
+            assert (r == r[0]).all(), "channels disagree on positions"
+            j = order.get(int(r[0]))
+            assert j is not None, f"commit at unplanted row {int(r[0])}"
+            assert (msg[:, slot] == infos[:, j]).all(), "info bits wrong"
 
     # Warm-up + correctness gate on the steady block, BEFORE timing.
     chain_jit = jax.jit(chain_body)
-    state, (msg, found, pos, ok) = chain_jit(state, x_re, x_im)
-    state, (msg, found, pos, ok) = chain_jit(state, x_re, x_im)
-    msg, found, pos, ok = (np.asarray(msg), np.asarray(found),
-                           np.asarray(pos), np.asarray(ok))
-    # top-k returns earliest detection rows first; `rows` is already
-    # ascending and infos[:, j] was planted at p_of[j] = row j's input
-    # position, so everything lines up index-for-index.
-    want_pos = np.asarray(rows)
-    assert found.all(), f"missed {(~found).sum()} frames"
-    assert (pos == want_pos[None, :]).all(), "frame positions off"
-    assert ok.all(), f"{(~ok).sum()} CRC failures"
-    assert (msg == infos).all(), "info bits wrong"
+    carry = (state, tail0)
+    carry, outs = chain_jit(carry, x_re, x_im)
+    carry, outs = chain_jit(carry, x_re, x_im)
+    carry, outs = chain_jit(carry, x_re, x_im)       # steady period
+    check_steady(*outs)
 
     # Steady-state rolling-window mode (same as run_full / the production
     # engine's _steady_step): the kernel reads its timing window in place
     # from the previous block's HBM-resident planes, so the window-carry
     # write+read disappears.  Gated with the full frame/CRC/info asserts
     # before replacing the timed body.
-    body, carry = chain_body, state
+    body = chain_body
     if cfg.matched_filter == "none":
         from psk_soft_tpu.models.full import demod_block_full_rolling
         roll_step = functools.partial(demod_block_full_rolling, cfg,
                                       debug_ports=False, interpret=interp)
 
-        def chain_body_roll(planes, x_re, x_im):
+        def chain_body_roll(carry, x_re, x_im):
+            planes, tail = carry
             p2, fo = roll_step(planes, x_re, x_im, x_re, x_im)
-            return p2, _tail(fo)
+            tail2, out = tail_step(tail, fo.soft_re, fo.soft_im)
+            return (p2, tail2), (out.msg, out.found, out.pos, out.ok,
+                                 out.count)
 
+        st, tail = carry
         try:
-            p2, (m2, f2, pp2, o2) = jax.jit(chain_body_roll)(
-                state.planes, x_re, x_im)
+            carry_r, outs = jax.jit(chain_body_roll)((st.planes, tail),
+                                                     x_re, x_im)
         except ValueError:
             pass          # alignment/tile can't roll; keep the carry path
         else:
-            m2, f2, pp2, o2 = (np.asarray(m2), np.asarray(f2),
-                               np.asarray(pp2), np.asarray(o2))
-            assert f2.all() and (pp2 == want_pos[None, :]).all()
-            assert o2.all() and (m2 == infos).all()
-            body, carry = chain_body_roll, p2
+            check_steady(*outs)
+            body, carry = chain_body_roll, carry_r
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(st, x_re, x_im, k):
         def sbody(s, _):
-            s2, (m, f, p, o) = body(s, x_re, x_im)
-            return s2, (m.astype(jnp.int32).sum() + f.sum() + o.sum())
+            s2, (m, f, p, o, n) = body(s, x_re, x_im)
+            return s2, (m.astype(jnp.int32).sum() + f.sum() + o.sum()
+                        + n.sum())
         st, chks = jax.lax.scan(sbody, st, None, length=k)
         return st, jnp.sum(chks)
 
@@ -428,14 +438,31 @@ def run_chain(args):
     info_rate = C * k_frames * n_info * args.iters / best
     sample_rate = C * S * sps * args.iters / best
     print(json.dumps({
-        "metric": f"{C}-channel receive-chain throughput (demod+sync+"
-                  f"Viterbi+CRC one-program, {k_frames} frames/block/ch, "
+        "metric": f"{C}-channel receive-chain throughput (demod+seam "
+                  f"sync+Viterbi+CRC one-program, {k_frames} frames/"
+                  f"block/ch unaligned cadence, "
                   f"{jax.devices()[0].device_kind})",
         "value": info_rate,
         "unit": "infobits/s",
         "vs_baseline": sample_rate / PER_CHIP_BASELINE,
     }))
     return 0
+
+
+def _chain_after_default(args, rc):
+    """Default invocation emits BOTH headline metrics: the demod line just
+    printed and the receive-chain infobits/s line (VERDICT r4 item 7 --
+    the driver-benched artifact must regression-test the chain too).
+    Chain failure downgrades to a warning so the demod point survives."""
+    ch = copy.copy(args)
+    ch.profile = "chain"
+    ch.iters = max(20, args.iters // 2)
+    try:
+        run_chain(ch)
+    except Exception as e:  # pragma: no cover - platform-specific
+        print(f"chain profile failed ({type(e).__name__}: {e}); demod "
+              f"metric only", file=sys.stderr)
+    return rc
 
 
 def run_mesh(args):
@@ -645,6 +672,141 @@ def run_engine(args):
     return 0
 
 
+def run_receiver(args):
+    """End-to-end PRODUCTION STREAMING RECEIVER benchmark (VERDICT r4
+    item 2): native plane deframe -> FullKernelBatchEngine (device-tap) ->
+    FrameSyncer -> FecFrameDecoder -> FrameCrcChecker -> pop_frames.
+
+    This is the deployed service path -- the analog of the reference's
+    complete serviceFunction + ports loop
+    (/root/reference/cpp/psk_soft.cpp:346-618) -- with ALL host work a
+    deployed receiver does per block: wire-format deframe, packet
+    assembly, sparse sync candidate fetches, Viterbi drain, CRC strip,
+    and per-frame Python object assembly.  Every popped frame is
+    validated (CRC green + exact planted info bits).  Emits infobits/s
+    with the input-samples/s ratio in vs_baseline, plus the gap to the
+    one-launch chain quantified by running both is left to the caller
+    (BENCH artifacts carry both lines).
+    """
+    import jax
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.ops import tx
+    from psk_soft_tpu.ops.crc import CRC16_CCITT, append_crc
+    from psk_soft_tpu.ops.fec import CODE_K7, conv_encode, info_bits_for
+    from psk_soft_tpu.ops.framesync import FrameFormat
+    from psk_soft_tpu.runtime.receiver import build_receiver
+    from psk_soft_tpu.runtime.streams import SRI
+
+    import jax.numpy as jnp
+
+    C, sps, S = args.channels, args.sps, args.symbols
+    cfg = DemodConfig(sps=sps, num_avg=100, constellation_size=4,
+                      phase_avg=50)
+    code, crc = CODE_K7, CRC16_CCITT
+    rng = np.random.default_rng(12)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, args.uw_len)),
+                      payload=args.payload, m=4, threshold=0.7)
+    n_info = info_bits_for(code, fmt.payload * 2)
+    n_msg = n_info - crc.degree
+    # Same content scheme as run_chain: unaligned cadence over the
+    # S-periodic stream, wraparound plants (seam-straddling frames are
+    # the streaming FrameSyncer's home turf).
+    cadence = max(fmt.separation, 104) + 1
+    k_frames = S // cadence
+    if k_frames == 0:
+        raise ValueError("block too short for one frame; raise --symbols")
+    starts = [(17 + j * cadence) % S for j in range(k_frames)]
+    infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
+    coded = np.asarray(conv_encode(code, jnp.asarray(
+        append_crc(crc, infos))), np.int8)
+    pay_syms = tx.bits_to_symbols(4, coded, "gray")
+    idx = rng.integers(0, 4, (C, S))
+    uw_arr = np.asarray(fmt.uw, np.int64)
+    for j, s0 in enumerate(starts):
+        cols = (s0 + np.arange(fmt.frame_len)) % S
+        idx[:, cols[:fmt.uw_len]] = uw_arr[None, :]
+        idx[:, cols[fmt.uw_len:]] = pay_syms[:, j]
+    x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
+                     sps, axis=1).astype(np.complex64)
+    x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                     + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+    # Planted info bits by detection offset (start mod S): the engine's
+    # packet stream is aligned to input symbol indices (warm-up rows are
+    # valid-masked, not dropped from the index space), so a frame at
+    # input position p + iter*S syncs at start % S == p.
+    by_off = {p % S: j for j, p in enumerate(starts)}
+
+    need = S * sps
+    on_tpu = jax.devices()[0].platform != "cpu"
+    frames32 = np.ascontiguousarray(x_np.T).view(np.float32).ravel()
+
+    use_full = on_tpu and C % 128 == 0
+    rx = build_receiver(cfg, C, engine="full" if use_full else "batch",
+                        block_symbols=S, uw=fmt.uw,
+                        frame_payload=fmt.payload, uw_threshold=0.7,
+                        fec=code, fec_labeling="gray", crc=crc,
+                        engine_kwargs={"pipeline_depth":
+                                       max(0, args.engine_depth)})
+    rx.engine.set_input_sri(SRI(stream_id="bench", xdelta=1e-6))
+    if use_full:
+        from psk_soft_tpu.runtime.native_bank import NativePlaneBank
+        bank = NativePlaneBank(C, capacity_samples=4 * need)
+
+        def feed_one():
+            bank.push_interleaved(frames32)
+            re, im, _ = bank.pop_planes(need, timeout=0)
+            rx.engine.push_planes(re, im)
+            rx.engine.step_packets()
+            return rx.pop_frames()
+    else:
+        from psk_soft_tpu.runtime.native_bank import NativeChannelBank
+        bank = NativeChannelBank(C, capacity_samples=4 * need)
+
+        def feed_one():
+            bank.push_interleaved(frames32)
+            r = bank.pop_block(need, timeout=0)
+            rx.engine.push_block(r[0])
+            rx.engine.step_packets()
+            return rx.pop_frames()
+
+    def validate(frames):
+        for f in frames:
+            j = by_off.get(f.start % S)
+            assert j is not None, f"frame at unplanted offset {f.start % S}"
+            assert f.crc_ok, f"CRC failed at ch{f.channel} start {f.start}"
+            assert np.array_equal(f.info_bits[:n_msg],
+                                  infos[f.channel, j]), "info bits wrong"
+
+    # Warm-up: compile, converge, and reach frame steady state.
+    warm_blocks = max(4, (cfg.num_avg + cfg.phase_avg) // S + 3)
+    for _ in range(warm_blocks):
+        validate(feed_one())
+    nblocks = max(10, min(50, args.iters // 10))
+    n_frames = 0
+    t0 = time.perf_counter()
+    for _ in range(nblocks):
+        got = feed_one()
+        validate(got)
+        n_frames += len(got)
+    dt = time.perf_counter() - t0
+    assert n_frames >= (nblocks - 2) * k_frames * C, \
+        f"receiver starved: {n_frames} frames in {nblocks} blocks"
+    info_rate = n_frames * n_info / dt
+    sample_rate = nblocks * C * need / dt
+    print(json.dumps({
+        "metric": f"{C}-channel production streaming receiver throughput "
+                  f"(deframe->engine->FrameSyncer->Viterbi->CRC->"
+                  f"pop_frames, {k_frames} frames/block/ch, depth="
+                  f"{max(0, args.engine_depth)}, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": info_rate,
+        "unit": "infobits/s",
+        "vs_baseline": sample_rate / PER_CHIP_BASELINE,
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=1024)
@@ -699,6 +861,11 @@ def main():
                          "pipeline_depth 0 and --engine-depth")
     ap.add_argument("--engine-depth", type=int, default=1,
                     help="pipeline depth compared against 0 in --engine")
+    ap.add_argument("--receiver", action="store_true",
+                    help="production STREAMING receiver bench (native "
+                         "deframe -> engine -> FrameSyncer -> Viterbi -> "
+                         "CRC -> pop_frames), every frame validated, "
+                         "reported in info-bits/s; at --engine-depth")
     ap.add_argument("--mesh", action="store_true",
                     help="scaling-efficiency report over the device mesh "
                          "(eval/scaling.py): one JSON line per report; on a "
@@ -708,6 +875,8 @@ def main():
     args = ap.parse_args()
     _await_backend()
 
+    if args.receiver:
+        return run_receiver(args)
     if args.engine:
         return run_engine(args)
     if args.mesh:
@@ -782,13 +951,14 @@ def main():
                     rate_full = rate_big
                     label += f" block={big.symbols}sym"
         if args.pipeline == "full" and rate_full is not None:
-            return emit(C, label, rate_full)
+            return _chain_after_default(args, emit(C, label, rate_full))
         if args.pipeline == "auto":
             try:
                 rate_ff = run_ff(args, cfg, C, T, x_np)
             except Exception as e:  # pragma: no cover - platform-specific
                 if rate_full is not None:
-                    return emit(C, label, rate_full)
+                    return _chain_after_default(
+                        args, emit(C, label, rate_full))
                 # Every device pipeline failed (observed axon outages last
                 # >1h: init raises/hangs for every program).  Emit a real
                 # CPU measurement rather than NO data point -- the label
@@ -797,8 +967,8 @@ def main():
                       f"re-measuring on the CPU backend", file=sys.stderr)
                 return _cpu_fallback(args)
             if rate_full is not None and rate_full >= rate_ff:
-                return emit(C, label, rate_full)
-            return emit(C, "ff", rate_ff)
+                return _chain_after_default(args, emit(C, label, rate_full))
+            return _chain_after_default(args, emit(C, "ff", rate_ff))
         args.pipeline = "ff"
 
     if args.pipeline == "fused":

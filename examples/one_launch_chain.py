@@ -23,7 +23,8 @@ import numpy as np
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
-from psk_soft_tpu.models.chain import chain_msg_bits, make_chain_fn
+from psk_soft_tpu.models.chain import (chain_init, chain_msg_bits,
+                                       make_chain_fn)
 from psk_soft_tpu.models.full import full_from_ff
 from psk_soft_tpu.ops import tx
 from psk_soft_tpu.ops.crc import CRC16_CCITT
@@ -55,7 +56,7 @@ x += 0.02 * (rng.standard_normal(x.shape)
 st_ff = ff_init(cfg, (C,))
 warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
 st_ff, _ = warm(st_ff, to_device(x))
-state = full_from_ff(cfg, st_ff)
+state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
 
 interpret = jax.default_backend() != "tpu"
 step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,

@@ -134,6 +134,9 @@ class ChainFerPoint(NamedTuple):
     found: int           # frames detected (UW sync)
     crc_ok: int          # detected frames with CRC green
     msg_exact: int       # detected frames decoding to the exact message
+    overflow: int = 0    # peaks beyond the fixed sync capacity (count>k;
+    #                      nonzero at very low SNR when false alarms crowd
+    #                      the capacity -- observable, never silent)
 
     @property
     def fer(self) -> float:
@@ -144,22 +147,29 @@ class ChainFerPoint(NamedTuple):
 
 def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
                       channels: int = 128, blocks: int = 3,
-                      rows=(80, 300), seed: int = 0,
+                      rows=(80, 300), cfo: float = 0.0, seed: int = 0,
                       interpret: bool | None = None) -> ChainFerPoint:
     """Frame-error rate of the ONE-LAUNCH receive chain at a given Es/N0.
 
     Where :func:`measure_coded_ber` isolates the FEC layer, this drives
-    the full composed program (models/chain.make_chain_fn: demod ->
-    frame sync -> Viterbi -> CRC) against AWGN -- acquisition, timing,
-    phase tracking, UW detection, and decode all inside the measured
-    loop.  Es/N0 is at the decision sample (rect pulses: per-sample
-    channel SNR).  Each block carries fresh message bits.
+    the full composed program (models/chain.make_chain_fn, seam mode:
+    demod -> seam frame sync -> Viterbi -> CRC) against AWGN --
+    acquisition, timing, phase tracking, UW detection, and decode all
+    inside the measured loop.  Es/N0 is at the decision sample (rect
+    pulses: per-sample channel SNR).  Each block carries fresh message
+    bits.
+
+    ``cfo`` adds a PER-CHANNEL carrier frequency offset the tracker must
+    absorb: channel c gets normalized offset (cycles/sample)
+    cfo * (0.25 + 0.75 * c / (C-1)) -- a spread, not one common value,
+    so every point exercises a range of offsets -- phase-continuous
+    across the warm-up and all measured blocks (BASELINE config 2).
     """
     import jax
     import jax.numpy as jnp
 
     from ..models.blockpsk import demod_block_ff, ff_init
-    from ..models.chain import chain_msg_bits, make_chain_fn
+    from ..models.chain import chain_init, chain_msg_bits, make_chain_fn
     from ..models.full import full_from_ff
     from ..ops import tx
     from ..utils.transfer import to_device
@@ -178,11 +188,28 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
     # time tiles on the compiled kernel (interpret mode doesn't check).
     s_total = max(starts) + fmt.frame_len + a1 + 8
     s_total = -(-s_total // 128) * 128
+    n_samp = s_total * cfg.sps
     sigma = float(np.sqrt(10.0 ** (-esn0_db / 10.0) / 2.0))
-    step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
+    if channels > 1:
+        f_c = cfo * (0.25 + 0.75 * np.arange(channels) / (channels - 1))
+    else:
+        f_c = np.full(1, cfo)
+    phi = np.zeros(channels)          # carrier phase carried across blocks
+
+    def apply_cfo(x):
+        nonlocal phi
+        if cfo:
+            ramp = (2 * np.pi * f_c[:, None] * np.arange(n_samp)[None]
+                    + phi[:, None])
+            x = (x * np.exp(1j * ramp)).astype(np.complex64)
+            phi = np.mod(phi + 2 * np.pi * f_c * n_samp, 2 * np.pi)
+        return x
+
+    k = len(rows)
+    step = jax.jit(make_chain_fn(cfg, fmt, code, k, crc=crc,
                                  interpret=interpret))
     state = None
-    frames = found = crc_ok = msg_exact = 0
+    frames = found = crc_ok = msg_exact = overflow = 0
     for blk in range(blocks):
         infos = [rng.integers(0, 2, n_msg, np.int8) for _ in rows]
         idx_row = tx.frame_stream(fmt, infos, starts, s_total, code=code,
@@ -192,6 +219,7 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
                                    * np.tile(idx_row, (channels, 1)) / m
                                    + 0.3)),
                       cfg.sps, axis=1).astype(np.complex64)
+        x = apply_cfo(x)
         x += (sigma * (rng.standard_normal(x.shape)
                        + 1j * rng.standard_normal(x.shape))
               ).astype(np.complex64)
@@ -199,7 +227,7 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
             st_ff = ff_init(cfg, (channels,))
             warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
             st_ff, _ = warm(st_ff, to_device(x))
-            state = full_from_ff(cfg, st_ff)
+            state = chain_init(fmt, channels, full_from_ff(cfg, st_ff))
         state, out = step(
             state, jnp.asarray(np.ascontiguousarray(x.real.T)),
             jnp.asarray(np.ascontiguousarray(x.imag.T)))
@@ -207,8 +235,10 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
         ok = np.asarray(out.ok) & f
         want = np.stack(infos)[None]                  # (1, k, n_msg)
         exact = ok & (np.asarray(out.msg) == want).all(axis=-1)
-        frames += channels * len(rows)
+        frames += channels * k
         found += int(f.sum())
         crc_ok += int(ok.sum())
         msg_exact += int(exact.sum())
-    return ChainFerPoint(esn0_db, frames, found, crc_ok, msg_exact)
+        overflow += int(np.maximum(np.asarray(out.count) - k, 0).sum())
+    return ChainFerPoint(esn0_db, frames, found, crc_ok, msg_exact,
+                         overflow)

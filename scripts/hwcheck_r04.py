@@ -282,7 +282,8 @@ def check_chain(C=1024, S=512, min_rate=120e6):
     import functools
 
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
-    from psk_soft_tpu.models.chain import chain_msg_bits, make_chain_fn
+    from psk_soft_tpu.models.chain import (chain_init, chain_msg_bits,
+                                           make_chain_fn)
     from psk_soft_tpu.models.full import full_from_ff
     from psk_soft_tpu.ops import tx
     from psk_soft_tpu.ops.crc import CRC16_CCITT
@@ -312,7 +313,7 @@ def check_chain(C=1024, S=512, min_rate=120e6):
     st_ff = ff_init(cfg, (C,))
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
-    state = full_from_ff(cfg, st_ff)
+    state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
     x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
     x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 

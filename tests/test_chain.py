@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
-from psk_soft_tpu.models.chain import (ChainOutputs, chain_msg_bits,
-                                       make_chain_fn)
+from psk_soft_tpu.models.chain import (ChainOutputs, chain_init,
+                                       chain_msg_bits, make_chain_fn)
 from psk_soft_tpu.models.full import full_from_ff
 from psk_soft_tpu.ops import tx
 from psk_soft_tpu.ops.crc import CRC16_CCITT
@@ -56,7 +56,7 @@ def test_chain_fn_decodes_planted_frames(m):
     st_ff = ff_init(cfg, (C,))
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
-    state = full_from_ff(cfg, st_ff)
+    state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
     x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
     x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
@@ -102,7 +102,7 @@ def test_chain_fn_absorbs_cfo():
     st_ff = ff_init(cfg, (C,))
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
-    state = full_from_ff(cfg, st_ff)
+    state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
     step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
                                  interpret=True))
     state, out = step(state, jnp.asarray(np.ascontiguousarray(x_np.real.T)),
@@ -147,7 +147,7 @@ def test_chain_fn_variable_frame_counts():
             st_ff = ff_init(cfg, (C,))
             warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
             st_ff, _ = warm(st_ff, to_device(x_np))
-            state = full_from_ff(cfg, st_ff)
+            state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
         state, out = step(
             state, jnp.asarray(np.ascontiguousarray(x_np.real.T)),
             jnp.asarray(np.ascontiguousarray(x_np.imag.T)))
@@ -194,7 +194,7 @@ def test_chain_fn_under_awgn():
     st_ff = ff_init(cfg, (C,))
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
-    state = full_from_ff(cfg, st_ff)
+    state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
     step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
                                  interpret=True))
     state, out = step(state,
@@ -240,7 +240,7 @@ def test_chain_fn_config3_rrc_8psk():
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
     keep = (cfg.num_avg - 1) * sps + cfg.mf_ntaps - 1
-    state = full_from_ff(cfg, st_ff, raw_win=x_np[:, -keep:])
+    state = chain_init(fmt, C, full_from_ff(cfg, st_ff, raw_win=x_np[:, -keep:]))
     step = jax.jit(make_chain_fn(cfg, fmt, code, len(rows), crc=crc,
                                  interpret=True))
     state, out = step(state,

@@ -103,14 +103,16 @@ def test_sync_extract_topk_matches_dense():
     soft = _soft_bank(5, 512, fmt, seed=3,
                       starts=[20, 170, 320])         # 3 frames/channel
     k = 4                                            # capacity > frames
-    pm, found, pos, ang = jax.jit(
+    pm, found, pos, ang, count = jax.jit(
         lambda s: sync_extract_topk(s, fmt, k))(to_device(soft))
-    pm, found, pos = (to_host(pm), np.asarray(found), np.asarray(pos))
+    pm, found, pos, count = (to_host(pm), np.asarray(found),
+                             np.asarray(pos), np.asarray(count))
     corr, norm = to_host(correlate_uw(soft, fmt.points))
     dense = detect_peaks(norm, fmt.threshold, fmt.separation)
     for c, ts in enumerate(dense):
         ts = ts[ts + fmt.frame_len <= soft.shape[1]]
         assert list(pos[c][found[c]]) == list(ts)
+        assert count[c] == len(ts)        # full count, observable cap
         for j, t in enumerate(ts):
             kk, _ = resolve_rotation(corr[c, t], fmt.m)
             derot = np.exp(-2j * np.pi * int(kk) / fmt.m)
@@ -176,14 +178,15 @@ def test_sync_topk_tm_matches_wrapper():
                       threshold=0.7)
     soft = _soft_bank(4, 512, fmt, seed=7, starts=[30, 200, 350])
     k = 3
-    pm1, f1, p1, a1 = jax.jit(
+    pm1, f1, p1, a1, n1 = jax.jit(
         lambda s: sync_extract_topk(s, fmt, k))(to_device(soft))
     re_t = np.ascontiguousarray(soft.real.T)
     im_t = np.ascontiguousarray(soft.imag.T)
-    pm2, f2, p2, a2 = jax.jit(
+    pm2, f2, p2, a2, n2 = jax.jit(
         lambda r, i: sync_extract_topk_tm(r, i, fmt, k))(re_t, im_t)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
     f = np.asarray(f1)
     np.testing.assert_array_equal(np.asarray(a1)[f], np.asarray(a2)[f])
     np.testing.assert_array_equal(to_host(pm1)[f], to_host(pm2)[f])
@@ -221,14 +224,17 @@ def test_sync_topk_fuzz_vs_dense():
                                + 1j * rng.standard_normal((c, s)))
                 ).astype(np.complex64)
         k = int(rng.integers(1, 5))
-        pm, found, pos, ang = jax.jit(
+        pm, found, pos, ang, count = jax.jit(
             lambda x, fmt=fmt, k=k: sync_extract_topk(x, fmt, k)
         )(to_device(soft))
-        pm, found, pos = to_host(pm), np.asarray(found), np.asarray(pos)
+        pm, found, pos, count = (to_host(pm), np.asarray(found),
+                                 np.asarray(pos), np.asarray(count))
         corr, norm = to_host(correlate_uw(soft, fmt.points))
         dense = detect_peaks(norm, fmt.threshold, fmt.separation)
         for ch, ts in enumerate(dense):
-            ts = ts[ts + fmt.frame_len <= s][:k]      # earliest-k contained
+            ts = ts[ts + fmt.frame_len <= s]
+            assert count[ch] == len(ts), (trial, ch)  # full, uncapped
+            ts = ts[:k]                               # earliest-k contained
             assert list(pos[ch][found[ch]]) == list(ts), (trial, ch)
             for j, t in enumerate(ts):
                 kk, _ = resolve_rotation(corr[ch, t], fmt.m)
