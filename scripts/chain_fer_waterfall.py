@@ -46,9 +46,13 @@ def main():
     args = ap.parse_args()
 
     if not args.tpu:
+        # The container's sitecustomize registers the axon platform at
+        # interpreter start; beat it the way tests/conftest.py does.
         import os
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from psk_soft_tpu import DemodConfig

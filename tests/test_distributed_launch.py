@@ -94,3 +94,130 @@ def test_two_process_distributed_launch(tmp_path):
 
 
 import numpy as np  # noqa: E402  (used in the assertion above)
+
+
+_RX_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")  # beat the axon sitecustomize
+import numpy as np
+
+sys.path.insert(0, os.environ["PSK_REPO"])
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.parallel import launch
+from psk_soft_tpu.runtime.distributed import DistributedBatchEngine
+from psk_soft_tpu.runtime.streams import SRI
+
+launch.initialize()
+assert jax.process_count() == 2
+mesh = launch.global_mesh()
+
+cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4, phase_avg=12)
+C, S, BLK = 8, 192, 64
+rng = np.random.default_rng(7)              # same data in every process
+sym = rng.integers(0, 4, size=(C, S))
+x_np = np.repeat(np.exp(2j * np.pi * sym / 4 + 0.35j), 8,
+                 axis=1).astype(np.complex64)
+x_np += (0.01 * rng.standard_normal(x_np.shape)).astype(np.complex64)
+
+eng = DistributedBatchEngine(cfg, C, mesh=mesh, block_symbols=BLK)
+lo, n = eng.local_offset, eng.channels
+assert n == 4, (lo, n)
+eng.set_input_sri(SRI(stream_id="bank", xdelta=2e-6))
+out = {"lo": lo}
+step_i = 0
+for pos in range(0, S * 8, BLK * 8):
+    eng.push_block(x_np[lo:lo + n, pos:pos + BLK * 8])
+    pkts = eng.step_packets()
+    if pkts:
+        for port, p in pkts.items():
+            out[f"s{step_i}_{port}"] = p.data
+            out[f"s{step_i}_{port}_t"] = np.float64(p.t)
+        step_i += 1
+pkts = eng.flush_packets()
+for port, p in (pkts or {}).items():
+    out[f"f_{port}"] = p.data
+    out[f"f_{port}_t"] = np.float64(p.t)
+out["steps"] = np.int64(step_i)
+np.savez(os.path.join(os.environ["PSK_OUT"],
+                      f"rx_{jax.process_index()}.npz"), **out)
+print("DONE", flush=True)
+"""
+
+
+def test_two_process_distributed_receiver_packet_parity(tmp_path):
+    """The DistributedBatchEngine's packets (2 processes, each owning 4 of
+    8 channels) must equal a single-process BatchEngine's packets row for
+    row -- payloads, ports, and timestamps (the runtime-layer analog of
+    per-host component deployment, /root/reference/cpp/main.cpp:24-29)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
+                             "XLA_FLAGS")}
+    script = tmp_path / "rx_worker.py"
+    script.write_text(_RX_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(env_base,
+                   PSK_REPO=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))),
+                   PSK_OUT=str(tmp_path),
+                   PSK_COORDINATOR=f"localhost:{port}",
+                   PSK_NUM_PROCESSES="2",
+                   PSK_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed receiver worker hung")
+        assert p.returncode == 0, err[-2000:]
+        assert "DONE" in out
+
+    # Single-process reference: the plain BatchEngine over all 8 channels.
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.runtime.engine import BatchEngine
+    from psk_soft_tpu.runtime.streams import SRI
+
+    cfg = DemodConfig(sps=8, num_avg=20, constellation_size=4,
+                      phase_avg=12)
+    C, S, BLK = 8, 192, 64
+    rng = np.random.default_rng(7)
+    sym = rng.integers(0, 4, size=(C, S))
+    x_np = np.repeat(np.exp(2j * np.pi * sym / 4 + 0.35j), 8,
+                     axis=1).astype(np.complex64)
+    x_np += (0.01 * rng.standard_normal(x_np.shape)).astype(np.complex64)
+    eng = BatchEngine(cfg, C, block_symbols=BLK)
+    eng.set_input_sri(SRI(stream_id="bank", xdelta=2e-6))
+    ref_steps = []
+    for pos in range(0, S * 8, BLK * 8):
+        eng.push_block(x_np[:, pos:pos + BLK * 8])
+        pkts = eng.step_packets()
+        if pkts:
+            ref_steps.append(pkts)
+    ref_flush = eng.flush_packets()
+
+    for pid in range(2):
+        z = np.load(tmp_path / f"rx_{pid}.npz")
+        lo = int(z["lo"])
+        assert lo == pid * 4
+        assert int(z["steps"]) == len(ref_steps)
+        for i, pkts in enumerate(ref_steps):
+            for port, p in pkts.items():
+                got = z[f"s{i}_{port}"]
+                np.testing.assert_allclose(got, p.data[lo:lo + 4],
+                                           rtol=0, atol=1e-5)
+                assert float(z[f"s{i}_{port}_t"]) == p.t
+        for port, p in (ref_flush or {}).items():
+            if p.data.size:
+                np.testing.assert_allclose(z[f"f_{port}"],
+                                           p.data[lo:lo + 4],
+                                           rtol=0, atol=1e-5)
+            assert float(z[f"f_{port}_t"]) == p.t
