@@ -256,3 +256,87 @@ def make_chain_fn(cfg: DemodConfig, fmt: FrameFormat, code: ConvCode,
         return ChainState(st2, tail2), out
 
     return step
+
+
+# --- front-end stages inside the one-launch program (round 5) --------------
+
+class FrontState(NamedTuple):
+    """Carried front-end state: NCO phase (continuous across blocks, so
+    derotation never jumps) and the AGC power EMA."""
+
+    freq: jnp.ndarray     # (C,) NCO frequency, cycles per input sample
+    phase: jnp.ndarray    # (C,) NCO phase at the block head (radians)
+    agc: Any              # ops/agc.AgcState (or None when AGC disabled)
+
+
+class FrontChainState(NamedTuple):
+    front: FrontState
+    demod: Any
+    tail: SeamTailState
+
+
+def front_chain_init(fmt: FrameFormat, channels: int, demod_state, *,
+                     agc_cfg=None, freq=None) -> FrontChainState:
+    """Wrap a converged demod state for :func:`make_front_chain_fn`.
+
+    freq: (C,) NCO frequencies in cycles/input-sample (e.g. from
+    eval/cfo.acquire_cfo); zeros when only AGC is wanted.
+    """
+    from ..ops.agc import agc_init
+
+    f = (jnp.zeros((channels,), jnp.float32) if freq is None
+         else jnp.asarray(freq, jnp.float32))
+    agc = agc_init(agc_cfg, (channels,)) if agc_cfg is not None else None
+    front = FrontState(freq=f, phase=jnp.zeros((channels,), jnp.float32),
+                       agc=agc)
+    return FrontChainState(front, demod_state,
+                           seam_tail_init(fmt, channels))
+
+
+def make_front_chain_fn(cfg: DemodConfig, fmt: FrameFormat,
+                        code: ConvCode, k_frames: int,
+                        crc: CrcSpec | None = None, *, agc_cfg=None,
+                        labeling: str = "gray", debug_ports: bool = False,
+                        interpret: bool = False):
+    """One-launch chain with the FRONT-END stages inside the program:
+    "wideband capture -> info bits" as one jitted step.
+
+    NCO derotation (ops/mixer.derotate: per-channel carrier removal for
+    offsets beyond the M-th-power tracker's pull-in) and optional AGC
+    (ops/agc.agc_block_tm: MXU-form gain normalization + squelch) run on
+    the same (T, C) input planes the demod kernel eats -- pure VPU/MXU
+    work XLA fuses ahead of the kernel, no extra HBM round trip on the
+    host side.  The seam sync tail is carried exactly as in
+    :func:`make_chain_fn` (seam mode).
+
+    Returns ``step(state, x_re, x_im) -> (state', ChainOutputs)`` with
+    ``state`` a :class:`FrontChainState` (build via
+    :func:`front_chain_init`).  The NCO frequency lives in the STATE, so
+    re-acquisition updates it without recompiling.
+
+    Reference anchor: the upstream AGC/tuner components a REDHAWK
+    deployment places before psk_soft (SURVEY section 2.4); here they are
+    rows of the same device program.
+    """
+    from ..ops.agc import agc_block_tm
+    from ..ops.mixer import derotate
+
+    step_demod = functools.partial(demod_block_full, cfg,
+                                   debug_ports=debug_ports,
+                                   interpret=interpret)
+    tail_step = make_seam_tail_fn(fmt, code, k_frames, crc=crc,
+                                  labeling=labeling, interpret=interpret)
+
+    def step(state: FrontChainState, x_re, x_im):
+        fr = state.front
+        y_re, y_im, phase2 = derotate(x_re, x_im, fr.freq, fr.phase)
+        agc2 = fr.agc
+        if agc_cfg is not None:
+            agc2, y_re, y_im, _ = agc_block_tm(agc_cfg, fr.agc, y_re,
+                                               y_im)
+        st2, fo = step_demod(state.demod, y_re, y_im)
+        tail2, out = tail_step(state.tail, fo.soft_re, fo.soft_im)
+        return FrontChainState(FrontState(fr.freq, phase2, agc2), st2,
+                               tail2), out
+
+    return step

@@ -148,6 +148,40 @@ def agc_block(cfg: AgcConfig, state: AgcState, x: jnp.ndarray):
                                               active=active)
 
 
+def agc_block_tm(cfg: AgcConfig, state: AgcState, x_re: jnp.ndarray,
+                 x_im: jnp.ndarray):
+    """:func:`agc_block` on time-major (T, C) float planes -- the demod
+    kernel's native layout, so the AGC fuses into a one-launch chain with
+    zero relayout (models/chain.make_front_chain_fn).  Same math as
+    agc_block term for term (the EMA matmul runs ``kj,jc->kc``); gated
+    equal in tests/test_agc.py.
+
+    Returns (new_state, y_re, y_im, info); state shapes are (C,).
+    """
+    t, c = x_re.shape
+    if t % cfg.chunk:
+        raise ValueError(f"block length {t} not a multiple of "
+                         f"chunk {cfg.chunk}")
+    k = t // cfg.chunk
+    pwr = x_re * x_re + x_im * x_im
+    q = jnp.mean(pwr.reshape(k, cfg.chunk, c), axis=1).astype(jnp.float32)
+    p0 = jnp.where(state.primed, state.power, q[0])
+    l, d = _ema_mats(cfg.alpha, k)
+    p = (jnp.einsum("kj,jc->kc", jnp.asarray(l), q)
+         + jnp.asarray(d)[:, None] * p0[None, :])
+    p = p.at[0].set(jnp.where(state.primed, p[0], q[0]))
+    gain = cfg.target_rms / jnp.sqrt(jnp.maximum(p, cfg.eps))
+    active = (p >= cfg.squelch_power) if cfg.squelch_power > 0.0 \
+        else jnp.ones_like(p, bool)
+    gain = jnp.where(active, gain, 0.0)                    # (K, C)
+    g_t = jnp.repeat(gain, cfg.chunk, axis=0)              # (T, C)
+    new_state = AgcState(power=p[-1],
+                         primed=jnp.ones_like(state.primed))
+    return (new_state, (x_re * g_t).astype(x_re.dtype),
+            (x_im * g_t).astype(x_im.dtype),
+            dict(gain=gain, power=p, active=active))
+
+
 def make_agc_fn(cfg: AgcConfig, jit: bool = True):
     """fn(state, x) -> (state, y, info); jitted, any leading channel axes."""
     fn = functools.partial(agc_block, cfg)

@@ -66,8 +66,11 @@ def test_punctured_point_runs():
 
 
 def test_chain_fer_waterfall():
-    # Chain-level FER (acquisition + sync + decode in one program):
-    # clean at the coded operating point, failing hard far below it.
+    # Chain-level FER (acquisition + sync + decode in one program) gated
+    # at three operating points of the published waterfall
+    # (docs/chain_fer_r05.json): clean at the coded operating point WITH
+    # a per-channel CFO spread the tracker absorbs, near-clean at 8 dB,
+    # failing hard far below.
     from psk_soft_tpu import DemodConfig
     from psk_soft_tpu.eval.coded import measure_chain_fer
     from psk_soft_tpu.ops.crc import CRC16_CCITT
@@ -79,10 +82,14 @@ def test_chain_fer_waterfall():
     fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
                       threshold=0.7)
     hi = measure_chain_fer(cfg, fmt, CODE_K7, CRC16_CCITT, 12.0,
-                           channels=128, blocks=2, seed=3)
+                           channels=128, blocks=2, cfo=2e-5, seed=3)
+    mid = measure_chain_fer(cfg, fmt, CODE_K7, CRC16_CCITT, 8.0,
+                            channels=128, blocks=2, seed=3)
     lo = measure_chain_fer(cfg, fmt, CODE_K7, CRC16_CCITT, -2.0,
                            channels=128, blocks=2, seed=3)
-    assert hi.fer <= 0.01, hi
+    assert hi.fer <= 0.01, hi            # CFO != 0 inside the loop
     assert hi.found == hi.frames
+    assert mid.fer <= 0.08, mid          # waterfall knee (measured 0.014)
     assert lo.fer >= 0.3, lo
-    assert lo.fer > hi.fer
+    assert lo.fer > mid.fer >= hi.fer
+    assert lo.overflow == 0 or lo.overflow < lo.frames  # observable cap
