@@ -147,6 +147,18 @@ def _acs_kernel(t_actual: int, t_tile: int, s_count: int, n: int,
     pm_out_ref[:] = pm_ref[:]
 
 
+def _unpack_bit_words(words, t_rows: int):
+    """(NW, B) int32 packed bits -> (t_rows, B) int8: row t holds word
+    t>>5's bit t&31.  Static per-word broadcast-shift-mask (pltpu.repeat
+    is tile-order, not block-order), amortized over the whole tile
+    (<< 1 vreg op per trellis step)."""
+    nw, b = words.shape
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (32, b), 0)
+    outs = [(words[w:w + 1] >> rows32) & 1 for w in range(nw)]
+    bits = jnp.concatenate(outs, axis=0) if nw > 1 else outs[0]
+    return bits[:t_rows].astype(jnp.int8)
+
+
 def _back_kernel(t_actual: int, t_tile: int, s_count: int, k: int,
                  start_ref, dec_ref, bits_ref, s_ref):
     ti = pl.program_id(1)
@@ -158,35 +170,45 @@ def _back_kernel(t_actual: int, t_tile: int, s_count: int, k: int,
 
     t_hi = jnp.minimum(t_tile, t_actual - rti * t_tile)
     b = s_ref.shape[-1]
-    # Bits accumulate in a loop-carried plane (a dynamic single-row store
-    # into the 2D output block has no provable sublane alignment for
-    # Mosaic); the row select is one compare+where per step.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t_tile, b), 0)
+    # Bits accumulate PACKED: shift-or into a (1, B) int32 row (2 cheap
+    # row ops/step), flushed into a tiny (T_TILE/32, B) word plane by a
+    # word-row where (a dynamic single-row store into the 2D output block
+    # has no provable sublane alignment for Mosaic; the old full-plane
+    # rows==t where cost ~32 vreg ops per step at T_TILE=128 -- measured
+    # ~15% of the whole fused decode).  Unpacked once per tile.
+    nw = -(-t_tile // 32)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (nw, b), 0)
+    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0)
 
-    def step(t, s, acc):
+    def step(t, s, words, cur):
         u = jnp.right_shift(s, k - 2) & 1
-        # Accumulate in int32 (the i1 mask carries the i32 tiling; a
-        # mask relayout onto int8 tiles is unsupported), cast once below.
-        acc = jnp.where(rows == t, u, acc)                # no-op if t < 0
+        p = t & 31
+        # Descending t enters each word (except the first, partial one)
+        # at bit 31: reset cur there so no stale bits leak across words.
+        cur = jnp.where(p == 31, u << 31, cur | (u << p))
+        words = jnp.where(wrows == (t >> 5),
+                          jnp.broadcast_to(cur, words.shape), words)
         d = dec_ref[pl.ds(jnp.maximum(t, 0), 1), :, :][0].astype(jnp.int32)
-        oh = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0) == s
-        p = jnp.max(jnp.where(oh, d, 0), axis=0, keepdims=True)
-        return ((s << 1) & (s_count - 1)) | p, acc
+        p_bit = jnp.max(jnp.where(oh_iota == s, d, 0), axis=0,
+                        keepdims=True)
+        return ((s << 1) & (s_count - 1)) | p_bit, words, cur
 
     # 4-step unroll, masked past the tile's t_hi (see _acs_kernel).
-    def body(i, acc):
+    def body(i, carry):
+        words, cur = carry
         t0 = t_hi - 1 - i * _UNROLL
         s = s_ref[:]                                      # (1, B) int32
         for j in range(_UNROLL):
             t = t0 - j
-            s_new, acc = step(t, s, acc)
+            s_new, words, cur = step(t, s, words, cur)
             s = jnp.where(t >= 0, s_new, s)
         s_ref[:] = s
-        return acc
+        return words, cur
 
-    bits_ref[:] = jax.lax.fori_loop(
+    words, _ = jax.lax.fori_loop(
         0, (t_hi + _UNROLL - 1) // _UNROLL, body,
-        jnp.zeros((t_tile, b), jnp.int32)).astype(jnp.int8)
+        (jnp.zeros((nw, b), jnp.int32), jnp.zeros((1, b), jnp.int32)))
+    bits_ref[:] = _unpack_bit_words(words, t_tile)
 
 
 def _fused_kernel(t_actual: int, t_pad: int, s_count: int, n: int,
@@ -223,33 +245,43 @@ def _fused_kernel(t_actual: int, t_pad: int, s_count: int, n: int,
         ii = jax.lax.broadcasted_iota(jnp.int32, pm.shape, 0)
         s_ref[:] = jnp.min(jnp.where(pm == m, ii, s_count), axis=0,
                            keepdims=True)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, b), 0)
+    # Packed traceback bits (see _back_kernel): shift-or into a (1, B)
+    # int32 row + tiny word-plane flush per step, unpack once.
+    nw = t_pad // 32
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (nw, b), 0)
+    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0)
 
-    def bstep(t, s, acc):
+    def bstep(t, s, words, cur):
         u = jnp.right_shift(s, k - 2) & 1
-        acc = jnp.where(rows == t, u, acc)
+        p = t & 31
+        cur = jnp.where(p == 31, u << 31, cur | (u << p))
+        words = jnp.where(wrows == (t >> 5),
+                          jnp.broadcast_to(cur, words.shape), words)
         d = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.int32)
-        oh = jax.lax.broadcasted_iota(jnp.int32, (s_count, b), 0) == s
-        p = jnp.max(jnp.where(oh, d, 0), axis=0, keepdims=True)
-        return ((s << 1) & (s_count - 1)) | p, acc
+        p_bit = jnp.max(jnp.where(oh_iota == s, d, 0), axis=0,
+                        keepdims=True)
+        return ((s << 1) & (s_count - 1)) | p_bit, words, cur
 
     rem = t_actual % _UNROLL                              # 4-step unroll
 
-    def back(i, acc):
+    def back(i, carry):
+        words, cur = carry
         t0 = t_actual - 1 - rem - i * _UNROLL
         s = s_ref[:]
         for j in range(_UNROLL):
-            s, acc = bstep(t0 - j, s, acc)
+            s, words, cur = bstep(t0 - j, s, words, cur)
         s_ref[:] = s
-        return acc
+        return words, cur
 
-    acc = jnp.zeros((t_pad, b), jnp.int32)
+    words = jnp.zeros((nw, b), jnp.int32)
+    cur = jnp.zeros((1, b), jnp.int32)
     s = s_ref[:]
     for t in range(t_actual - 1, t_actual - 1 - rem, -1):  # static head
-        s, acc = bstep(t, s, acc)
+        s, words, cur = bstep(t, s, words, cur)
     s_ref[:] = s
-    bits_ref[:] = jax.lax.fori_loop(
-        0, t_actual // _UNROLL, back, acc).astype(jnp.int8)
+    words, _ = jax.lax.fori_loop(0, t_actual // _UNROLL, back,
+                                 (words, cur))
+    bits_ref[:] = _unpack_bit_words(words, t_pad)
 
 
 def _fused_fits(t_pad: int, s_count: int) -> bool:
