@@ -348,12 +348,26 @@ def run_chain(args):
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
     state = full_from_ff(cfg, st_ff)
-    x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
-    x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
+    in_scale = 1.0
+    if getattr(args, "ingest", "f32") == "i16":
+        # SDR wire format, as in run_full: int16 I/Q planes dequantized in
+        # VMEM -- halves the demod's HBM input read, the chain's largest
+        # single HBM term now that it is demod-dominated (r5 stage split).
+        from psk_soft_tpu.models.full import quantize_full_state
+        in_scale = float(max(np.abs(x_np.real).max(),
+                             np.abs(x_np.imag).max())) / 32000.0
+        state = quantize_full_state(state, in_scale)
+        x_re = jnp.asarray(np.ascontiguousarray(
+            np.round(x_np.real.T / in_scale).astype(np.int16)))
+        x_im = jnp.asarray(np.ascontiguousarray(
+            np.round(x_np.imag.T / in_scale).astype(np.int16)))
+    else:
+        x_re = jnp.asarray(np.ascontiguousarray(x_np.real.T))
+        x_im = jnp.asarray(np.ascontiguousarray(x_np.imag.T))
 
     interp = jax.default_backend() != "tpu"   # CPU smoke runs interpret
     step = functools.partial(demod_block_full, cfg, debug_ports=False,
-                             interpret=interp)
+                             in_scale=in_scale, interpret=interp)
     tail_step = make_seam_tail_fn(fmt, code, k_frames, crc=crc,
                                   labeling="gray", interpret=interp)
     tail0 = seam_tail_init(fmt, C)
@@ -400,7 +414,8 @@ def run_chain(args):
     if cfg.matched_filter == "none":
         from psk_soft_tpu.models.full import demod_block_full_rolling
         roll_step = functools.partial(demod_block_full_rolling, cfg,
-                                      debug_ports=False, interpret=interp)
+                                      debug_ports=False,
+                                      in_scale=in_scale, interpret=interp)
 
         def chain_body_roll(carry, x_re, x_im):
             planes, tail = carry
@@ -437,9 +452,10 @@ def run_chain(args):
         best = min(best, time.perf_counter() - t0)
     info_rate = C * k_frames * n_info * args.iters / best
     sample_rate = C * S * sps * args.iters / best
+    tag = " i16-ingest" if getattr(args, "ingest", "f32") == "i16" else ""
     print(json.dumps({
         "metric": f"{C}-channel receive-chain throughput (demod+seam "
-                  f"sync+Viterbi+CRC one-program, {k_frames} frames/"
+                  f"sync+Viterbi+CRC one-program{tag}, {k_frames} frames/"
                   f"block/ch unaligned cadence, "
                   f"{jax.devices()[0].device_kind})",
         "value": info_rate,

@@ -479,15 +479,52 @@ def sync_extract_topk_tm(soft_re, soft_im, fmt: FrameFormat, k: int, *,
                          f"({fmt.frame_len})")
     uw_conj = np.conj(np.asarray(fmt.points, np.complex64))
     w = s - u + 1
-    acc_r = jnp.zeros((w, c_dim), jnp.float32)
-    acc_i = jnp.zeros((w, c_dim), jnp.float32)
-    for tt in range(u):                   # static unroll: U shifted FMAs
-        xr = jax.lax.slice_in_dim(soft_re, tt, tt + w, axis=0)
-        xi = jax.lax.slice_in_dim(soft_im, tt, tt + w, axis=0)
-        ur = float(uw_conj[tt].real)
-        ui = float(uw_conj[tt].imag)
-        acc_r = acc_r + (ur * xr - ui * xi)
-        acc_i = acc_i + (ur * xi + ui * xr)
+    if u >= 8:
+        # Banded-MXU correlation: output superblocks of BT rows, each one
+        # (BT, BT+U-1) band matmul against the covering input rows -- the
+        # time-major twin of the kernel's banded trackers.  The U-shift
+        # VPU form costs O(U*W*C) vector work and was 2/3 of the whole
+        # seam sync on-chip (0.15 of 0.25 ms at 1024x733, r5 stage
+        # split); the band wastes (BT+U-1)/U MACs on zeros but rides the
+        # MXU.  Same math per output (one band row = the U-shift sum),
+        # f32-highest precision.
+        bt = 128
+        nq = -(-w // bt)
+        need = nq * bt + u - 1
+        zp = jnp.zeros((need - s, c_dim), jnp.float32)
+        sre = jnp.concatenate([soft_re, zp], axis=0)
+        sim = jnp.concatenate([soft_im, zp], axis=0)
+        kw = bt + u - 1
+        sb_r = jnp.stack([jax.lax.slice_in_dim(sre, q * bt, q * bt + kw,
+                                               axis=0)
+                          for q in range(nq)], axis=0)   # (nq, KW, C)
+        sb_i = jnp.stack([jax.lax.slice_in_dim(sim, q * bt, q * bt + kw,
+                                               axis=0)
+                          for q in range(nq)], axis=0)
+        band_r = np.zeros((bt, kw), np.float32)
+        band_i = np.zeros((bt, kw), np.float32)
+        rows_b = np.arange(bt)[:, None] + np.arange(u)[None, :]
+        band_r[np.arange(bt)[:, None], rows_b] = uw_conj.real[None, :]
+        band_i[np.arange(bt)[:, None], rows_b] = uw_conj.imag[None, :]
+        br = jnp.asarray(band_r)
+        bi = jnp.asarray(band_i)
+        hp = jax.lax.Precision.HIGHEST
+        mr = jnp.einsum("tk,qkc->qtc", br, sb_r, precision=hp) \
+            - jnp.einsum("tk,qkc->qtc", bi, sb_i, precision=hp)
+        mi = jnp.einsum("tk,qkc->qtc", br, sb_i, precision=hp) \
+            + jnp.einsum("tk,qkc->qtc", bi, sb_r, precision=hp)
+        acc_r = mr.reshape(nq * bt, c_dim)[:w]
+        acc_i = mi.reshape(nq * bt, c_dim)[:w]
+    else:
+        acc_r = jnp.zeros((w, c_dim), jnp.float32)
+        acc_i = jnp.zeros((w, c_dim), jnp.float32)
+        for tt in range(u):               # static unroll: U shifted FMAs
+            xr = jax.lax.slice_in_dim(soft_re, tt, tt + w, axis=0)
+            xi = jax.lax.slice_in_dim(soft_im, tt, tt + w, axis=0)
+            ur = float(uw_conj[tt].real)
+            ui = float(uw_conj[tt].imag)
+            acc_r = acc_r + (ur * xr - ui * xi)
+            acc_i = acc_i + (ur * xi + ui * xr)
     p = soft_re * soft_re + soft_im * soft_im
     cs = jnp.concatenate([jnp.zeros((1, c_dim), jnp.float32),
                           jnp.cumsum(p, axis=0)], axis=0)
@@ -539,6 +576,13 @@ def sync_extract_topk_tm(soft_re, soft_im, fmt: FrameFormat, k: int, *,
                          f"block (max {s - fmt.frame_len})")
     t = jnp.arange(w, dtype=jnp.int32)[:, None]
     is_peak = is_peak & (t >= lo) & (t <= hi)
+    # Every surviving peak lies in [lo, hi]: the per-rank one-hot
+    # reductions below only need those rows (a seam caller's window is
+    # ~30% of the extended planes -- measured on-chip r5).
+    is_peak = jax.lax.slice_in_dim(is_peak, lo, hi + 1, axis=0)
+    t = jax.lax.slice_in_dim(t, lo, hi + 1, axis=0)
+    acc_r = jax.lax.slice_in_dim(acc_r, lo, hi + 1, axis=0)
+    acc_i = jax.lax.slice_in_dim(acc_i, lo, hi + 1, axis=0)
     ipk = is_peak.astype(jnp.int32)
     count = jnp.sum(ipk, axis=0)                      # (C,) total peaks
     rnk = jnp.cumsum(ipk, axis=0) - ipk               # exclusive peak rank

@@ -103,7 +103,10 @@ def _acs_step(llr_ref, exp_ref, s_count: int, n: int, t, pm):
     (2S, B) plane: the strided pair extraction then runs on two (S, B)
     planes and Mosaic schedules it ~20% faster -- measured bit-identical
     (same candidate values row for row, since row a*S + 2j + p of the
-    concat form is row 2j+p of half a)."""
+    concat form is row 2j+p of half a).  (An MXU variant -- bm as the
+    (2S, n)@(n, B) outer product per step -- measured 35% SLOWER at
+    frame shapes: the tiny K=n matmul is latency-bound and does not
+    overlap the dependent VPU chain.  docs/VITERBI_ROOFLINE.md.)"""
     bm = exp_ref[:, 0:1] * llr_ref[0, pl.ds(t, 1), :]
     for j in range(1, n):
         bm = bm + exp_ref[:, j:j + 1] * llr_ref[j, pl.ds(t, 1), :]
