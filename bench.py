@@ -758,12 +758,18 @@ def run_receiver(args):
     frames32 = np.ascontiguousarray(x_np.T).view(np.float32).ravel()
 
     use_full = on_tpu and C % 128 == 0
+    ekw = {"pipeline_depth": max(0, args.engine_depth)}
+    if use_full and getattr(args, "frames_only", False):
+        # Frames-only consumer: soft/bits ports unconnected, so packet
+        # assembly fetches no planes (the reference's connected-port
+        # guard, cpp/psk_soft.cpp:605-615); frames flow via the device
+        # tap.  Drops the ~6 MB/block output fetch.
+        ekw["data_ports"] = False
     rx = build_receiver(cfg, C, engine="full" if use_full else "batch",
                         block_symbols=S, uw=fmt.uw,
                         frame_payload=fmt.payload, uw_threshold=0.7,
                         fec=code, fec_labeling="gray", crc=crc,
-                        engine_kwargs={"pipeline_depth":
-                                       max(0, args.engine_depth)})
+                        engine_kwargs=ekw)
     rx.engine.set_input_sri(SRI(stream_id="bench", xdelta=1e-6))
     if use_full:
         from psk_soft_tpu.runtime.native_bank import NativePlaneBank
@@ -813,7 +819,8 @@ def run_receiver(args):
     print(json.dumps({
         "metric": f"{C}-channel production streaming receiver throughput "
                   f"(deframe->engine->FrameSyncer->Viterbi->CRC->"
-                  f"pop_frames, {k_frames} frames/block/ch, depth="
+                  f"pop_frames{' frames-only' if getattr(args, 'frames_only', False) and use_full else ''}, "
+                  f"{k_frames} frames/block/ch, depth="
                   f"{max(0, args.engine_depth)}, "
                   f"{jax.devices()[0].device_kind})",
         "value": info_rate,
@@ -877,6 +884,11 @@ def main():
                          "pipeline_depth 0 and --engine-depth")
     ap.add_argument("--engine-depth", type=int, default=1,
                     help="pipeline depth compared against 0 in --engine")
+    ap.add_argument("--receiver-frames-only", dest="frames_only",
+                    action="store_true",
+                    help="--receiver with soft/bits ports unconnected "
+                         "(frames-only consumer; no plane fetch per "
+                         "block, the reference's connected-port guard)")
     ap.add_argument("--receiver", action="store_true",
                     help="production STREAMING receiver bench (native "
                          "deframe -> engine -> FrameSyncer -> Viterbi -> "

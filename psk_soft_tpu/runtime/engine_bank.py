@@ -47,12 +47,19 @@ class BankAssembler:
     k0's first-sample time from the bank time origin.
     """
 
-    def __init__(self, cfg: DemodConfig, skip_debug: bool = False):
+    def __init__(self, cfg: DemodConfig, skip_debug: bool = False,
+                 skip_data: bool = False):
         self.cfg = cfg
         # skip_debug mirrors "phase/sampleIndex ports unconnected": those
         # packets are never assembled (and the fused kernel never writes
-        # the planes -- demod_kernel debug_ports=False).
+        # the planes -- demod_kernel debug_ports=False).  skip_data
+        # extends the same connected-ports rule to soft/bits (the
+        # reference guards EVERY push on connection state,
+        # cpp/psk_soft.cpp:605-615): a frames-only consumer (device-tap
+        # FrameSyncer) costs no plane fetch at all -- only the symbol
+        # clock advances.
         self.skip_debug = skip_debug
+        self.skip_data = skip_data
         self.sri: Optional[SRI] = None
         self._dirty = True
         self._t0: Optional[float] = None
@@ -114,6 +121,11 @@ class BankAssembler:
                     if not (self.skip_debug
                             and p in (PORT_PHASE, PORT_SAMPLE_INDEX))}
             return pkts
+        if self.skip_data:
+            valid = np.asarray(to_host(out.valid))
+            v = valid[0] if valid.ndim > 1 else valid
+            self._advance_clock(int(v.sum()), eos)
+            return {}
         out = to_host(out)
         valid = np.asarray(out.valid)
         v = valid[0] if valid.ndim > 1 else valid   # lockstep bank
@@ -151,6 +163,13 @@ class BankAssembler:
         from ..utils.transfer import to_host
 
         fo = tm.fo
+        if self.skip_data:
+            # Frames-only consumer: advance the symbol clock from the
+            # (host-resident) validity mask; fetch nothing.
+            v = tm.valid_rows
+            sv = (fo.soft_re.shape[0] if v is None else int(v.sum()))
+            self._advance_clock(sv, eos)
+            return {}
         s_re, s_im, phase_p, packed, sidx_p = to_host(
             (fo.soft_re, fo.soft_im, fo.phase, fo.bits_packed,
              fo.sample_index))

@@ -28,7 +28,7 @@ class FullKernelBatchEngine(_PipelinedPackets):
                  interpret: bool = False, pipeline_depth: int = 0,
                  ingest_scale: float | None = None,
                  guard_nonfinite: bool = False,
-                 debug_ports: bool = True,
+                 debug_ports: bool = True, data_ports: bool = True,
                  soft_i8: bool = False, soft_i8_scale: float = 100.0):
         import functools
         from ..models import full as full_mod
@@ -99,7 +99,12 @@ class FullKernelBatchEngine(_PipelinedPackets):
         # which the FF warm-up carry does not keep (it stores the filtered
         # window).  Tracked host-side from the staged blocks.
         self._raw_tail = np.zeros((channels, 0), np.complex64)
-        self.assembler = BankAssembler(cfg, skip_debug=not debug_ports)
+        # data_ports=False: soft/bits unconnected too (frames-only
+        # consumer via the device tap) -- packet assembly advances the
+        # clock but fetches no planes (cpp/psk_soft.cpp:605-615's
+        # connected-port guard applied to every port).
+        self.assembler = BankAssembler(cfg, skip_debug=not debug_ports,
+                                       skip_data=not data_ports)
         self.metrics = EngineMetrics()
         self._make_guard_fns()
 

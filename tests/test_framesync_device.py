@@ -122,7 +122,8 @@ def test_sync_extract_topk_matches_dense():
         len(ts[ts + fmt.frame_len <= soft.shape[1]]) for ts in dense) >= 15
 
 
-def _run_engine_sync(device_tap: bool, soft_i8: bool = False):
+def _run_engine_sync(device_tap: bool, soft_i8: bool = False,
+                     data_ports: bool = True):
     C, sps = 128, 8
     cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
                       phase_avg=30)
@@ -141,14 +142,16 @@ def _run_engine_sync(device_tap: bool, soft_i8: bool = False):
          ).astype(np.complex64)
 
     eng = FullKernelBatchEngine(cfg, C, block_symbols=256, soft_i8=soft_i8,
-                                interpret=True)
+                                data_ports=data_ports, interpret=True)
     eng.set_input_sri(SRI(stream_id="dev-tap"))
     sync = FrameSyncer(eng, fmt, device_tap=device_tap)
     assert sync._tap_device is device_tap
     need = 256 * sps
     for pos in range(0, x.shape[1] - need + 1, need):
         eng.push_block(x[:, pos:pos + need])
-        sync.step_packets()
+        pkts = sync.step_packets()
+        if not data_ports:
+            assert not pkts        # no plane fetch, no packets
     sync.flush_packets()
     return sync.pop_frames()
 
@@ -164,6 +167,20 @@ def test_device_tap_matches_packet_tap(soft_i8):
         np.testing.assert_array_equal(fa.bits, fb.bits)
         np.testing.assert_allclose(fa.soft, fb.soft, atol=1e-6)
         np.testing.assert_allclose(fa.corr, fb.corr, atol=1e-5)
+
+
+def test_frames_only_engine_same_frames():
+    # data_ports=False (soft/bits unconnected -- the reference's
+    # connected-port push guard, cpp/psk_soft.cpp:605-615): packet
+    # assembly fetches nothing, yet the device-tap syncer produces the
+    # IDENTICAL frame stream.
+    a = _run_engine_sync(device_tap=True, data_ports=False)
+    b = _run_engine_sync(device_tap=True, data_ports=True)
+    assert len(a) == len(b) > 100
+    for fa, fb in zip(a, b):
+        assert (fa.channel, fa.start, fa.rotation) == \
+            (fb.channel, fb.start, fb.rotation)
+        np.testing.assert_array_equal(fa.bits, fb.bits)
 
 
 def test_sync_topk_tm_matches_wrapper():
