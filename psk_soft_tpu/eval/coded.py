@@ -147,7 +147,8 @@ class ChainFerPoint(NamedTuple):
 
 def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
                       channels: int = 128, blocks: int = 3,
-                      rows=(80, 300), cfo: float = 0.0, seed: int = 0,
+                      rows=(80, 300), cfo: float = 0.0,
+                      front_cfo: float = 0.0, seed: int = 0,
                       interpret: bool | None = None) -> ChainFerPoint:
     """Frame-error rate of the ONE-LAUNCH receive chain at a given Es/N0.
 
@@ -164,14 +165,24 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
     cfo * (0.25 + 0.75 * c / (C-1)) -- a spread, not one common value,
     so every point exercises a range of offsets -- phase-continuous
     across the warm-up and all measured blocks (BASELINE config 2).
+
+    ``front_cfo`` (exclusive with ``cfo``) applies a BEYOND-LOCK offset
+    spread instead and measures the ACQUISITION leg: per-channel coarse
+    CFO from the M-th-power spectrum (eval/cfo.acquire_cfo, at the
+    operating SNR) feeds the front chain's in-program NCO
+    (models/chain.make_front_chain_fn); the tracker absorbs the
+    sub-bin residual.  Acquisition errors count as frame errors.
     """
     import jax
     import jax.numpy as jnp
 
     from ..models.blockpsk import demod_block_ff, ff_init
-    from ..models.chain import chain_init, chain_msg_bits, make_chain_fn
+    from ..models.chain import (chain_init, chain_msg_bits,
+                                front_chain_init, make_chain_fn,
+                                make_front_chain_fn)
     from ..models.full import full_from_ff
     from ..ops import tx
+    from ..ops.mixer import derotate_host
     from ..utils.transfer import to_device
 
     if interpret is None:
@@ -190,15 +201,19 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
     s_total = -(-s_total // 128) * 128
     n_samp = s_total * cfg.sps
     sigma = float(np.sqrt(10.0 ** (-esn0_db / 10.0) / 2.0))
+    if cfo and front_cfo:
+        raise ValueError("cfo (in-tracker) and front_cfo (beyond-lock "
+                         "acquisition leg) are exclusive")
+    f_max = front_cfo or cfo
     if channels > 1:
-        f_c = cfo * (0.25 + 0.75 * np.arange(channels) / (channels - 1))
+        f_c = f_max * (0.25 + 0.75 * np.arange(channels) / (channels - 1))
     else:
-        f_c = np.full(1, cfo)
+        f_c = np.full(1, f_max)
     phi = np.zeros(channels)          # carrier phase carried across blocks
 
     def apply_cfo(x):
         nonlocal phi
-        if cfo:
+        if f_max:
             ramp = (2 * np.pi * f_c[:, None] * np.arange(n_samp)[None]
                     + phi[:, None])
             x = (x * np.exp(1j * ramp)).astype(np.complex64)
@@ -206,8 +221,12 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
         return x
 
     k = len(rows)
-    step = jax.jit(make_chain_fn(cfg, fmt, code, k, crc=crc,
-                                 interpret=interpret))
+    if front_cfo:
+        step = jax.jit(make_front_chain_fn(cfg, fmt, code, k, crc=crc,
+                                           interpret=interpret))
+    else:
+        step = jax.jit(make_chain_fn(cfg, fmt, code, k, crc=crc,
+                                     interpret=interpret))
     state = None
     frames = found = crc_ok = msg_exact = overflow = 0
     for blk in range(blocks):
@@ -226,8 +245,20 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
         if state is None:
             st_ff = ff_init(cfg, (channels,))
             warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
-            st_ff, _ = warm(st_ff, to_device(x))
-            state = chain_init(fmt, channels, full_from_ff(cfg, st_ff))
+            if front_cfo:
+                # Acquisition at the operating SNR, from the first block
+                # alone; the tracker converges on the estimate-derotated
+                # signal (what the front chain's NCO will produce).
+                from .cfo import acquire_cfo
+                freq_est = np.asarray(acquire_cfo(x, m), np.float32)
+                st_ff, _ = warm(st_ff,
+                                to_device(derotate_host(x, freq_est)))
+                state = front_chain_init(fmt, channels,
+                                         full_from_ff(cfg, st_ff),
+                                         freq=freq_est)
+            else:
+                st_ff, _ = warm(st_ff, to_device(x))
+                state = chain_init(fmt, channels, full_from_ff(cfg, st_ff))
         state, out = step(
             state, jnp.asarray(np.ascontiguousarray(x.real.T)),
             jnp.asarray(np.ascontiguousarray(x.imag.T)))

@@ -2,13 +2,19 @@
 
 Sweeps Es/N0 over the coded waterfall for the ONE-LAUNCH seam chain
 (eval/coded.measure_chain_fer: demod -> seam frame sync -> Viterbi ->
-CRC, acquisition and tracking inside the measured program), in two legs:
+CRC, acquisition and tracking inside the measured program), in THREE
+legs:
 
-- cfo=0: pure AWGN (BASELINE config 1 family), and
-- cfo=CFO_NORM: a per-channel carrier-offset SPREAD the tracker must
-  absorb (BASELINE config 2 family) -- channel c sees normalized offset
+- "awgn": pure AWGN (BASELINE config 1 family);
+- "cfo": a per-channel carrier-offset SPREAD the tracker must absorb
+  (BASELINE config 2 family) -- channel c sees normalized offset
   cfo * (0.25 + 0.75 c/(C-1)) cycles/sample, phase-continuous across
-  blocks.
+  blocks;
+- "acq": a BEYOND-LOCK offset spread (default max 0.02 cycles/sample,
+  past the 4th-power tracker's ~0.0156 pull-in) through M-th-power
+  acquisition at the operating SNR + the front chain's in-program NCO
+  (models/chain.make_front_chain_fn); acquisition failures count as
+  frame errors.
 
 Each point also records the union-bound prediction for the decoded
 frame: Pb from the K=7 distance spectrum at Eb/N0 = Es/N0 (rate 1/2 x
@@ -38,7 +44,10 @@ def main():
     ap.add_argument("--cfo", type=float, default=2e-5,
                     help="max normalized CFO (cycles/sample) of the "
                          "per-channel spread in the CFO leg")
-    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--acq-cfo", type=float, default=0.02,
+                    help="max normalized CFO of the BEYOND-LOCK spread "
+                         "in the acquisition (front-chain) leg")
+    ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--tpu", action="store_true",
                     help="measure on the axon TPU (default: CPU)")
@@ -71,17 +80,22 @@ def main():
     n_info = info_bits_for(code, fmt.payload * 2)
     n_msg = chain_msg_bits(fmt, code, crc)
     esn0s = [float(v) for v in args.esn0.split(",")]
-    legs = {"awgn": 0.0, "cfo": args.cfo}
+    # Three legs: pure AWGN; an in-tracker CFO spread; a BEYOND-LOCK
+    # spread through M-th-power acquisition + the front chain's NCO
+    # (acquisition errors count as frame errors).
+    legs = {"awgn": (0.0, 0.0), "cfo": (args.cfo, 0.0),
+            "acq": (0.0, args.acq_cfo)}
     points = []
-    for leg, cfo in legs.items():
+    for leg, (cfo, fcfo) in legs.items():
         for e in esn0s:
             t0 = time.time()
             p = measure_chain_fer(cfg, fmt, code, crc, e,
                                   channels=args.channels,
-                                  blocks=args.blocks, cfo=cfo, seed=3)
+                                  blocks=args.blocks, cfo=cfo,
+                                  front_cfo=fcfo, seed=3)
             pb = float(union_bound(code, e))      # Eb/N0 == Es/N0 here
             fer_pred = float(1.0 - (1.0 - min(pb, 1.0)) ** n_info)
-            rec = {"leg": leg, "cfo": cfo, "esn0_db": e,
+            rec = {"leg": leg, "cfo": cfo or fcfo, "esn0_db": e,
                    "frames": p.frames, "found": p.found,
                    "crc_ok": p.crc_ok, "msg_exact": p.msg_exact,
                    "overflow": p.overflow, "fer": p.fer,

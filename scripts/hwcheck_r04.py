@@ -279,7 +279,7 @@ def check_chain(C=1024, S=512, min_rate=120e6):
     to the transmitted message bits, CRCs green), then scan-amortized
     checksum-forced throughput -- the regression anchor for the chain
     bench (bench.py --profile chain)."""
-    import functools
+
 
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
     from psk_soft_tpu.models.chain import (chain_init, chain_msg_bits,

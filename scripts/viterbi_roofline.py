@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from psk_soft_tpu.ops.fec import CODE_K7, conv_encode, info_bits_for
+from psk_soft_tpu.ops.fec import CODE_K7, conv_encode
 from psk_soft_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
 
 CLOCK_HZ = 940e6            # v5e TensorCore

@@ -16,7 +16,6 @@ frames yield count = k+1 with the earliest k decoded.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init

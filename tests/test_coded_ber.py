@@ -93,3 +93,23 @@ def test_chain_fer_waterfall():
     assert lo.fer >= 0.3, lo
     assert lo.fer > mid.fer >= hi.fer
     assert lo.overflow == 0 or lo.overflow < lo.frames  # observable cap
+
+
+def test_chain_fer_acquisition_leg():
+    # BEYOND-LOCK offsets (0.005-0.02 cyc/sample, past the 4th-power
+    # tracker's ~0.0156 pull-in) through M-th-power acquisition + the
+    # front chain's in-program NCO: clean at the coded operating point.
+    from psk_soft_tpu import DemodConfig
+    from psk_soft_tpu.eval.coded import measure_chain_fer
+    from psk_soft_tpu.ops.crc import CRC16_CCITT
+    from psk_soft_tpu.ops.framesync import FrameFormat
+
+    rng = np.random.default_rng(31)
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    p = measure_chain_fer(cfg, fmt, CODE_K7, CRC16_CCITT, 12.0,
+                          channels=128, blocks=2, front_cfo=0.02, seed=3)
+    assert p.fer <= 0.01, p
+    assert p.found == p.frames
