@@ -204,3 +204,113 @@ def test_checkpoint_viterbi_stream_state(tmp_path):
     _, a = viterbi_stream_step(CODE_K7, st, steps[:, 500:])
     _, b = viterbi_stream_step(CODE_K7, st2, steps[:, 500:])
     np.testing.assert_array_equal(to_host(a), to_host(b))
+
+
+def test_checkpoint_seam_chain_state(tmp_path):
+    """ChainState (nested: FullState + SeamTailState) roundtrips and the
+    seam chain resumes EXACTLY -- a frame straddling the checkpoint
+    boundary decodes identically to the uninterrupted run."""
+    import jax
+    from psk_soft_tpu.models.blockpsk import demod_block_ff
+    from psk_soft_tpu.models.chain import (chain_init, chain_msg_bits,
+                                           make_chain_fn)
+    from psk_soft_tpu.models.full import full_from_ff
+    from psk_soft_tpu.ops import tx
+    from psk_soft_tpu.ops.crc import CRC16_CCITT
+    from psk_soft_tpu.ops.fec import CODE_K7
+    from psk_soft_tpu.ops.framesync import FrameFormat
+    from psk_soft_tpu.utils.transfer import to_device
+
+    C, sps, S = 128, 8, 256
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(13)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    n_msg = chain_msg_bits(fmt, CODE_K7, CRC16_CCITT)
+    # One frame straddling the block-1/block-2 boundary (checkpoint cut).
+    starts = [100, 230]
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+    idx_row = tx.frame_stream(fmt, infos, starts, 3 * S, code=CODE_K7,
+                              crc=CRC16_CCITT, labeling="gray", seed=14)
+    x = np.repeat(np.exp(1j * (2 * np.pi * np.tile(idx_row, (C, 1)) / 4
+                               + 0.4)), sps, axis=1).astype(np.complex64)
+    x += (0.01 * rng.standard_normal(x.shape)).astype(np.complex64)
+
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x[:, :S * sps]))
+    step = jax.jit(make_chain_fn(cfg, fmt, CODE_K7, 2, crc=CRC16_CCITT,
+                                 interpret=True))
+
+    def run(state, lo_blk, hi_blk, outs):
+        for b in range(lo_blk, hi_blk):
+            blk = x[:, b * S * sps:(b + 1) * S * sps]
+            state, out = step(
+                state, jnp.asarray(np.ascontiguousarray(blk.real.T)),
+                jnp.asarray(np.ascontiguousarray(blk.imag.T)))
+            outs.append(jax.tree_util.tree_map(np.asarray, out))
+        return state
+
+    st0 = chain_init(fmt, C, full_from_ff(cfg, st_ff))
+    outs_a = []
+    st_mid = run(st0, 0, 1, outs_a)
+
+    path = os.path.join(tmp_path, "chain.npz")
+    save_state(path, st_mid, cfg, extra={"blocks_done": 1})
+    st_loaded, cfg2, extra = load_state(path)
+    assert cfg2 == cfg and extra["blocks_done"] == 1
+    assert type(st_loaded).__name__ == "ChainState"
+
+    outs_resume, outs_cont = [], []
+    run(st_loaded, 1, 3, outs_resume)
+    run(st_mid, 1, 3, outs_cont)
+    n_found = 0
+    for a, b in zip(outs_resume, outs_cont):
+        np.testing.assert_array_equal(a.found, b.found)
+        np.testing.assert_array_equal(a.pos, b.pos)
+        np.testing.assert_array_equal(a.msg, b.msg)
+        np.testing.assert_array_equal(a.ok, b.ok)
+        n_found += int(a.found.sum())
+    assert n_found >= C      # the straddling frame decoded post-resume
+
+
+def test_checkpoint_front_chain_state(tmp_path):
+    """FrontChainState (NCO freq/phase + optional AgcState + nested
+    ChainState members) roundtrips, None AGC included."""
+    from psk_soft_tpu.models.blockpsk import ff_init as ffi
+    from psk_soft_tpu.models.chain import front_chain_init
+    from psk_soft_tpu.models.full import full_from_ff
+    from psk_soft_tpu.ops.agc import AgcConfig
+    from psk_soft_tpu.ops.framesync import FrameFormat
+
+    C = 128
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(15)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 16)), payload=16, m=4)
+    import jax
+    from psk_soft_tpu.models.blockpsk import demod_block_ff
+    from psk_soft_tpu.utils.transfer import to_device
+    x = (rng.standard_normal((C, 40 * 8 * 4))
+         + 1j * rng.standard_normal((C, 40 * 8 * 4))).astype(np.complex64)
+    st_ff = ffi(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(x))
+    freqs = np.linspace(1e-3, 2e-2, C).astype(np.float32)
+    for agc_cfg in (None, AgcConfig(alpha=0.1, chunk=8)):
+        st = front_chain_init(fmt, C, full_from_ff(cfg, st_ff),
+                              agc_cfg=agc_cfg, freq=freqs)
+        path = os.path.join(tmp_path, f"front_{agc_cfg is None}.npz")
+        save_state(path, st, cfg)
+        st2, _, _ = load_state(path)
+        assert type(st2).__name__ == "FrontChainState"
+        np.testing.assert_array_equal(np.asarray(st2.front.freq), freqs)
+        if agc_cfg is None:
+            assert st2.front.agc is None
+        else:
+            np.testing.assert_array_equal(np.asarray(st2.front.agc.power),
+                                          np.asarray(st.front.agc.power))
+        for a, b in zip(jax.tree_util.tree_leaves(st.demod),
+                        jax.tree_util.tree_leaves(st2.demod)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
