@@ -156,7 +156,6 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
     work scales over the mesh.
     """
     from ..models.blockpsk import make_ff_demod_fn, ff_init
-    from ..models.chain import chain_tail
     from ..models.full import FullState, demod_block_full, full_from_ff
     from ..ops.crc import CRC16_CCITT
     from ..ops.fec import CODE_K7, info_bits_for
@@ -191,17 +190,22 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
     idx_row = tx.frame_stream(fmt, infos, starts, symbols, code=code,
                               crc=crc, labeling="gray", seed=7)
 
-    def body(state, x_re, x_im):
-        # The public one-launch composition (models/chain.py) inside the
-        # shard_map body -- the bench's --profile chain is its
-        # single-device twin.
+    from ..models.chain import make_seam_tail_fn
+
+    tail_step = make_seam_tail_fn(fmt, code, k_frames, crc=crc,
+                                  labeling="gray", interpret=interpret)
+
+    def body(state, tail, x_re, x_im):
+        # The public one-launch SEAM composition (models/chain.py) inside
+        # the shard_map body -- the bench's --profile chain is its
+        # single-device twin (r5: the production streaming contract, not
+        # the containment mode).
         st2, fo = demod_block_full(cfg, state, x_re, x_im,
                                    debug_ports=False, interpret=interpret)
-        out = chain_tail(fo.soft_re, fo.soft_im, fmt, code, k_frames,
-                         crc=crc, labeling="gray", interpret=interpret)
+        tail2, out = tail_step(tail, fo.soft_re, fo.soft_im)
         chk = (out.msg.astype(jnp.int32).sum() + out.found.sum()
-               + out.ok.sum() + out.pos.sum())
-        return st2, chk.astype(jnp.float32)[None]   # (1,) per shard
+               + out.ok.sum() + out.pos.sum() + out.count.sum())
+        return st2, tail2, chk.astype(jnp.float32)[None]  # (1,) per shard
 
     points = []
     for n in device_counts:
@@ -215,27 +219,33 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
         warm = make_ff_demod_fn(cfg, channels=C)
         st_ff, _ = warm(ff_init(cfg, (C,)), to_device(x_np))
         state = full_from_ff(cfg, st_ff)
+        from ..models.chain import SeamTailState, seam_tail_init
+        tail = seam_tail_init(fmt, C)
         spec = P(None, "chan")
         state_specs = FullState(win_re=spec, win_im=spec, planes=spec)
+        tail_specs = SeamTailState(tail_re=spec, tail_im=spec)
         sharded = jax.shard_map(
-            body, mesh=mesh, in_specs=(state_specs, spec, spec),
-            out_specs=(state_specs, P("chan")), check_vma=False)
+            body, mesh=mesh, in_specs=(state_specs, tail_specs, spec,
+                                       spec),
+            out_specs=(state_specs, tail_specs, P("chan")),
+            check_vma=False)
         sh = NamedSharding(mesh, spec)
         state = jax.tree.map(lambda v: jax.device_put(v, sh), state)
+        tail = jax.tree.map(lambda v: jax.device_put(v, sh), tail)
         x_re = jax.device_put(jnp.asarray(
             np.ascontiguousarray(x_np.real.T)), sh)
         x_im = jax.device_put(jnp.asarray(
             np.ascontiguousarray(x_np.imag.T)), sh)
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def run_k(state, x_re, x_im, k):
-            def step(st, _):
-                st2, chk = sharded(st, x_re, x_im)
-                return st2, jnp.sum(chk)
-            st, chks = jax.lax.scan(step, state, None, length=k)
-            return st, jnp.sum(chks)
+        def run_k(carry, x_re, x_im, k):
+            def step(c, _):
+                st2, t2, chk = sharded(c[0], c[1], x_re, x_im)
+                return (st2, t2), jnp.sum(chk)
+            c, chks = jax.lax.scan(step, carry, None, length=k)
+            return c, jnp.sum(chks)
 
-        state, _ = run_k(state, x_re, x_im, 1)   # compile + warm
+        state, _ = run_k((state, tail), x_re, x_im, 1)   # compile + warm
 
         def run():
             nonlocal state
@@ -251,7 +261,7 @@ def chain_scaling_report(cfg: DemodConfig, *, device_counts=None,
     t1 = points[0]["step_s"]
     for p in points:
         p["efficiency"] = t1 / p["step_s"]
-    return {"mode": "chain-weak", "symbols_per_block": symbols, "sps": sps,
+    return {"mode": "chain-weak (seam)", "symbols_per_block": symbols, "sps": sps,
             "channels_per_device": channels_per_device,
             "frames_per_block_per_channel": k_frames,
             "code": "K7 rate 1/2 + CRC16", "points": points}

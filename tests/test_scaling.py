@@ -33,7 +33,7 @@ def test_chain_weak_scaling_report():
     rep = chain_scaling_report(cfg, device_counts=[1, 2],
                                channels_per_device=128, symbols=512,
                                iters=1, reps=1, interpret=True)
-    assert rep["mode"] == "chain-weak"
+    assert rep["mode"] == "chain-weak (seam)"
     assert rep["frames_per_block_per_channel"] >= 1
     pts = rep["points"]
     assert [p["devices"] for p in pts] == [1, 2]
