@@ -157,6 +157,47 @@ def test_overflow_count_observable():
     assert outs.count[0].max() == 0 and outs.count[2].max() == 0
 
 
+def test_seam_fuzz_random_formats_and_splits():
+    # Seeded property fuzz of the seam law across random frame formats,
+    # constellations, frame placements, and block sizes: every planted
+    # frame decodes exactly once at its exact position with exact bits,
+    # and no unplanted position ever commits.
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        m = int(rng.choice([2, 4, 8]))
+        u_len = int(rng.integers(12, 25))
+        payload = int(rng.integers(8, 33))
+        nb = int(np.log2(m))
+        payload = max(payload, -(-14 // nb))   # room for K-1 flush bits
+        if (payload * nb) % 2:          # K7 is rate 1/2: even code bits
+            payload += 1
+        fmt = FrameFormat(uw=tuple(rng.integers(0, m, u_len)),
+                          payload=payload, m=m, threshold=0.8)
+        n_msg = info_bits_for(CODE_K7, fmt.payload * nb)
+        s_block = int(rng.integers(5, 14)) * 8
+        n_blocks = int(rng.integers(6, 12))
+        total = s_block * n_blocks
+        # Random placements with legal spacing, crossing seams freely.
+        starts, p = [], int(rng.integers(0, fmt.separation))
+        while p + fmt.frame_len <= total - (fmt.separation + u_len):
+            starts.append(p)
+            p += fmt.separation + int(rng.integers(1, 40))
+        if not starts:
+            continue
+        infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+        soft = _soft_stream(fmt, infos, starts, total, channels=2,
+                            seed=700 + trial, noise=0.02)
+        k = max(2, -(-s_block // fmt.separation))
+        outs = _run_seam_blocks(fmt, k, soft, s_block)
+        got = _commits(outs, s_block)
+        for c in range(2):
+            assert [p for p, _ in got[c]] == starts, (trial, c)
+            for (_, msg), want in zip(got[c], infos):
+                np.testing.assert_array_equal(msg, want)
+        # counts total exactly the planted frames over the stream
+        assert int(outs.count.sum()) == 2 * len(starts), trial
+
+
 def test_full_chain_decodes_straddling_frames():
     # The COMPLETE one-launch chain (demod kernel in the loop): frames
     # planted mid-stream so several straddle input-block seams; each
