@@ -989,9 +989,8 @@ def main(argv=None) -> int:
                          "requires --uw): k7 = (171,133) rate 1/2, k9 = "
                          "(561,753); adds info_bits/corrected/suspect to "
                          "<out-prefix>.frames.jsonl.  NOTE: k9 runs 4x "
-                         "the trellis states and decodes ~20x slower than "
-                         "k7 on-chip (docs/HWCHECK_r04.md); prefer k7 "
-                         "unless the link budget demands K=9")
+                         "the trellis states and decodes ~3-4x slower "
+                         "than k7 on-chip (docs/HWCHECK_r05.md)")
     db.add_argument("--fec-puncture", choices=("2/3", "3/4"),
                     help="DVB puncturing of the --fec / --fec-stream code")
     db.add_argument("--auto", action="store_true",
@@ -1017,8 +1016,8 @@ def main(argv=None) -> int:
                          "stream (windowed traceback, no framing): "
                          "decoded bits go to <out-prefix>.fecstream.i8, "
                          "channel-interleaved int8 (runtime/fec.py "
-                         "StreamFecDecoder); k9 decodes ~20x slower than "
-                         "k7 on-chip (see --fec)")
+                         "StreamFecDecoder); k9 decodes ~3-4x slower "
+                         "than k7 on-chip (see --fec)")
     db.add_argument("--crc", choices=("crc16", "crc32"),
                     help="check + strip each frame's trailing CRC field "
                          "(after --fec / --descramble; requires --uw): "

@@ -124,11 +124,12 @@ class ConvCode:
 # Presets: the two codes everything in the field interoperates with, plus
 # the 4-state textbook code (small enough to check a trellis by hand).
 CODE_K7 = ConvCode(7, (0o171, 0o133))
-# K=9 has 4x the trellis states of K=7 and its ACS no longer fits the
-# sublane-resident layout, so on-chip decode runs ~20x slower than K=7
-# (29-39 vs 632 Minfobit/s, docs/HWCHECK_r04.md) -- a coding-gain vs
-# throughput trade every user-facing surface (CLI --fec/--fec-stream)
-# documents.
+# K=9 has 4x the trellis states of K=7, so on-chip decode runs ~3-4x
+# slower (218 vs 717 Minfobit/s at 2048 rows, docs/HWCHECK_r05.md; the
+# round-4 20x cliff was the traceback's full-plane bit accumulation,
+# fixed by the r5 packed shift-or words) -- the natural coding-gain vs
+# throughput trade, documented at the user-facing surfaces (CLI
+# --fec/--fec-stream).
 CODE_K9 = ConvCode(9, (0o561, 0o753))
 CODE_K3 = ConvCode(3, (0o7, 0o5))
 # DVB-S puncturing of the K=7 code.
