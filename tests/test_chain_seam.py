@@ -305,3 +305,36 @@ def test_one_shot_mode_still_available():
     assert (np.asarray(out.pos) == rows[0]).all()
     np.testing.assert_array_equal(
         np.asarray(out.msg)[:, 0], np.tile(infos[0], (C, 1)))
+
+
+def test_seam_chain_16psk():
+    # The seam tail at M=16 (the high-order extension beyond the
+    # reference's {2,4,8}): 4 bits/symbol payloads, exact decode through
+    # sync + Viterbi + CRC across a seam.
+    rng = np.random.default_rng(21)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 16, 16)), payload=16,
+                      m=16, threshold=0.8)
+    n_info = info_bits_for(CODE_K7, fmt.payload * 4)
+    n_msg = n_info - CRC16_CCITT.degree
+    s_block = 64
+    starts = [20, 100, 150]           # 150..181 straddles block 2/3
+    assert any(p // s_block != (p + fmt.frame_len - 1) // s_block
+               for p in starts)
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+    rows = []
+    for c in range(2):
+        idx = tx.frame_stream(fmt, infos, starts, 4 * s_block,
+                              code=CODE_K7, crc=CRC16_CCITT,
+                              labeling="gray", seed=30 + c)
+        rows.append(psk_points(idx, 16))
+    soft = np.stack(rows)
+    soft += (0.01 * (rng.standard_normal(soft.shape)
+                     + 1j * rng.standard_normal(soft.shape)))
+    outs = _run_seam_blocks(fmt, 2, soft.astype(np.complex64), s_block,
+                            crc=CRC16_CCITT)
+    assert outs.ok[outs.found].all()
+    got = _commits(outs, s_block)
+    for c in range(2):
+        assert [p for p, _ in got[c]] == starts
+        for (_, msg), want in zip(got[c], infos):
+            np.testing.assert_array_equal(msg, want)
