@@ -267,6 +267,47 @@ def _time_run_k(args, run_k, carry, x_re, x_im, C, T, warmed=False):
     return C * T * args.iters / best
 
 
+def _plant_unaligned_frames(C, S, sps, fmt, code, crc, rng):
+    """Shared TX plan for the chain/receiver benches (and the stage-split
+    script): K7+CRC16 coded frames on an UNALIGNED cadence over the
+    S-periodic stream, planted with wraparound so at least one frame
+    straddles the block seam whenever S % cadence != 0.  Built batched
+    (one CRC matmul + one conv_encode over all C*k frames; per-frame
+    tx.build_frame would cost a device dispatch per frame).  No CFO so
+    the repeated bench block is phase-continuous.
+
+    Returns (starts, k_frames, infos (C,k,n_msg), x_np (C, S*sps),
+    n_info, n_msg)."""
+    import jax.numpy as jnp
+    from psk_soft_tpu.ops import tx
+    from psk_soft_tpu.ops.crc import append_crc
+    from psk_soft_tpu.ops.fec import conv_encode, info_bits_for
+
+    n_info = info_bits_for(code, fmt.payload * 2)
+    n_msg = n_info - crc.degree
+    cadence = max(fmt.separation, 104) + 1
+    k_frames = S // cadence
+    if k_frames == 0:
+        raise ValueError("block too short for one frame; raise --symbols")
+    starts = [(17 + j * cadence) % S for j in range(k_frames)]
+    infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
+    coded = np.asarray(conv_encode(code, jnp.asarray(
+        append_crc(crc, infos))), np.int8)          # (C, k, payload*nb)
+    pay_syms = tx.bits_to_symbols(4, coded, "gray")  # (C, k, payload)
+    idx = rng.integers(0, 4, (C, S))
+    uw_arr = np.asarray(fmt.uw, np.int64)
+    for j, s0 in enumerate(starts):
+        cols = (s0 + np.arange(fmt.frame_len)) % S      # wraparound plant
+        idx[:, cols[:fmt.uw_len]] = uw_arr[None, :]
+        idx[:, cols[fmt.uw_len:]] = pay_syms[:, j]
+    x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
+                     sps, axis=1).astype(np.complex64)
+    x_np += (0.01 * (rng.standard_normal(x_np.shape)
+                     + 1j * rng.standard_normal(x_np.shape))
+             ).astype(np.complex64)
+    return starts, k_frames, infos, x_np, n_info, n_msg
+
+
 def run_chain(args):
     """One-number receive-chain benchmark: capture -> flagship demod
     kernel -> SEAM-CARRYING device frame sync -> Mosaic Viterbi -> CRC,
@@ -292,9 +333,8 @@ def run_chain(args):
     from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
     from psk_soft_tpu.models.full import demod_block_full, full_from_ff
     from psk_soft_tpu.models.chain import make_seam_tail_fn, seam_tail_init
-    from psk_soft_tpu.ops import tx
     from psk_soft_tpu.ops.crc import CRC16_CCITT
-    from psk_soft_tpu.ops.fec import CODE_K7, info_bits_for
+    from psk_soft_tpu.ops.fec import CODE_K7
     from psk_soft_tpu.ops.framesync import FrameFormat
     from psk_soft_tpu.utils.transfer import to_device
 
@@ -305,43 +345,10 @@ def run_chain(args):
     rng = np.random.default_rng(12)
     fmt = FrameFormat(uw=tuple(rng.integers(0, 4, args.uw_len)),
                       payload=args.payload, m=4, threshold=0.7)
-    n_info = info_bits_for(code, fmt.payload * 2)       # 58 (CRC inside)
-    n_msg = n_info - crc.degree
     a1 = cfg.num_avg - 1
-    # Frames on an UNALIGNED cadence over the S-periodic stream: input
-    # positions p_j = 17 + j*cadence (mod S), planted with wraparound
-    # (a frame spanning the block edge continues at the next period's
-    # head -- the seam the chain must carry).  cadence chosen to not
-    # divide S so at least one frame straddles whenever S % cadence != 0.
-    cadence = max(fmt.separation, 104) + 1
-    k_frames = S // cadence
-    if k_frames == 0:
-        raise ValueError("block too short for one frame; raise --symbols")
-    starts = [(17 + j * cadence) % S for j in range(k_frames)]
+    starts, k_frames, infos, x_np, n_info, n_msg = \
+        _plant_unaligned_frames(C, S, sps, fmt, code, crc, rng)
     rows = [(p + a1) % S for p in starts]       # detection rows (mod S)
-
-    # TX: per-channel info bits; no CFO so the repeated bench block is
-    # phase-continuous and every iteration does identical chain work.
-    # Built batched (one CRC matmul + one conv_encode over all C*k frames;
-    # per-frame tx.build_frame would cost a device dispatch per frame).
-    from psk_soft_tpu.ops.crc import append_crc
-    from psk_soft_tpu.ops.fec import conv_encode
-
-    infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
-    coded = np.asarray(conv_encode(code, jnp.asarray(
-        append_crc(crc, infos))), np.int8)          # (C, k, payload*nb)
-    pay_syms = tx.bits_to_symbols(4, coded, "gray")  # (C, k, payload)
-    idx = rng.integers(0, 4, (C, S))
-    uw_arr = np.asarray(fmt.uw, np.int64)
-    for j, s0 in enumerate(starts):
-        cols = (s0 + np.arange(fmt.frame_len)) % S      # wraparound plant
-        idx[:, cols[:fmt.uw_len]] = uw_arr[None, :]
-        idx[:, cols[fmt.uw_len:]] = pay_syms[:, j]
-    x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
-                     sps, axis=1).astype(np.complex64)
-    x_np += (0.01 * (rng.standard_normal(x_np.shape)
-                     + 1j * rng.standard_normal(x_np.shape))
-             ).astype(np.complex64)
 
     # Converge the tracker, hand off to the fused kernel (run_full recipe).
     st_ff = ff_init(cfg, (C,))
@@ -706,9 +713,8 @@ def run_receiver(args):
     """
     import jax
     from psk_soft_tpu import DemodConfig
-    from psk_soft_tpu.ops import tx
-    from psk_soft_tpu.ops.crc import CRC16_CCITT, append_crc
-    from psk_soft_tpu.ops.fec import CODE_K7, conv_encode, info_bits_for
+    from psk_soft_tpu.ops.crc import CRC16_CCITT
+    from psk_soft_tpu.ops.fec import CODE_K7
     from psk_soft_tpu.ops.framesync import FrameFormat
     from psk_soft_tpu.runtime.receiver import build_receiver
     from psk_soft_tpu.runtime.streams import SRI
@@ -722,31 +728,11 @@ def run_receiver(args):
     rng = np.random.default_rng(12)
     fmt = FrameFormat(uw=tuple(rng.integers(0, 4, args.uw_len)),
                       payload=args.payload, m=4, threshold=0.7)
-    n_info = info_bits_for(code, fmt.payload * 2)
-    n_msg = n_info - crc.degree
-    # Same content scheme as run_chain: unaligned cadence over the
-    # S-periodic stream, wraparound plants (seam-straddling frames are
-    # the streaming FrameSyncer's home turf).
-    cadence = max(fmt.separation, 104) + 1
-    k_frames = S // cadence
-    if k_frames == 0:
-        raise ValueError("block too short for one frame; raise --symbols")
-    starts = [(17 + j * cadence) % S for j in range(k_frames)]
-    infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
-    coded = np.asarray(conv_encode(code, jnp.asarray(
-        append_crc(crc, infos))), np.int8)
-    pay_syms = tx.bits_to_symbols(4, coded, "gray")
-    idx = rng.integers(0, 4, (C, S))
-    uw_arr = np.asarray(fmt.uw, np.int64)
-    for j, s0 in enumerate(starts):
-        cols = (s0 + np.arange(fmt.frame_len)) % S
-        idx[:, cols[:fmt.uw_len]] = uw_arr[None, :]
-        idx[:, cols[fmt.uw_len:]] = pay_syms[:, j]
-    x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
-                     sps, axis=1).astype(np.complex64)
-    x_np += (0.01 * (rng.standard_normal(x_np.shape)
-                     + 1j * rng.standard_normal(x_np.shape))
-             ).astype(np.complex64)
+    # Same content scheme as run_chain (shared helper): unaligned
+    # cadence, wraparound plants -- seam-straddling frames are the
+    # streaming FrameSyncer's home turf.
+    starts, k_frames, infos, x_np, n_info, n_msg = \
+        _plant_unaligned_frames(C, S, sps, fmt, code, crc, rng)
     # Planted info bits by detection offset (start mod S): the engine's
     # packet stream is aligned to input symbol indices (warm-up rows are
     # valid-masked, not dropped from the index space), so a frame at

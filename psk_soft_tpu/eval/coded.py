@@ -195,9 +195,15 @@ def measure_chain_fer(cfg, fmt, code: ConvCode, crc, esn0_db: float, *,
     starts = [r - a1 for r in rows]
     if any(s < 0 for s in starts):
         raise ValueError("rows must be >= num_avg - 1")
+    # Every frame must COMMIT in its own block under the seam window
+    # (commit_hi = s_total - need_after), or the per-block accounting
+    # compares a deferred frame against the next block's infos: require
+    # max(rows) + need_after <= s_total, not just payload containment.
     # Multiple of 128 symbols: Mosaic block tiling needs 8-row-divisible
     # time tiles on the compiled kernel (interpret mode doesn't check).
-    s_total = max(starts) + fmt.frame_len + a1 + 8
+    from ..models.chain import _need_after
+    s_total = max(max(starts) + fmt.frame_len + a1 + 8,
+                  max(rows) + _need_after(fmt))
     s_total = -(-s_total // 128) * 128
     n_samp = s_total * cfg.sps
     sigma = float(np.sqrt(10.0 ** (-esn0_db / 10.0) / 2.0))

@@ -68,7 +68,16 @@ class DistributedBatchEngine(BatchEngine):
 
     def __init__(self, cfg: DemodConfig, channels_global: int,
                  mesh: Mesh | None = None, block_symbols: int = 512,
-                 pipeline: str = "ff", pipeline_depth: int = 0):
+                 pipeline: str = "ff", pipeline_depth: int = 0,
+                 guard_nonfinite: bool = False):
+        if guard_nonfinite:
+            # The base guard's fresh-carry rebuild is sized to LOCAL
+            # channels while the sharded state is global -- supporting it
+            # needs a sharded rebuild; reject loudly rather than build a
+            # guard that never fires.
+            raise ValueError("guard_nonfinite is not supported on the "
+                             "distributed engine (per-channel resync is "
+                             "host-local; run it on the per-host view)")
         if mesh is None:
             from ..parallel.launch import global_mesh
             mesh = global_mesh()
@@ -85,11 +94,15 @@ class DistributedBatchEngine(BatchEngine):
             tuple(mesh.axis_names))
         self._chan_spec = spec
         # Local row span from the sharding itself (contiguous for the
-        # standard process-ordered global device list; asserted).
+        # standard process-ordered global device list; asserted).  A
+        # shard covering the whole axis (1-device mesh / replicated
+        # leaf) comes back as slice(None, None): normalize both ends.
         sh = NamedSharding(mesh, spec)
         imap = sh.addressable_devices_indices_map((channels_global,))
-        rows = sorted((idx[0].start or 0, idx[0].stop) for idx in
-                      imap.values())
+        rows = sorted(
+            (idx[0].start if idx[0].start is not None else 0,
+             idx[0].stop if idx[0].stop is not None else channels_global)
+            for idx in imap.values())
         lo = rows[0][0]
         hi = rows[-1][1]
         if [r for r, _ in rows] != [lo + i * (rows[0][1] - rows[0][0])
@@ -137,7 +150,12 @@ class DistributedBatchEngine(BatchEngine):
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     def _run_block(self, x_local: np.ndarray):
-        """One SPMD step over the global mesh; returns LOCAL outputs."""
+        """BatchEngine's device-dispatch hook, swapped for the SPMD path:
+        global sharded input in, LOCAL rows out.  All staging, metrics,
+        and packet logic is inherited unchanged.  NOTE on flush(): the
+        drain length must agree across processes (the SPMD step is one
+        program) -- feed equal-length streams or flush at block edges.
+        """
         with self.step_timer.measure():
             self._state, out = self._fn(self._state,
                                         self._global_input(x_local))
@@ -145,39 +163,6 @@ class DistributedBatchEngine(BatchEngine):
         return out
 
     # -- BatchEngine overrides --------------------------------------------
-
-    def step(self):
-        if not self.ready():
-            return None
-        need = self.block_symbols * self.cfg.sps
-        x = np.stack([s[:need] for s in self._staging])
-        self._staging = [s[need:] for s in self._staging]
-        out = self._run_block(x)
-        if self._pipe_depth == 0:
-            nv = int(np.asarray(out.valid).sum())
-            self.metrics.symbols_out += nv
-            self.metrics.bits_out += nv * self.assembler.cfg.bits_per_symbol
-        return out
-
-    def flush(self):
-        sps = self.cfg.sps
-        n = (min(s.size for s in self._staging) // sps) * sps
-        self._staging = [s[:n] for s in self._staging]
-        if n == 0:
-            self._staging = [np.zeros(0, np.complex64)
-                             for _ in range(self.channels)]
-            return None
-        x = np.stack(self._staging)
-        self._staging = [np.zeros(0, np.complex64)
-                         for _ in range(self.channels)]
-        # NOTE: flush length must agree across processes (the SPMD step is
-        # one program); feed equal-length streams or flush at block edges.
-        out = self._run_block(x)
-        if self._pipe_depth == 0:
-            nv = int(np.asarray(out.valid).sum())
-            self.metrics.symbols_out += nv
-            self.metrics.bits_out += nv * self.assembler.cfg.bits_per_symbol
-        return out
 
     def reset(self) -> None:
         super().reset()

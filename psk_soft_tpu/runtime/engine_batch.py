@@ -65,6 +65,16 @@ class BatchEngine(_PipelinedPackets):
         need = self.block_symbols * self.cfg.sps
         return all(s.size >= need for s in self._staging)
 
+    def _run_block(self, x: np.ndarray):
+        """One device step over a staged (C, T) block; returns outputs.
+        The distributed engine overrides ONLY this (global-mesh dispatch,
+        local-row fetch); all staging/metrics/guard logic stays shared."""
+        from ..utils.transfer import to_device
+
+        with self.step_timer.measure():
+            self._state, out = self._fn(self._state, to_device(x))
+        return out
+
     def step(self):
         """Run one batched block; returns DemodOutputs (C, S) or None."""
         if not self.ready():
@@ -72,9 +82,7 @@ class BatchEngine(_PipelinedPackets):
         need = self.block_symbols * self.cfg.sps
         x = np.stack([s[:need] for s in self._staging])
         self._staging = [s[need:] for s in self._staging]
-        from ..utils.transfer import to_device
-        with self.step_timer.measure():
-            self._state, out = self._fn(self._state, to_device(x))
+        out = self._run_block(x)
         if self._guard_fn is not None:
             self._state, bad = self._guard_fn(self._state, out)
             nbad = np.asarray(bad)
@@ -130,8 +138,6 @@ class BatchEngine(_PipelinedPackets):
         """EOS drain: process the remaining staged whole symbols (below the
         block size) as one final, shape-recompiled step; drops the < sps
         tail like the reference's never-completed last window."""
-        from ..utils.transfer import to_device
-
         sps = self.cfg.sps
         n = (min(s.size for s in self._staging) // sps) * sps
         self._staging = [s[:n] for s in self._staging]
@@ -142,8 +148,7 @@ class BatchEngine(_PipelinedPackets):
         x = np.stack(self._staging)
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
-        with self.step_timer.measure():
-            self._state, out = self._fn(self._state, to_device(x))
+        out = self._run_block(x)
         if self._pipe_depth == 0:
             nv = int(np.asarray(out.valid).sum())
             self.metrics.symbols_out += nv

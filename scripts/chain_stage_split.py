@@ -22,45 +22,27 @@ import jax.numpy as jnp
 
 from psk_soft_tpu import DemodConfig
 from psk_soft_tpu.models.blockpsk import demod_block_ff, ff_init
-from psk_soft_tpu.models.chain import (make_seam_tail_fn, seam_lead,
-                                       seam_tail_init, commit_bounds)
+from psk_soft_tpu.models.chain import (commit_bounds, make_seam_tail_fn,
+                                       seam_tail_init)
 from psk_soft_tpu.models.full import demod_block_full, full_from_ff
-from psk_soft_tpu.ops import tx
-from psk_soft_tpu.ops.crc import CRC16_CCITT, append_crc
-from psk_soft_tpu.ops.fec import (CODE_K7, conv_encode, info_bits_for,
-                                  psk_llrs)
+from psk_soft_tpu.ops.crc import CRC16_CCITT
+from psk_soft_tpu.ops.fec import CODE_K7, psk_llrs
 from psk_soft_tpu.ops.framesync import FrameFormat, sync_extract_topk_tm
 from psk_soft_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
 from psk_soft_tpu.utils.transfer import to_device
 
 
 def build(C=1024, S=512, sps=8, payload=64, uw_len=32):
+    from bench import _plant_unaligned_frames   # shared TX plan
+
     cfg = DemodConfig(sps=sps, num_avg=100, constellation_size=4,
                       phase_avg=50)
     code, crc = CODE_K7, CRC16_CCITT
     rng = np.random.default_rng(12)
     fmt = FrameFormat(uw=tuple(rng.integers(0, 4, uw_len)),
                       payload=payload, m=4, threshold=0.7)
-    n_info = info_bits_for(code, fmt.payload * 2)
-    n_msg = n_info - crc.degree
-    cadence = max(fmt.separation, 104) + 1
-    k_frames = S // cadence
-    starts = [(17 + j * cadence) % S for j in range(k_frames)]
-    infos = rng.integers(0, 2, (C, k_frames, n_msg)).astype(np.int8)
-    coded = np.asarray(conv_encode(code, jnp.asarray(
-        append_crc(crc, infos))), np.int8)
-    pay_syms = tx.bits_to_symbols(4, coded, "gray")
-    idx = rng.integers(0, 4, (C, S))
-    uw_arr = np.asarray(fmt.uw, np.int64)
-    for j, s0 in enumerate(starts):
-        cols = (s0 + np.arange(fmt.frame_len)) % S
-        idx[:, cols[:fmt.uw_len]] = uw_arr[None, :]
-        idx[:, cols[fmt.uw_len:]] = pay_syms[:, j]
-    x_np = np.repeat(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)),
-                     sps, axis=1).astype(np.complex64)
-    x_np += (0.01 * (rng.standard_normal(x_np.shape)
-                     + 1j * rng.standard_normal(x_np.shape))
-             ).astype(np.complex64)
+    _, k_frames, _, x_np, _, _ = _plant_unaligned_frames(
+        C, S, sps, fmt, code, crc, rng)
     st_ff = ff_init(cfg, (C,))
     warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
     st_ff, _ = warm(st_ff, to_device(x_np))
@@ -93,9 +75,6 @@ def main():
     cfg, fmt, code, crc, k, state, x_re, x_im, C, S, sps = build()
     step = functools.partial(demod_block_full, cfg, debug_ports=False)
     tail = make_seam_tail_fn(fmt, code, k, crc=crc, labeling="gray")
-    tail_nocrc = make_seam_tail_fn(fmt, code, k, crc=None,
-                                   labeling="gray")
-    lead = seam_lead(fmt)
     lo, hi = commit_bounds(fmt, S)
     nb = 2
     n_rows = C * k
