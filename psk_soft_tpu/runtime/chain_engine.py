@@ -1,0 +1,247 @@
+"""The one-launch receive chain as a production engine.
+
+``ChainEngine`` puts the fastest path in the framework -- capture ->
+flagship demod kernel -> seam frame sync -> Mosaic Viterbi -> CRC as ONE
+jitted program per block (models/chain.py, the ``bench.py --profile
+chain`` composition) -- behind the same ingest/drain surface as the
+per-stage stack (FullKernelBatchEngine + FrameSyncer + FecFrameDecoder +
+FrameCrcChecker).  The per-stage stack keeps its place for flexibility
+(dynamic frame lists, per-stage observability, wrappers); this engine is
+for deployments that want maximum throughput on a fixed frame format:
+the only device->host traffic per block is the decoded-frame table
+(~tens of bytes per frame), not planes.
+
+Semantics:
+
+- **Warm-up**: the first block converges the tracker through the
+  flexible pipeline (the reference likewise emits nothing for the first
+  numAvg*sps samples, cpp/psk_soft.cpp:457).  The carried seam tail is
+  initialized from the warm block's own soft output, so frames
+  straddling the warm-up boundary are still caught; only frames wholly
+  inside the early warm region are lost (counted: ``warmup_symbols``).
+- **Seam contract**: thereafter every stream position is committed in
+  exactly one block -- frames may straddle block boundaries freely
+  (models/chain.py seam mode).  ``flush()`` finalizes the carried tail
+  (frames whose payload is fully present commit, matching
+  FrameSyncer.finalize).
+- **Observability**: ``frames_synced``, ``crc_failures``, and
+  ``overflow_peaks`` (sync capacity exceeded -- count > k, never
+  silent).
+
+Frames come back as ops/framesync.Frame objects with ``start`` in
+INPUT-symbol coordinates (same convention as the FrameSyncer stack over
+a FullKernelBatchEngine: a frame planted at input symbol p syncs at
+start == p), ``info_bits`` decoded and ``crc_ok`` set when a CRC is
+configured.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DemodConfig
+from ..models.chain import (ChainState, chain_msg_bits, chain_tail,
+                            commit_bounds, make_chain_fn, seam_lead,
+                            _need_after)
+from ..ops.crc import CrcSpec
+from ..ops.fec import ConvCode
+from ..ops.framesync import Frame, FrameFormat
+
+
+class ChainEngine:
+    """One-launch chain engine over a homogeneous channel bank.
+
+    Args:
+      cfg: demod configuration (matched-filter configs currently
+        unsupported here -- the warm handoff needs the raw-window carry;
+        use the per-stage stack for those).
+      channels: bank width (multiple of 128 for the compiled kernel).
+      fmt: frame format (UW indices, payload, M == cfg.constellation_size,
+        threshold).
+      code / crc: FEC + optional CRC (ops/fec.ConvCode, ops/crc.CrcSpec).
+      k_frames: sync capacity per block per channel (default: the densest
+        packing, ceil(block/separation) + 1 for seam carries).
+      block_symbols: symbols per device step.
+      interpret: Pallas interpret mode (defaults by platform).
+    """
+
+    def __init__(self, cfg: DemodConfig, channels: int, fmt: FrameFormat,
+                 code: ConvCode, crc: CrcSpec | None = None, *,
+                 k_frames: int | None = None, block_symbols: int = 512,
+                 labeling: str = "gray", interpret: bool | None = None):
+        if fmt.m != cfg.constellation_size:
+            raise ValueError(f"fmt.m={fmt.m} != constellation_size="
+                             f"{cfg.constellation_size}")
+        if cfg.matched_filter != "none":
+            raise ValueError("ChainEngine supports matched_filter='none' "
+                             "configs; use the per-stage stack (engine + "
+                             "FrameSyncer + FecFrameDecoder) otherwise")
+        if interpret is None:
+            from ..ops.pallas.viterbi_kernel import default_interpret
+            interpret = default_interpret()
+        self.cfg = cfg
+        self.channels = channels
+        self.fmt = fmt
+        self.code = code
+        self.crc = crc
+        self.block_symbols = int(block_symbols)
+        if self.block_symbols < _need_after(fmt):
+            raise ValueError(f"block_symbols {block_symbols} shorter than "
+                             f"the sync window {_need_after(fmt)}")
+        self.k = (k_frames if k_frames is not None
+                  else self.block_symbols // fmt.separation + 1)
+        self.n_msg = chain_msg_bits(fmt, code, crc)
+        self._interpret = interpret
+        self._labeling = labeling
+        self._step = jax.jit(make_chain_fn(cfg, fmt, code, self.k,
+                                           crc=crc, labeling=labeling,
+                                           interpret=interpret))
+        self._state: ChainState | None = None
+        self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
+        self._blocks = 0            # chain blocks processed (post warm-up)
+        self._base = 0              # input symbols consumed by warm-up
+        self.frames: list[Frame] = []
+        self.frames_synced = 0
+        self.crc_failures = 0
+        self.overflow_peaks = 0
+        self.warmup_symbols = 0
+
+    # -- ingest ------------------------------------------------------------
+
+    def push(self, channel: int, data) -> None:
+        self._staging[channel] = np.concatenate(
+            [self._staging[channel],
+             np.asarray(data, np.complex64).ravel()])
+
+    def push_block(self, block) -> None:
+        block = np.asarray(block, np.complex64)
+        for c in range(self.channels):
+            self.push(c, block[c])
+
+    def ready(self) -> bool:
+        need = self.block_symbols * self.cfg.sps
+        return all(s.size >= need for s in self._staging)
+
+    # -- core --------------------------------------------------------------
+
+    def _warm(self, x: np.ndarray) -> None:
+        """Converge through the flexible pipeline; seed the seam tail from
+        the warm block's own soft output so the seam carries across the
+        warm-up boundary."""
+        import functools
+
+        from ..models.blockpsk import demod_block_ff, ff_init
+        from ..models.chain import SeamTailState, seam_tail_init
+        from ..models.full import full_from_ff
+        from ..utils.transfer import to_device
+
+        warm = jax.jit(jax.vmap(functools.partial(demod_block_ff,
+                                                  self.cfg)))
+        st_ff, out = warm(ff_init(self.cfg, (self.channels,)),
+                          to_device(x))
+        full = full_from_ff(self.cfg, st_ff)
+        lead = seam_lead(self.fmt)
+        v = np.asarray(out.valid[0])          # lockstep bank
+        idx = np.flatnonzero(v)
+        tail = seam_tail_init(self.fmt, self.channels)
+        if idx.size:
+            lo = max(int(idx[0]), int(idx[-1]) + 1 - lead)
+            hi = int(idx[-1]) + 1
+            soft = np.asarray(out.soft[:, lo:hi])     # (C, n) complex
+            n = soft.shape[1]
+            t_re = np.array(tail.tail_re)       # writable host copies
+            t_im = np.array(tail.tail_im)
+            t_re[lead - n:] = soft.real.T
+            t_im[lead - n:] = soft.imag.T
+            tail = SeamTailState(jnp.asarray(t_re), jnp.asarray(t_im))
+        self._state = ChainState(full, tail)
+        self.warmup_symbols = self._base = x.shape[1] // self.cfg.sps
+
+    def _commit(self, out) -> list[Frame]:
+        """ChainOutputs -> Frame objects (input-symbol start coords)."""
+        found = np.asarray(out.found)
+        pos = np.asarray(out.pos)
+        ok = np.asarray(out.ok)
+        msg = np.asarray(out.msg)
+        count = np.asarray(out.count)
+        self.overflow_peaks += int(np.maximum(count - self.k, 0).sum())
+        a1 = self.cfg.num_avg - 1
+        # The chain's first post-warm block emits demod rows for input
+        # symbols [base - a1, base - a1 + S): block-relative row r of
+        # block b is input symbol base - a1 + b*S + r.
+        base = self._base - a1 + (self._blocks - 1) * self.block_symbols
+        new = []
+        for c, j in zip(*np.nonzero(found)):
+            crc_ok = bool(ok[c, j]) if self.crc is not None else None
+            if self.crc is not None and not ok[c, j]:
+                self.crc_failures += 1
+            new.append(Frame(
+                channel=int(c), start=base + int(pos[c, j]), rotation=0,
+                corr=0.0, residual_phase=float(out.ang[c, j]),
+                soft=None, bits=None, info_bits=msg[c, j].copy(),
+                crc_ok=crc_ok))
+        self.frames_synced += len(new)
+        self.frames.extend(new)
+        return new
+
+    def step(self) -> list[Frame] | None:
+        """Consume one staged block; returns frames committed by it
+        (empty list for the warm-up block), or None if not enough data."""
+        if not self.ready():
+            return None
+        need = self.block_symbols * self.cfg.sps
+        x = np.stack([s[:need] for s in self._staging])
+        self._staging = [s[need:] for s in self._staging]
+        if self._state is None:
+            self._warm(x)
+            return []
+        x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
+        x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
+        self._state, out = self._step(self._state, x_re, x_im)
+        self._blocks += 1
+        return self._commit(out)
+
+    def flush(self) -> list[Frame]:
+        """EOS: drain whole staged blocks, then finalize the carried tail
+        (frames whose payload is fully present commit -- the
+        FrameSyncer.finalize analog)."""
+        out_frames = []
+        while self.ready():
+            out_frames += self.step() or []
+        if self._state is None:
+            return out_frames
+        lead = seam_lead(self.fmt)
+        # Tail-relative window: positions after the last block's
+        # commit_hi (= lead - need_after in tail coords) through the last
+        # start whose payload is fully inside the tail planes.
+        t_lo = lead - _need_after(self.fmt) + 1
+        hi = lead - self.fmt.frame_len
+        if lead >= self.fmt.frame_len and hi >= t_lo:
+            fin = jax.jit(lambda re, im: chain_tail(
+                re, im, self.fmt, self.code, self.k, crc=self.crc,
+                labeling=self._labeling, interpret=self._interpret,
+                commit_lo=t_lo, commit_hi=hi))
+            tail = self._state.tail
+            out = fin(tail.tail_re, tail.tail_im)
+            # _commit's base formula with _blocks+1 and pos-lead lands on
+            # absolute = base - a1 + blocks*S + (t - lead): the tail rows
+            # ARE the last `lead` emitted rows.
+            self._blocks += 1
+            out = out._replace(pos=out.pos - lead)
+            out_frames += self._commit(out)
+            self._blocks -= 1
+        return out_frames
+
+    def pop_frames(self) -> list[Frame]:
+        out, self.frames = self.frames, []
+        return out
+
+    def reset(self) -> None:
+        self._state = None
+        self._staging = [np.zeros(0, np.complex64)
+                         for _ in range(self.channels)]
+        self._blocks = 0
+        self._base = 0
+        self.frames = []

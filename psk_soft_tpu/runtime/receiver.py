@@ -56,7 +56,12 @@ def build_receiver(cfg: DemodConfig, channels: int, *,
     """Assemble a complete receive chain.
 
     Args:
-      engine: "batch" (XLA feed-forward) or "full" (fused-kernel flagship).
+      engine: "batch" (XLA feed-forward), "full" (fused-kernel flagship),
+        or "chain" (the ONE-LAUNCH fused chain, runtime/chain_engine.py:
+        demod + seam sync + Viterbi + CRC as a single device program per
+        block -- requires uw + fec, gray labeling, no sample-side
+        wrappers/descramble/interleave; the fastest path when the frame
+        format is fixed).
       agc / equalize / acquire_cfo: sample-side front ends (equalize
         takes an ops.equalizer.EqConfig or True for defaults).
       quality: attach a QualityMonitor tap.
@@ -70,6 +75,31 @@ def build_receiver(cfg: DemodConfig, channels: int, *,
     Returns a :class:`Receiver`.
     """
     from .engine import BatchEngine, FullKernelBatchEngine
+
+    if engine == "chain":
+        if uw is None or fec is None:
+            raise ValueError("engine='chain' is the fused frame pipeline; "
+                             "it requires uw=... and fec=...")
+        if (agc or equalize or acquire_cfo or quality or descramble
+                or stream_fec or fec_interleave):
+            raise ValueError("engine='chain' composes demod+sync+FEC+CRC "
+                             "in ONE program; per-stage wrappers "
+                             "(agc/equalize/cfo/quality/descramble/"
+                             "interleave/stream_fec) need the per-stage "
+                             "stack (engine='full')")
+        if fec_labeling != "gray":
+            raise ValueError("engine='chain' decodes gray-labeled "
+                             "payloads (fec_labeling='gray')")
+        from ..ops.framesync import FrameFormat
+        from .chain_engine import ChainEngine
+        fmt = FrameFormat(
+            uw=tuple(int(v) for v in np.asarray(uw).reshape(-1)),
+            payload=frame_payload, m=cfg.constellation_size,
+            threshold=uw_threshold)
+        eng = ChainEngine(cfg, channels, fmt, fec, crc,
+                          block_symbols=block_symbols,
+                          **(engine_kwargs or {}))
+        return Receiver(engine=eng, frames=eng)
 
     kw = dict(engine_kwargs or {})
     if engine == "full":

@@ -1,0 +1,155 @@
+"""ChainEngine: the one-launch chain behind the production engine surface.
+
+Parity law: on the same multi-block stream, ChainEngine's frames
+(channel, input-symbol start, decoded info bits, CRC verdicts) must
+match the per-stage stack (FullKernelBatchEngine + device-tap
+FrameSyncer + FecFrameDecoder + FrameCrcChecker) frame for frame, for
+every frame past the one-launch warm-up region -- including frames
+straddling block seams and the EOS tail (flush finalize).
+"""
+
+import numpy as np
+import pytest
+
+from psk_soft_tpu import DemodConfig
+from psk_soft_tpu.models.chain import chain_msg_bits
+from psk_soft_tpu.ops import tx
+from psk_soft_tpu.ops.crc import CRC16_CCITT
+from psk_soft_tpu.ops.fec import CODE_K7
+from psk_soft_tpu.ops.framesync import FrameFormat
+from psk_soft_tpu.runtime.chain_engine import ChainEngine
+from psk_soft_tpu.runtime.receiver import build_receiver
+
+
+def _stream(C, total, fmt, code, crc, seed=0):
+    rng = np.random.default_rng(seed)
+    n_msg = chain_msg_bits(fmt, code, crc)
+    sep = fmt.separation
+    starts, p = [], 140
+    while p + fmt.frame_len <= total - sep:
+        starts.append(p)
+        p += sep + int(rng.integers(5, 60))
+    truth = {}
+    rows = []
+    for c in range(C):
+        infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+        for s0, i in zip(starts, infos):
+            truth[(c, s0)] = i
+        idx = tx.frame_stream(fmt, infos, starts, total, code=code,
+                              crc=crc, labeling="gray", seed=seed + c)
+        rows.append(np.exp(1j * (2 * np.pi * idx / 4 + 0.4)))
+    x = np.repeat(np.stack(rows), 8, axis=1).astype(np.complex64)
+    rng2 = np.random.default_rng(seed + 999)
+    x += (0.01 * (rng2.standard_normal(x.shape)
+                  + 1j * rng2.standard_normal(x.shape))
+          ).astype(np.complex64)
+    return x, starts, truth
+
+
+def test_chain_engine_matches_per_stage_stack():
+    C, S = 128, 256
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(51)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    code, crc = CODE_K7, CRC16_CCITT
+    total = 6 * S
+    x, starts, truth = _stream(C, total, fmt, code, crc, seed=52)
+    # Frames must straddle block seams to exercise the seam carry.
+    assert any(p // S != (p + fmt.frame_len - 1) // S for p in starts)
+
+    # (a) per-stage stack (device-tap FrameSyncer path).
+    rx = build_receiver(cfg, C, engine="full", block_symbols=S,
+                        uw=fmt.uw, frame_payload=fmt.payload,
+                        uw_threshold=0.7, fec=code, fec_labeling="gray",
+                        crc=crc, engine_kwargs={"interpret": True})
+    blk = S * cfg.sps
+    for pos in range(0, x.shape[1], blk):
+        rx.engine.push_planes(
+            np.ascontiguousarray(x.real.T[pos:pos + blk]),
+            np.ascontiguousarray(x.imag.T[pos:pos + blk]))
+        rx.engine.step_packets()
+    rx.engine.flush_packets()
+    stack_frames = {(f.channel, f.start): f for f in rx.pop_frames()}
+
+    # (b) one-launch ChainEngine.
+    eng = ChainEngine(cfg, C, fmt, code, crc, block_symbols=S,
+                      interpret=True)
+    for pos in range(0, x.shape[1], blk):
+        eng.push_block(x[:, pos:pos + blk])
+        eng.step()
+    eng.flush()
+    chain_frames = {(f.channel, f.start): f for f in eng.pop_frames()}
+
+    # Every frame past the one-launch warm-up region must agree.
+    post_warm = [k for k in stack_frames if k[1] >= S]
+    assert len(post_warm) >= C * (len(starts) - 1)
+    for key in post_warm:
+        assert key in chain_frames, f"chain missed {key}"
+        a, b = stack_frames[key], chain_frames[key]
+        assert b.crc_ok and a.crc_ok
+        np.testing.assert_array_equal(a.info_bits[:eng.n_msg],
+                                      b.info_bits)
+        np.testing.assert_array_equal(b.info_bits, truth[key])
+    # No spurious chain frames either (post-warm region).
+    for key in chain_frames:
+        if key[1] >= S:
+            assert key in stack_frames, f"chain invented {key}"
+    assert eng.overflow_peaks == 0
+    assert eng.crc_failures == 0
+    assert eng.frames_synced == len(chain_frames)
+
+
+def test_chain_engine_validation_and_reset():
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    fmt8 = FrameFormat(uw=(0, 1), payload=8, m=8)
+    with pytest.raises(ValueError):
+        ChainEngine(cfg, 128, fmt8, CODE_K7)       # m mismatch
+    cfg_mf = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                         phase_avg=30, matched_filter="rrc")
+    fmt = FrameFormat(uw=(0, 1, 2, 3) * 4, payload=16, m=4)
+    with pytest.raises(ValueError):
+        ChainEngine(cfg_mf, 128, fmt, CODE_K7)     # matched filter
+    eng = ChainEngine(cfg, 128, fmt, CODE_K7, block_symbols=128,
+                      interpret=True)
+    assert eng.step() is None                      # not enough data
+    eng.push_block(np.zeros((128, 128 * 8), np.complex64))
+    assert eng.step() == []                        # warm block
+    eng.reset()
+    assert eng._state is None and not eng.frames
+
+
+def test_build_receiver_chain_engine():
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(61)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    total = 4 * 256
+    x, starts, truth = _stream(128, total, fmt, CODE_K7, CRC16_CCITT,
+                               seed=62)
+    rx = build_receiver(cfg, 128, engine="chain", block_symbols=256,
+                        uw=fmt.uw, frame_payload=48, fec=CODE_K7,
+                        fec_labeling="gray", crc=CRC16_CCITT,
+                        engine_kwargs={"interpret": True})
+    assert isinstance(rx.engine, ChainEngine)
+    blk = 256 * 8
+    for pos in range(0, x.shape[1], blk):
+        rx.engine.push_block(x[:, pos:pos + blk])
+        rx.engine.step()
+    rx.engine.flush()
+    got = {(f.channel, f.start): f for f in rx.pop_frames()}
+    post_warm = [(c, p) for (c, p) in truth if p >= 256]
+    assert post_warm
+    for key in post_warm:
+        assert key in got
+        assert got[key].crc_ok
+        np.testing.assert_array_equal(got[key].info_bits, truth[key])
+    with pytest.raises(ValueError):
+        build_receiver(cfg, 128, engine="chain")            # needs uw+fec
+    with pytest.raises(ValueError):
+        build_receiver(cfg, 128, engine="chain", uw=fmt.uw,
+                       frame_payload=48, fec=CODE_K7,
+                       fec_labeling="gray", quality=True)   # no wrappers
