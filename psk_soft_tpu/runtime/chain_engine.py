@@ -43,8 +43,7 @@ import jax.numpy as jnp
 
 from ..config import DemodConfig
 from ..models.chain import (ChainState, chain_msg_bits, chain_tail,
-                            commit_bounds, make_chain_fn, seam_lead,
-                            _need_after)
+                            make_chain_fn, seam_lead, _need_after)
 from ..ops.crc import CrcSpec
 from ..ops.fec import ConvCode
 from ..ops.framesync import Frame, FrameFormat
