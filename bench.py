@@ -744,6 +744,54 @@ def run_receiver(args):
     frames32 = np.ascontiguousarray(x_np.T).view(np.float32).ravel()
 
     use_full = on_tpu and C % 128 == 0
+    if getattr(args, "fused_receiver", False):
+        # One-launch ChainEngine behind the receiver surface: per block
+        # only the decoded-frame table crosses to the host (the
+        # per-stage stack fetches planes/candidates/payload rows).
+        if C % 128:
+            raise SystemExit("--receiver-fused needs channels % 128 == 0")
+        from psk_soft_tpu.runtime.receiver import build_receiver as _br
+        rx = _br(cfg, C, engine="chain", block_symbols=S, uw=fmt.uw,
+                 frame_payload=fmt.payload, uw_threshold=0.7, fec=code,
+                 fec_labeling="gray", crc=crc)
+
+        def feed_fused():
+            rx.engine.push_block(x_np)
+            got = rx.engine.step() or []
+            rx.engine.pop_frames()
+            return got
+
+        def validate_fused(frames):
+            for f in frames:
+                j = by_off.get(f.start % S)
+                assert j is not None, f"unplanted offset {f.start % S}"
+                assert f.crc_ok
+                assert np.array_equal(f.info_bits,
+                                      infos[f.channel, j][:rx.engine.n_msg])
+
+        warm_blocks = max(4, (cfg.num_avg + cfg.phase_avg) // S + 3)
+        for _ in range(warm_blocks):
+            validate_fused(feed_fused())
+        nblocks = max(10, min(50, args.iters // 10))
+        n_frames = 0
+        t0 = time.perf_counter()
+        for _ in range(nblocks):
+            got = feed_fused()
+            validate_fused(got)
+            n_frames += len(got)
+        dt = time.perf_counter() - t0
+        assert n_frames >= (nblocks - 2) * k_frames * C, \
+            f"fused receiver starved: {n_frames}"
+        print(json.dumps({
+            "metric": f"{C}-channel FUSED receiver throughput "
+                      f"(ChainEngine: one-launch demod+sync+Viterbi+CRC, "
+                      f"frame-table-only fetch, {k_frames} frames/block/"
+                      f"ch, {jax.devices()[0].device_kind})",
+            "value": n_frames * n_info / dt,
+            "unit": "infobits/s",
+            "vs_baseline": nblocks * C * need / dt / PER_CHIP_BASELINE,
+        }))
+        return 0
     ekw = {"pipeline_depth": max(0, args.engine_depth)}
     if use_full and getattr(args, "frames_only", False):
         # Frames-only consumer: soft/bits ports unconnected, so packet
@@ -870,6 +918,11 @@ def main():
                          "pipeline_depth 0 and --engine-depth")
     ap.add_argument("--engine-depth", type=int, default=1,
                     help="pipeline depth compared against 0 in --engine")
+    ap.add_argument("--receiver-fused", dest="fused_receiver",
+                    action="store_true",
+                    help="--receiver through the one-launch ChainEngine "
+                         "(runtime/chain_engine.py): only the decoded "
+                         "frame table crosses to the host per block")
     ap.add_argument("--receiver-frames-only", dest="frames_only",
                     action="store_true",
                     help="--receiver with soft/bits ports unconnected "

@@ -134,7 +134,7 @@ class ChainEngine:
         from ..models.blockpsk import demod_block_ff, ff_init
         from ..models.chain import SeamTailState, seam_tail_init
         from ..models.full import full_from_ff
-        from ..utils.transfer import to_device
+        from ..utils.transfer import to_device, to_host
 
         warm = jax.jit(jax.vmap(functools.partial(demod_block_ff,
                                                   self.cfg)))
@@ -148,7 +148,9 @@ class ChainEngine:
         if idx.size:
             lo = max(int(idx[0]), int(idx[-1]) + 1 - lead)
             hi = int(idx[-1]) + 1
-            soft = np.asarray(out.soft[:, lo:hi])     # (C, n) complex
+            # to_host: complex fetches must plane-split on the axon
+            # relay (utils/transfer; a raw np.asarray poisons the session)
+            soft = to_host(out.soft[:, lo:hi])        # (C, n) complex
             n = soft.shape[1]
             t_re = np.array(tail.tail_re)       # writable host copies
             t_im = np.array(tail.tail_im)
