@@ -134,6 +134,108 @@ class _HeadReader:
             self._src.close()
 
 
+def _run_fused_chain(args, cfg) -> int:
+    """demod-batch --fused-chain: the ONE-LAUNCH chain engine
+    (runtime/chain_engine.py) instead of the per-stage stack -- demod +
+    seam frame sync + Viterbi + CRC as a single device program per
+    block; only decoded frames come back to the host.  Writes
+    <out-prefix>.frames.jsonl (info_bits records; no raw-bits field --
+    payload bits never leave the device undecoded)."""
+    from .ops import fec as fec_ops
+    from .ops.crc import crc_preset
+    from .ops.framesync import FrameFormat
+    from .runtime.chain_engine import ChainEngine
+
+    if not args.uw or not args.fec:
+        raise SystemExit("--fused-chain composes sync+FEC in-program; it "
+                         "requires --uw and --fec")
+    if args.fec_labeling != "gray":
+        raise SystemExit("--fused-chain decodes gray-labeled payloads "
+                         "(--fec-labeling gray)")
+    for flag, name in ((args.agc, "--agc"), (args.equalize, "--equalize"),
+                       (args.acquire_cfo, "--acquire-cfo"),
+                       (args.quality_report, "--quality-report"),
+                       (args.descramble, "--descramble"),
+                       (args.descramble_selfsync, "--descramble-selfsync"),
+                       (args.fec_stream, "--fec-stream"),
+                       (args.fec_interleave, "--fec-interleave"),
+                       (args.channelize, "--channelize"),
+                       (args.native_sps, "--native-sps"),
+                       (args.auto, "--auto")):
+        if flag:
+            raise SystemExit(f"{name} needs the per-stage stack; drop "
+                             f"--fused-chain to combine them")
+    C = args.channels
+    i16 = args.in_format == "ci16"
+    code = {"k7": fec_ops.CODE_K7, "k9": fec_ops.CODE_K9}[args.fec]
+    if args.fec_puncture:
+        pat = {"2/3": fec_ops.PUNCTURE_2_3,
+               "3/4": fec_ops.PUNCTURE_3_4}[args.fec_puncture]
+        code = fec_ops.ConvCode(code.k, code.polys, pat)
+    crc = crc_preset(args.crc) if args.crc else None
+    fmt = FrameFormat(uw=tuple(int(v) for v in args.uw.split(",")),
+                      payload=args.frame_payload,
+                      m=cfg.constellation_size,
+                      threshold=args.uw_threshold)
+    try:
+        eng = ChainEngine(cfg, C, fmt, code, crc,
+                          block_symbols=args.block_symbols,
+                          labeling=args.fec_labeling)
+    except ValueError as e:
+        raise SystemExit(f"--fused-chain: {e}")
+
+    src = (sys.stdin.buffer if args.infile == "-"
+           else open(args.infile, "rb"))
+    frames_sink = open(f"{args.out_prefix}.frames.jsonl", "w")
+    frame_bytes = C * (4 if i16 else 8)
+    chunk = args.chunk_samples * frame_bytes
+    samples_in = 0
+
+    def drain():
+        for f in eng.pop_frames():
+            rec = {"channel": f.channel, "start": f.start,
+                   "residual_phase": round(f.residual_phase, 4),
+                   "info_bits": f.info_bits.tolist()}
+            if f.crc_ok is not None:
+                rec["crc_ok"] = f.crc_ok
+            frames_sink.write(json.dumps(rec) + "\n")
+
+    try:
+        while True:
+            raw = src.read(chunk)
+            usable = len(raw) - (len(raw) % frame_bytes)
+            if usable:
+                if i16:
+                    w = np.frombuffer(raw[:usable], np.int16)
+                    w = w.reshape(-1, C, 2)
+                    blk = ((w[..., 0].astype(np.float32)
+                            + 1j * w[..., 1].astype(np.float32))
+                           * args.in_scale).astype(np.complex64)
+                else:
+                    blk = np.frombuffer(raw[:usable],
+                                        np.complex64).reshape(-1, C)
+                eng.push_block(np.ascontiguousarray(blk.T))
+                samples_in += blk.size
+            while eng.step() is not None:
+                drain()
+            if len(raw) < chunk:
+                eng.flush()
+                drain()
+                break
+    finally:
+        frames_sink.close()
+        if src is not sys.stdin.buffer:
+            src.close()
+    print(json.dumps({
+        "samples_in": samples_in,
+        "frames_synced": eng.frames_synced,
+        "crc_failures": eng.crc_failures,
+        "overflow_peaks": eng.overflow_peaks,
+        "warmup_symbols": eng.warmup_symbols,
+    }), file=sys.stderr)
+    return 0
+
+
 def cmd_demod_batch(args) -> int:
     """Multichannel demod: input is sample-interleaved across channels
     (s0c0 s0c1 ... s0c[C-1] s1c0 ..., complex64 each) -- a channelizer's
@@ -145,6 +247,8 @@ def cmd_demod_batch(args) -> int:
                                   PORT_SAMPLE_INDEX, PORT_SOFT)
 
     cfg = _config_from_args(args)
+    if getattr(args, "fused_chain", False):
+        return _run_fused_chain(args, cfg)
     C = args.channels
     i16 = args.in_format == "ci16"
     src_pre = None
@@ -940,6 +1044,16 @@ def main(argv=None) -> int:
                     help="fold phase-port residual drift back into the NCO "
                          "whenever it nears the lock-range edge "
                          "(doppler-slew immunity)")
+    db.add_argument("--fused-chain", dest="fused_chain",
+                    action="store_true",
+                    help="run the ONE-LAUNCH chain engine (demod + seam "
+                         "frame sync + Viterbi + CRC as a single device "
+                         "program per block, runtime/chain_engine.py) "
+                         "instead of the per-stage stack; requires --uw "
+                         "and --fec with gray labeling, excludes the "
+                         "sample-side wrappers; fastest path for a fixed "
+                         "frame format (only decoded frames cross to "
+                         "the host)")
     db.add_argument("--agc", action="store_true",
                     help="automatic gain control in front of the demod "
                          "(runtime/agc.py): per-symbol gain from a chunked "

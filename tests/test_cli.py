@@ -24,11 +24,14 @@ def _cpu_env():
     return env                             # need it via the environment)
 
 
-def _run(args):
+def _run(args, expect_fail=False):
     proc = subprocess.run(
         [sys.executable, "-m", "psk_soft_tpu", *args],
         cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600)
-    assert proc.returncode == 0, proc.stderr
+    if expect_fail:
+        assert proc.returncode != 0, proc.stdout
+    else:
+        assert proc.returncode == 0, proc.stderr
     return proc
 
 
@@ -892,3 +895,53 @@ def test_cli_demod_batch_auto(tmp_path):
         cwd=REPO, env=_cpu_env(), capture_output=True, text=True,
         timeout=600)
     assert proc.returncode != 0 and "--auto" in proc.stderr
+
+
+def test_cli_fused_chain_loop(tmp_path):
+    """demod-batch --fused-chain: the one-launch ChainEngine behind the
+    CLI closes the gen-frames loop -- every planted frame (past warm-up)
+    back exact with CRC green, plus validation of the flag contract."""
+    uw = ",".join(str(v) for v in
+                  np.random.default_rng(16).integers(0, 4, 32))
+    cap = tmp_path / "fused.cf32"
+    truth_path = tmp_path / "truth.jsonl"
+    _run(["gen-frames", "--out", str(cap), "--truth", str(truth_path),
+          "--channels", "128", "--symbols", "1536", "--sps", "8",
+          "-M", "4", "--uw", uw, "--frame-payload", "48",
+          "--fec", "k7", "--crc", "crc16", "--labeling", "gray",
+          "--frame-interval", "333", "--snr", "25", "--seed", "4"])
+    prefix = tmp_path / "rx"
+    rx = _run(["demod-batch", "--in", str(cap), "--channels", "128",
+               "--out-prefix", str(prefix), "--sps", "8", "-M", "4",
+               "--num-avg", "40", "--phase-avg", "30",
+               "--block-symbols", "256", "--fused-chain",
+               "--uw", uw, "--frame-payload", "48",
+               "--fec", "k7", "--fec-labeling", "gray", "--crc", "crc16"])
+    metrics = json.loads(rx.stderr.strip().splitlines()[-1])
+    assert metrics["crc_failures"] == 0
+    assert metrics["overflow_peaks"] == 0
+    truth = {}
+    for line in open(truth_path).read().splitlines():
+        r = json.loads(line)
+        truth[(r["channel"], r["start"])] = r["info_bits"]
+    frames = [json.loads(line) for line in
+              open(f"{prefix}.frames.jsonl").read().splitlines()]
+    n_ok = 0
+    for f in frames:
+        want = truth.get((f["channel"], f["start"]))
+        assert want is not None, (f["channel"], f["start"])
+        assert f["crc_ok"] is True
+        assert f["info_bits"][:len(want)] == want
+        n_ok += 1
+    # all planted frames except (at most) the warm-up block's own
+    assert n_ok >= len(truth) - 128, (n_ok, len(truth))
+    # contract validation: wrappers and missing flags rejected loudly
+    bad = _run(["demod-batch", "--in", str(cap), "--channels", "128",
+                "--out-prefix", str(prefix), "--fused-chain"],
+               expect_fail=True)
+    assert "requires --uw and --fec" in bad.stderr
+    bad = _run(["demod-batch", "--in", str(cap), "--channels", "128",
+                "--out-prefix", str(prefix), "--fused-chain",
+                "--uw", uw, "--frame-payload", "48", "--fec", "k7",
+                "--fec-labeling", "gray", "--agc"], expect_fail=True)
+    assert "per-stage stack" in bad.stderr
