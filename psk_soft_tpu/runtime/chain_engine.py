@@ -239,6 +239,41 @@ class ChainEngine:
         out, self.frames = self.frames, []
         return out
 
+    # -- checkpoint/resume -------------------------------------------------
+
+    @property
+    def chain_state(self):
+        """The current ChainState carry (None during warm-up) -- pair
+        with utils.checkpoint.save_state; restore via
+        :meth:`restore_chain_state`."""
+        return self._state
+
+    def restore_chain_state(self, state: ChainState, *,
+                            base_symbols: int | None = None,
+                            blocks_done: int = 0) -> None:
+        """Resume the fused chain from a checkpointed ChainState
+        (utils/checkpoint.load_state): exact mid-stream restart, the
+        FullKernelBatchEngine.restore_full_state analog.  Staged samples
+        and buffered frames from before the restore are discarded (they
+        belong to the old stream).
+
+        base_symbols / blocks_done restore the absolute input-symbol
+        clock for Frame.start (save them in the checkpoint's ``extra``;
+        defaults keep relative numbering from the restore point)."""
+        tail = state.tail.tail_re
+        lead = seam_lead(self.fmt)
+        if tail.shape != (lead, self.channels):
+            raise ValueError(f"tail is {tail.shape}, engine needs "
+                             f"{(lead, self.channels)} (format/channel "
+                             f"mismatch)")
+        self._state = state
+        self._staging = [np.zeros(0, np.complex64)
+                         for _ in range(self.channels)]
+        self.frames = []
+        self._blocks = int(blocks_done)
+        if base_symbols is not None:
+            self._base = int(base_symbols)
+
     def reset(self) -> None:
         self._state = None
         self._staging = [np.zeros(0, np.complex64)

@@ -153,3 +153,46 @@ def test_build_receiver_chain_engine():
         build_receiver(cfg, 128, engine="chain", uw=fmt.uw,
                        frame_payload=48, fec=CODE_K7,
                        fec_labeling="gray", quality=True)   # no wrappers
+
+
+def test_chain_engine_checkpoint_resume(tmp_path):
+    """ChainEngine checkpointed mid-stream resumes EXACTLY: same frames
+    (absolute starts included) as the uninterrupted run."""
+    import os
+    from psk_soft_tpu.utils.checkpoint import load_state, save_state
+
+    C, S = 128, 256
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(71)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    x, starts, truth = _stream(C, 5 * S, fmt, CODE_K7, CRC16_CCITT,
+                               seed=72)
+    blk = S * cfg.sps
+
+    def run(eng, lo, hi):
+        got = []
+        for b in range(lo, hi):
+            eng.push_block(x[:, b * blk:(b + 1) * blk])
+            got += eng.step() or []
+        return got
+
+    a = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                    interpret=True)
+    run(a, 0, 3)                                  # warm + 2 chain blocks
+    path = os.path.join(tmp_path, "ce.npz")
+    save_state(path, a.chain_state, cfg,
+               extra={"base": a._base, "blocks": a._blocks})
+    st, _, ex = load_state(path)
+
+    b = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                    interpret=True)
+    b.restore_chain_state(st, base_symbols=ex["base"],
+                          blocks_done=ex["blocks"])
+    fa = {(f.channel, f.start): f.info_bits for f in run(a, 3, 5)}
+    fb = {(f.channel, f.start): f.info_bits for f in run(b, 3, 5)}
+    assert fa.keys() == fb.keys() and len(fa) > 0
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
+        np.testing.assert_array_equal(fb[k], truth[k])
