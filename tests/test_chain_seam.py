@@ -338,3 +338,58 @@ def test_seam_chain_16psk():
         assert [p for p, _ in got[c]] == starts
         for (_, msg), want in zip(got[c], infos):
             np.testing.assert_array_equal(msg, want)
+
+
+def test_seam_chain_differential_mode():
+    # Differential decoding (C5): the UW/payload live in DECODED-symbol
+    # space (the soft port's stream); the wire accumulates them.  The
+    # seam chain must decode a straddling frame exactly through the
+    # differential demod path.
+    C, sps, S = 128, 8, 256
+    cfg = DemodConfig(sps=sps, num_avg=40, constellation_size=4,
+                      phase_avg=30, differential=True)
+    rng = np.random.default_rng(33)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    n_msg = chain_msg_bits(fmt, CODE_K7, CRC16_CCITT)
+    starts = [100, 230]                    # 230..309 straddles 256
+    assert any(p // S != (p + fmt.frame_len - 1) // S for p in starts)
+    infos = [rng.integers(0, 2, n_msg, np.int8) for _ in starts]
+    total = 3 * S
+    dec_idx = tx.frame_stream(fmt, infos, starts, total, code=CODE_K7,
+                              crc=CRC16_CCITT, labeling="gray", seed=34)
+    wire_idx = np.cumsum(dec_idx) % 4      # differential accumulation
+    x = np.repeat(np.exp(2j * np.pi
+                         * np.tile(wire_idx, (C, 1)) / 4),
+                  sps, axis=1).astype(np.complex64)
+    x += (0.01 * rng.standard_normal(x.shape)).astype(np.complex64)
+
+    # Converge on frame-free fill (replaying the planted block through
+    # the warm-up would leave a half-UW discontinuity artifact that the
+    # chain rightly flags as a CRC failure).
+    warm_idx = np.cumsum(tx.frame_stream(fmt, [], [], S, seed=99)) % 4
+    warm_x = np.repeat(np.exp(2j * np.pi
+                              * np.tile(warm_idx, (C, 1)) / 4),
+                       sps, axis=1).astype(np.complex64)
+    st_ff = ff_init(cfg, (C,))
+    warm = jax.jit(jax.vmap(lambda s, b: demod_block_ff(cfg, s, b)))
+    st_ff, _ = warm(st_ff, to_device(warm_x))
+    state = chain_init(fmt, C, full_from_ff(cfg, st_ff))
+    step = jax.jit(make_chain_fn(cfg, fmt, CODE_K7, 2, crc=CRC16_CCITT,
+                                 interpret=True))
+    commits = {c: [] for c in range(C)}
+    for b in range(3):
+        blk = x[:, b * S * sps:(b + 1) * S * sps]
+        state, out = step(
+            state, jnp.asarray(np.ascontiguousarray(blk.real.T)),
+            jnp.asarray(np.ascontiguousarray(blk.imag.T)))
+        found = np.asarray(out.found)
+        msg = np.asarray(out.msg)
+        ok = np.asarray(out.ok)
+        for c, j in zip(*np.nonzero(found)):
+            assert ok[c, j]
+            commits[c].append(msg[c, j].copy())
+    for c in range(C):
+        assert len(commits[c]) == len(starts), c
+        for got, want in zip(commits[c], infos):
+            np.testing.assert_array_equal(got, want)
