@@ -162,11 +162,14 @@ class ChainEngine:
 
     def _commit(self, out) -> list[Frame]:
         """ChainOutputs -> Frame objects (input-symbol start coords)."""
+        # One host fetch per plane -- a per-frame scalar fetch costs a
+        # relay round trip EACH (measured: minutes/block at 4k frames).
         found = np.asarray(out.found)
         pos = np.asarray(out.pos)
         ok = np.asarray(out.ok)
         msg = np.asarray(out.msg)
         count = np.asarray(out.count)
+        ang = np.asarray(out.ang)
         self.overflow_peaks += int(np.maximum(count - self.k, 0).sum())
         a1 = self.cfg.num_avg - 1
         # The chain's first post-warm block emits demod rows for input
@@ -180,7 +183,7 @@ class ChainEngine:
                 self.crc_failures += 1
             new.append(Frame(
                 channel=int(c), start=base + int(pos[c, j]), rotation=0,
-                corr=0.0, residual_phase=float(out.ang[c, j]),
+                corr=0.0, residual_phase=float(ang[c, j]),
                 soft=None, bits=None, info_bits=msg[c, j].copy(),
                 crc_ok=crc_ok))
         self.frames_synced += len(new)
