@@ -753,10 +753,15 @@ def run_receiver(args):
         from psk_soft_tpu.runtime.receiver import build_receiver as _br
         rx = _br(cfg, C, engine="chain", block_symbols=S, uw=fmt.uw,
                  frame_payload=fmt.payload, uw_threshold=0.7, fec=code,
-                 fec_labeling="gray", crc=crc)
+                 fec_labeling="gray", crc=crc,
+                 engine_kwargs={"pipeline_depth": 1})
+        pre = np.ascontiguousarray(x_np.real.T)
+        pim = np.ascontiguousarray(x_np.imag.T)
 
         def feed_fused():
-            rx.engine.push_block(x_np)
+            # Kernel-native plane ingest + depth-1 deferred commit: the
+            # device step overlaps the next block's staging/upload.
+            rx.engine.push_planes(pre, pim)
             got = rx.engine.step() or []
             rx.engine.pop_frames()
             return got

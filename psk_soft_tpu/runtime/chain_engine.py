@@ -69,7 +69,12 @@ class ChainEngine:
     def __init__(self, cfg: DemodConfig, channels: int, fmt: FrameFormat,
                  code: ConvCode, crc: CrcSpec | None = None, *,
                  k_frames: int | None = None, block_symbols: int = 512,
-                 labeling: str = "gray", interpret: bool | None = None):
+                 pipeline_depth: int = 0, labeling: str = "gray",
+                 interpret: bool | None = None):
+        if pipeline_depth not in (0, 1):
+            raise ValueError("pipeline_depth must be 0 (synchronous) or "
+                             "1 (commit block k-1 while block k's device "
+                             "work is in flight)")
         if fmt.m != cfg.constellation_size:
             raise ValueError(f"fmt.m={fmt.m} != constellation_size="
                              f"{cfg.constellation_size}")
@@ -99,6 +104,11 @@ class ChainEngine:
                                            interpret=interpret))
         self._state: ChainState | None = None
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
+        self._plane_re: list = []   # plane-ingest staging ((rows, C) f32)
+        self._plane_im: list = []
+        self._plane_rows = 0
+        self._pipe_depth = int(pipeline_depth)
+        self._pending: list = []    # [(block_index, ChainOutputs)]
         self._blocks = 0            # chain blocks processed (post warm-up)
         self._base = 0              # input symbols consumed by warm-up
         self.frames: list[Frame] = []
@@ -119,8 +129,31 @@ class ChainEngine:
         for c in range(self.channels):
             self.push(c, block[c])
 
+    def push_planes(self, re, im) -> None:
+        """Kernel-native ingest: (rows, C) float32 time-major I/Q planes
+        (the NativePlaneBank / channelizer output layout) -- no
+        channel-major staging, no transpose on the hot path."""
+        re = np.asarray(re, np.float32)
+        im = np.asarray(im, np.float32)
+        if re.shape != im.shape or re.ndim != 2 \
+                or re.shape[1] != self.channels:
+            raise ValueError(f"planes must be (rows, {self.channels})")
+        self._plane_re.append(re)
+        self._plane_im.append(im)
+        self._plane_rows += re.shape[0]
+
+    def _pop_planes(self, need: int):
+        re = np.concatenate(self._plane_re, axis=0)
+        im = np.concatenate(self._plane_im, axis=0)
+        self._plane_re = [re[need:]] if re.shape[0] > need else []
+        self._plane_im = [im[need:]] if im.shape[0] > need else []
+        self._plane_rows -= need
+        return re[:need], im[:need]
+
     def ready(self) -> bool:
         need = self.block_symbols * self.cfg.sps
+        if self._plane_rows >= need:
+            return True
         return all(s.size >= need for s in self._staging)
 
     # -- core --------------------------------------------------------------
@@ -160,8 +193,11 @@ class ChainEngine:
         self._state = ChainState(full, tail)
         self.warmup_symbols = self._base = x.shape[1] // self.cfg.sps
 
-    def _commit(self, out) -> list[Frame]:
-        """ChainOutputs -> Frame objects (input-symbol start coords)."""
+    def _commit(self, out, block_index: int) -> list[Frame]:
+        """ChainOutputs -> Frame objects (input-symbol start coords);
+        ``block_index`` is the 1-based chain-block number the outputs
+        belong to (deferred commits pass the index captured at
+        dispatch)."""
         # One host fetch per plane -- a per-frame scalar fetch costs a
         # relay round trip EACH (measured: minutes/block at 4k frames).
         found = np.asarray(out.found)
@@ -175,7 +211,7 @@ class ChainEngine:
         # The chain's first post-warm block emits demod rows for input
         # symbols [base - a1, base - a1 + S): block-relative row r of
         # block b is input symbol base - a1 + b*S + r.
-        base = self._base - a1 + (self._blocks - 1) * self.block_symbols
+        base = self._base - a1 + (block_index - 1) * self.block_symbols
         new = []
         for c, j in zip(*np.nonzero(found)):
             crc_ok = bool(ok[c, j]) if self.crc is not None else None
@@ -191,21 +227,41 @@ class ChainEngine:
         return new
 
     def step(self) -> list[Frame] | None:
-        """Consume one staged block; returns frames committed by it
-        (empty list for the warm-up block), or None if not enough data."""
+        """Consume one staged block; returns the frames committed by
+        this call (empty list for the warm-up block), or None if not
+        enough data.  With ``pipeline_depth=1`` the returned frames are
+        the PREVIOUS block's (its device work overlapped this call's
+        staging; JAX dispatch is async) -- flush() drains the last one."""
         if not self.ready():
             return None
         need = self.block_symbols * self.cfg.sps
-        x = np.stack([s[:need] for s in self._staging])
-        self._staging = [s[need:] for s in self._staging]
-        if self._state is None:
-            self._warm(x)
-            return []
-        x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
-        x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
+        if self._plane_rows >= need:
+            re_t, im_t = self._pop_planes(need)
+            if self._state is None:
+                x = np.empty((self.channels, need), np.complex64)
+                x.real = re_t.T
+                x.imag = im_t.T
+                self._warm(x)
+                return []
+            x_re = jnp.asarray(np.ascontiguousarray(re_t))
+            x_im = jnp.asarray(np.ascontiguousarray(im_t))
+        else:
+            x = np.stack([s[:need] for s in self._staging])
+            self._staging = [s[need:] for s in self._staging]
+            if self._state is None:
+                self._warm(x)
+                return []
+            x_re = jnp.asarray(np.ascontiguousarray(x.real.T))
+            x_im = jnp.asarray(np.ascontiguousarray(x.imag.T))
         self._state, out = self._step(self._state, x_re, x_im)
         self._blocks += 1
-        return self._commit(out)
+        if self._pipe_depth == 0:
+            return self._commit(out, self._blocks)
+        self._pending.append((self._blocks, out))
+        if len(self._pending) > self._pipe_depth:
+            bi, prev = self._pending.pop(0)
+            return self._commit(prev, bi)
+        return []
 
     def flush(self) -> list[Frame]:
         """EOS: drain whole staged blocks, then finalize the carried tail
@@ -214,6 +270,9 @@ class ChainEngine:
         out_frames = []
         while self.ready():
             out_frames += self.step() or []
+        for bi, out in self._pending:         # drain in-flight blocks
+            out_frames += self._commit(out, bi)
+        self._pending = []
         if self._state is None:
             return out_frames
         lead = seam_lead(self.fmt)
@@ -232,10 +291,8 @@ class ChainEngine:
             # _commit's base formula with _blocks+1 and pos-lead lands on
             # absolute = base - a1 + blocks*S + (t - lead): the tail rows
             # ARE the last `lead` emitted rows.
-            self._blocks += 1
             out = out._replace(pos=out.pos - lead)
-            out_frames += self._commit(out)
-            self._blocks -= 1
+            out_frames += self._commit(out, self._blocks + 1)
         return out_frames
 
     def pop_frames(self) -> list[Frame]:
@@ -272,6 +329,8 @@ class ChainEngine:
         self._state = state
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
+        self._plane_re, self._plane_im, self._plane_rows = [], [], 0
+        self._pending = []
         self.frames = []
         self._blocks = int(blocks_done)
         if base_symbols is not None:
@@ -281,6 +340,8 @@ class ChainEngine:
         self._state = None
         self._staging = [np.zeros(0, np.complex64)
                          for _ in range(self.channels)]
+        self._plane_re, self._plane_im, self._plane_rows = [], [], 0
+        self._pending = []
         self._blocks = 0
         self._base = 0
         self.frames = []

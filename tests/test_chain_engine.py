@@ -196,3 +196,35 @@ def test_chain_engine_checkpoint_resume(tmp_path):
     for k in fa:
         np.testing.assert_array_equal(fa[k], fb[k])
         np.testing.assert_array_equal(fb[k], truth[k])
+
+
+def test_chain_engine_planes_and_pipelined_parity():
+    """push_planes ingest + pipeline_depth=1 (deferred commit) emits the
+    IDENTICAL frame set as channel-major synchronous ingest."""
+    C, S = 128, 256
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(81)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    x, starts, truth = _stream(C, 5 * S, fmt, CODE_K7, CRC16_CCITT,
+                               seed=82)
+    blk = S * cfg.sps
+
+    a = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                    interpret=True)
+    b = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                    pipeline_depth=1, interpret=True)
+    for pos in range(0, x.shape[1], blk):
+        a.push_block(x[:, pos:pos + blk])
+        a.step()
+        b.push_planes(np.ascontiguousarray(x.real.T[pos:pos + blk]),
+                      np.ascontiguousarray(x.imag.T[pos:pos + blk]))
+        b.step()
+    a.flush()
+    b.flush()
+    fa = {(f.channel, f.start): f.info_bits for f in a.pop_frames()}
+    fb = {(f.channel, f.start): f.info_bits for f in b.pop_frames()}
+    assert fa.keys() == fb.keys() and len(fa) >= C * (len(starts) - 1)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
