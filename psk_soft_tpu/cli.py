@@ -180,9 +180,25 @@ def _run_fused_chain(args, cfg) -> int:
     try:
         eng = ChainEngine(cfg, C, fmt, code, crc,
                           block_symbols=args.block_symbols,
+                          pipeline_depth=1,
                           labeling=args.fec_labeling)
     except ValueError as e:
         raise SystemExit(f"--fused-chain: {e}")
+    # Native plane deframe when available (C++ strided pass straight to
+    # the kernel's (T, C) layout); logged numpy fallback otherwise, as on
+    # the per-stage path.
+    plane_bank = None
+    try:
+        from .runtime.native_bank import NativePlaneBank
+        plane_bank = NativePlaneBank(
+            C, capacity_samples=max(4 * args.block_symbols * cfg.sps,
+                                    1 << 16),
+            dtype="i16" if i16 else "f32")
+    except Exception as e:
+        import logging
+        logging.getLogger("psk_soft_tpu.engine").warning(
+            "native deframe bank unavailable (%s: %s); falling back to "
+            "numpy deframing", type(e).__name__, e)
 
     src = (sys.stdin.buffer if args.infile == "-"
            else open(args.infile, "rb"))
@@ -205,17 +221,30 @@ def _run_fused_chain(args, cfg) -> int:
             raw = src.read(chunk)
             usable = len(raw) - (len(raw) % frame_bytes)
             if usable:
-                if i16:
+                n_samp = (usable // frame_bytes) * C
+                samples_in += n_samp
+                if plane_bank is not None:
+                    wire = np.frombuffer(
+                        raw[:usable], np.int16 if i16 else np.float32)
+                    plane_bank.push_interleaved(wire)
+                    r = plane_bank.pop_planes(n_samp // C, timeout=0)
+                    if r is not None:
+                        re, im = r[0], r[1]
+                        if i16:
+                            re = re.astype(np.float32) * args.in_scale
+                            im = im.astype(np.float32) * args.in_scale
+                        eng.push_planes(re, im)
+                elif i16:
                     w = np.frombuffer(raw[:usable], np.int16)
                     w = w.reshape(-1, C, 2)
                     blk = ((w[..., 0].astype(np.float32)
                             + 1j * w[..., 1].astype(np.float32))
                            * args.in_scale).astype(np.complex64)
+                    eng.push_block(np.ascontiguousarray(blk.T))
                 else:
                     blk = np.frombuffer(raw[:usable],
                                         np.complex64).reshape(-1, C)
-                eng.push_block(np.ascontiguousarray(blk.T))
-                samples_in += blk.size
+                    eng.push_block(np.ascontiguousarray(blk.T))
             while eng.step() is not None:
                 drain()
             if len(raw) < chunk:
