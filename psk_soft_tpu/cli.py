@@ -161,7 +161,10 @@ def _run_fused_chain(args, cfg) -> int:
                        (args.fec_interleave, "--fec-interleave"),
                        (args.channelize, "--channelize"),
                        (args.native_sps, "--native-sps"),
-                       (args.auto, "--auto")):
+                       (args.auto, "--auto"),
+                       (args.soft_i8, "--soft-i8"),
+                       (args.guard_nonfinite, "--guard-nonfinite"),
+                       (args.cfo_track, "--cfo-track")):
         if flag:
             raise SystemExit(f"{name} needs the per-stage stack; drop "
                              f"--fused-chain to combine them")
@@ -180,7 +183,8 @@ def _run_fused_chain(args, cfg) -> int:
     try:
         eng = ChainEngine(cfg, C, fmt, code, crc,
                           block_symbols=args.block_symbols,
-                          pipeline_depth=1,
+                          pipeline_depth=args.pipeline_depth,
+                          interpret=True if args.interpret else None,
                           labeling=args.fec_labeling)
     except ValueError as e:
         raise SystemExit(f"--fused-chain: {e}")
@@ -190,9 +194,11 @@ def _run_fused_chain(args, cfg) -> int:
     plane_bank = None
     try:
         from .runtime.native_bank import NativePlaneBank
+        # Capacity covers BOTH the block size and the read chunk (an
+        # undersized ring would overflow-flush and silently drop input).
         plane_bank = NativePlaneBank(
             C, capacity_samples=max(4 * args.block_symbols * cfg.sps,
-                                    1 << 16),
+                                    2 * args.chunk_samples, 1 << 16),
             dtype="i16" if i16 else "f32")
     except Exception as e:
         import logging
@@ -227,7 +233,12 @@ def _run_fused_chain(args, cfg) -> int:
                     wire = np.frombuffer(
                         raw[:usable], np.int16 if i16 else np.float32)
                     plane_bank.push_interleaved(wire)
-                    r = plane_bank.pop_planes(n_samp // C, timeout=0)
+                    # Drain EVERYTHING available (never just this chunk:
+                    # a partially-served earlier pop must not strand a
+                    # backlog in the ring).
+                    avail = plane_bank.depth()
+                    r = (plane_bank.pop_planes(avail, timeout=0)
+                         if avail else None)
                     if r is not None:
                         re, im = r[0], r[1]
                         if i16:

@@ -111,6 +111,7 @@ class ChainEngine:
         self._pending: list = []    # [(block_index, ChainOutputs)]
         self._blocks = 0            # chain blocks processed (post warm-up)
         self._base = 0              # input symbols consumed by warm-up
+        self._finalized = False
         self.frames: list[Frame] = []
         self.frames_synced = 0
         self.crc_failures = 0
@@ -120,6 +121,10 @@ class ChainEngine:
     # -- ingest ------------------------------------------------------------
 
     def push(self, channel: int, data) -> None:
+        self._check_open()
+        if self._plane_rows:
+            raise ValueError("engine already has plane-staged data; "
+                             "plane and channel pushes cannot mix")
         self._staging[channel] = np.concatenate(
             [self._staging[channel],
              np.asarray(data, np.complex64).ravel()])
@@ -132,23 +137,60 @@ class ChainEngine:
     def push_planes(self, re, im) -> None:
         """Kernel-native ingest: (rows, C) float32 time-major I/Q planes
         (the NativePlaneBank / channelizer output layout) -- no
-        channel-major staging, no transpose on the hot path."""
+        channel-major staging, no transpose on the hot path.  Integer
+        wire planes must be dequantized first (the engine has no
+        in-kernel ingest_scale)."""
+        self._check_open()
+        re = np.asarray(re)
+        im = np.asarray(im)
+        if np.issubdtype(re.dtype, np.integer) \
+                or np.issubdtype(im.dtype, np.integer):
+            raise ValueError("integer wire planes must be dequantized "
+                             "before push_planes (multiply by the wire "
+                             "scale); ChainEngine has no in-kernel "
+                             "ingest_scale")
         re = np.asarray(re, np.float32)
         im = np.asarray(im, np.float32)
         if re.shape != im.shape or re.ndim != 2 \
                 or re.shape[1] != self.channels:
             raise ValueError(f"planes must be (rows, {self.channels})")
+        if any(st.size for st in self._staging):
+            raise ValueError("engine already has per-channel staged "
+                             "data; plane and channel pushes cannot mix")
         self._plane_re.append(re)
         self._plane_im.append(im)
         self._plane_rows += re.shape[0]
 
     def _pop_planes(self, need: int):
-        re = np.concatenate(self._plane_re, axis=0)
-        im = np.concatenate(self._plane_im, axis=0)
-        self._plane_re = [re[need:]] if re.shape[0] > need else []
-        self._plane_im = [im[need:]] if im.shape[0] > need else []
+        """Pop `need` rows from the plane staging (incremental: no
+        O(backlog) re-concatenation per block)."""
+        take_re, take_im, got = [], [], 0
+        while got < need:
+            r, i = self._plane_re[0], self._plane_im[0]
+            want = need - got
+            if r.shape[0] <= want:
+                take_re.append(r)
+                take_im.append(i)
+                got += r.shape[0]
+                self._plane_re.pop(0)
+                self._plane_im.pop(0)
+            else:
+                take_re.append(r[:want])
+                take_im.append(i[:want])
+                self._plane_re[0] = r[want:]
+                self._plane_im[0] = i[want:]
+                got = need
         self._plane_rows -= need
-        return re[:need], im[:need]
+        if len(take_re) == 1:
+            return (np.ascontiguousarray(take_re[0]),
+                    np.ascontiguousarray(take_im[0]))
+        return (np.concatenate(take_re, axis=0),
+                np.concatenate(take_im, axis=0))
+
+    def _check_open(self) -> None:
+        if self._finalized:
+            raise ValueError("stream finalized by flush(); reset() or "
+                             "restore_chain_state() to start a new one")
 
     def ready(self) -> bool:
         need = self.block_symbols * self.cfg.sps
@@ -267,12 +309,15 @@ class ChainEngine:
         """EOS: drain whole staged blocks, then finalize the carried tail
         (frames whose payload is fully present commit -- the
         FrameSyncer.finalize analog)."""
+        if self._finalized:                   # idempotent at EOS
+            return []
         out_frames = []
         while self.ready():
             out_frames += self.step() or []
         for bi, out in self._pending:         # drain in-flight blocks
             out_frames += self._commit(out, bi)
         self._pending = []
+        self._finalized = True
         if self._state is None:
             return out_frames
         lead = seam_lead(self.fmt)
@@ -331,6 +376,7 @@ class ChainEngine:
                          for _ in range(self.channels)]
         self._plane_re, self._plane_im, self._plane_rows = [], [], 0
         self._pending = []
+        self._finalized = False
         self.frames = []
         self._blocks = int(blocks_done)
         if base_symbols is not None:
@@ -342,6 +388,7 @@ class ChainEngine:
                          for _ in range(self.channels)]
         self._plane_re, self._plane_im, self._plane_rows = [], [], 0
         self._pending = []
+        self._finalized = False
         self._blocks = 0
         self._base = 0
         self.frames = []
