@@ -228,3 +228,61 @@ def test_chain_engine_planes_and_pipelined_parity():
     assert fa.keys() == fb.keys() and len(fa) >= C * (len(starts) - 1)
     for k in fa:
         np.testing.assert_array_equal(fa[k], fb[k])
+
+
+def test_chain_engine_ragged_pushes_and_guards():
+    """Ragged per-channel pushes (arbitrary chunk sizes) produce the same
+    frames as whole-block pushes; the ingest guards hold."""
+    C, S = 128, 256
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(91)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    x, starts, truth = _stream(C, 4 * S, fmt, CODE_K7, CRC16_CCITT,
+                               seed=92)
+    blk = S * cfg.sps
+
+    a = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                    interpret=True)
+    for pos in range(0, x.shape[1], blk):
+        a.push_block(x[:, pos:pos + blk])
+        a.step()
+    a.flush()
+    want = {(f.channel, f.start): f.info_bits for f in a.pop_frames()}
+
+    b = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                    interpret=True)
+    # Ragged: each channel advances by its own random chunk sizes.
+    posn = np.zeros(C, np.int64)
+    total = x.shape[1]
+    while (posn < total).any():
+        for c in range(C):
+            if posn[c] < total:
+                n = int(rng.integers(500, 4000))
+                b.push(c, x[c, posn[c]:posn[c] + n])
+                posn[c] = min(posn[c] + n, total)
+        while b.step() is not None:
+            pass
+    b.flush()
+    got = {(f.channel, f.start): f.info_bits for f in b.pop_frames()}
+    assert want.keys() == got.keys() and len(want) > 0
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k])
+
+    # Guards: finalized stream rejects pushes; plane/channel mixing and
+    # integer planes reject loudly.
+    with pytest.raises(ValueError):
+        b.push_block(x[:, :blk])            # finalized
+    assert b.flush() == []                  # idempotent
+    c_eng = ChainEngine(cfg, C, fmt, CODE_K7, block_symbols=S,
+                        interpret=True)
+    c_eng.push(0, x[0, :100])
+    with pytest.raises(ValueError):
+        c_eng.push_planes(np.zeros((8, C), np.float32),
+                          np.zeros((8, C), np.float32))   # mixing
+    d_eng = ChainEngine(cfg, C, fmt, CODE_K7, block_symbols=S,
+                        interpret=True)
+    with pytest.raises(ValueError):
+        d_eng.push_planes(np.zeros((8, C), np.int16),
+                          np.zeros((8, C), np.int16))     # int wire
