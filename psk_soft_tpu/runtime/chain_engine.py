@@ -42,8 +42,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DemodConfig
-from ..models.chain import (ChainState, chain_msg_bits, chain_tail,
-                            make_chain_fn, seam_lead, _need_after)
+from ..models.chain import (ChainState, FrontChainState, chain_msg_bits,
+                            chain_tail, front_chain_init, make_chain_fn,
+                            make_front_chain_fn, seam_lead, _need_after)
 from ..ops.crc import CrcSpec
 from ..ops.fec import ConvCode
 from ..ops.framesync import Frame, FrameFormat
@@ -69,8 +70,8 @@ class ChainEngine:
     def __init__(self, cfg: DemodConfig, channels: int, fmt: FrameFormat,
                  code: ConvCode, crc: CrcSpec | None = None, *,
                  k_frames: int | None = None, block_symbols: int = 512,
-                 pipeline_depth: int = 0, labeling: str = "gray",
-                 interpret: bool | None = None):
+                 pipeline_depth: int = 0, acquire_cfo: bool = False,
+                 labeling: str = "gray", interpret: bool | None = None):
         if pipeline_depth not in (0, 1):
             raise ValueError("pipeline_depth must be 0 (synchronous) or "
                              "1 (commit block k-1 while block k's device "
@@ -99,9 +100,19 @@ class ChainEngine:
         self.n_msg = chain_msg_bits(fmt, code, crc)
         self._interpret = interpret
         self._labeling = labeling
-        self._step = jax.jit(make_chain_fn(cfg, fmt, code, self.k,
-                                           crc=crc, labeling=labeling,
-                                           interpret=interpret))
+        self.acquire_cfo = bool(acquire_cfo)
+        if self.acquire_cfo:
+            # Front chain: per-channel NCO derotation INSIDE the program
+            # (offsets beyond the M-th-power tracker's pull-in); the
+            # frequency estimate lives in the carried state, so
+            # reacquire() never recompiles (models/chain.py).
+            self._step = jax.jit(make_front_chain_fn(
+                cfg, fmt, code, self.k, crc=crc, labeling=labeling,
+                interpret=interpret))
+        else:
+            self._step = jax.jit(make_chain_fn(cfg, fmt, code, self.k,
+                                               crc=crc, labeling=labeling,
+                                               interpret=interpret))
         self._state: ChainState | None = None
         self._staging = [np.zeros(0, np.complex64) for _ in range(channels)]
         self._plane_re: list = []   # plane-ingest staging ((rows, C) f32)
@@ -211,6 +222,16 @@ class ChainEngine:
         from ..models.full import full_from_ff
         from ..utils.transfer import to_device, to_host
 
+        freq_est = None
+        if self.acquire_cfo:
+            # Coarse M-th-power acquisition from the warm block itself;
+            # the tracker absorbs the sub-bin residual, the in-program
+            # NCO removes the bulk (eval/cfo.acquire_cfo).
+            from ..eval.cfo import acquire_cfo as _acq
+            from ..ops.mixer import derotate_host
+            freq_est = np.asarray(_acq(x, self.cfg.constellation_size),
+                                  np.float32)
+            x = derotate_host(x, freq_est)
         warm = jax.jit(jax.vmap(functools.partial(demod_block_ff,
                                                   self.cfg)))
         st_ff, out = warm(ff_init(self.cfg, (self.channels,)),
@@ -232,7 +253,19 @@ class ChainEngine:
             t_re[lead - n:] = soft.real.T
             t_im[lead - n:] = soft.imag.T
             tail = SeamTailState(jnp.asarray(t_re), jnp.asarray(t_im))
-        self._state = ChainState(full, tail)
+        if self.acquire_cfo:
+            fs = front_chain_init(self.fmt, self.channels, full,
+                                  freq=freq_est)
+            # NCO phase continuity: the warm block consumed n_samp
+            # samples of carrier already (derotate_host ran from phase
+            # 0); start the in-program NCO where it left off.
+            ph = np.mod(2 * np.pi * freq_est * x.shape[1] + np.pi,
+                        2 * np.pi) - np.pi
+            front = fs.front._replace(
+                phase=jnp.asarray(ph, jnp.float32))
+            self._state = FrontChainState(front, full, tail)
+        else:
+            self._state = ChainState(full, tail)
         self.warmup_symbols = self._base = x.shape[1] // self.cfg.sps
 
     def _commit(self, out, block_index: int) -> list[Frame]:
@@ -344,6 +377,14 @@ class ChainEngine:
         out, self.frames = self.frames, []
         return out
 
+    @property
+    def cfo_estimates(self):
+        """Per-channel NCO frequencies (cycles/input-sample) when
+        acquire_cfo is on; None otherwise / before warm-up."""
+        if not self.acquire_cfo or self._state is None:
+            return None
+        return np.asarray(self._state.front.freq)
+
     # -- checkpoint/resume -------------------------------------------------
 
     @property
@@ -365,6 +406,11 @@ class ChainEngine:
         base_symbols / blocks_done restore the absolute input-symbol
         clock for Frame.start (save them in the checkpoint's ``extra``;
         defaults keep relative numbering from the restore point)."""
+        want_cls = FrontChainState if self.acquire_cfo else ChainState
+        if not isinstance(state, want_cls):
+            raise ValueError(f"engine mode needs a {want_cls.__name__} "
+                             f"checkpoint, got {type(state).__name__} "
+                             f"(acquire_cfo mismatch)")
         tail = state.tail.tail_re
         lead = seam_lead(self.fmt)
         if tail.shape != (lead, self.channels):

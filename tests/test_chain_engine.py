@@ -286,3 +286,45 @@ def test_chain_engine_ragged_pushes_and_guards():
     with pytest.raises(ValueError):
         d_eng.push_planes(np.zeros((8, C), np.int16),
                           np.zeros((8, C), np.int16))     # int wire
+
+
+def test_chain_engine_acquire_cfo_beyond_lock():
+    """acquire_cfo=True: per-channel offsets beyond the 4th-power
+    tracker's pull-in acquire during warm-up and decode exactly through
+    the in-program NCO (the front chain behind the engine surface)."""
+    C, S = 128, 256
+    cfg = DemodConfig(sps=8, num_avg=40, constellation_size=4,
+                      phase_avg=30)
+    rng = np.random.default_rng(95)
+    fmt = FrameFormat(uw=tuple(rng.integers(0, 4, 32)), payload=48, m=4,
+                      threshold=0.7)
+    x, starts, truth = _stream(C, 5 * S, fmt, CODE_K7, CRC16_CCITT,
+                               seed=96)
+    # Beyond-pull-in spread (~0.0156 cyc/sample is the 4th-power limit).
+    freqs = (0.018 + 0.006 * np.arange(C) / C).astype(np.float32)
+    t = np.arange(x.shape[1])
+    x = (x * np.exp(2j * np.pi * freqs[:, None] * t[None])
+         ).astype(np.complex64)
+    blk = S * cfg.sps
+
+    plain = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT,
+                        block_symbols=S, interpret=True)
+    acq = ChainEngine(cfg, C, fmt, CODE_K7, CRC16_CCITT, block_symbols=S,
+                      acquire_cfo=True, interpret=True)
+    for pos in range(0, x.shape[1], blk):
+        for eng in (plain, acq):
+            eng.push_block(x[:, pos:pos + blk])
+            eng.step()
+    plain.flush()
+    acq.flush()
+    got_plain = [f for f in plain.pop_frames() if f.crc_ok]
+    got = {(f.channel, f.start): f for f in acq.pop_frames()}
+    post_warm = [k for k in truth if k[1] >= S]
+    # The offset defeats the plain engine but not the acquiring one.
+    assert len(got_plain) < len(post_warm) // 2
+    assert acq.cfo_estimates is not None
+    np.testing.assert_allclose(acq.cfo_estimates, freqs, atol=1e-4)
+    for key in post_warm:
+        assert key in got, f"missed {key}"
+        assert got[key].crc_ok
+        np.testing.assert_array_equal(got[key].info_bits, truth[key])
