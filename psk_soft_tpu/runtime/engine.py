@@ -34,9 +34,10 @@ from .engine_batch import BatchEngine
 from .engine_full import FullKernelBatchEngine
 from .engine_mixed import MixedKernelBatchEngine
 from .engine_group import GroupEngine
+from .chain_engine import ChainEngine
 
 __all__ = [
     "EngineMetrics", "StreamEngine", "StreamRegistry", "reconfigure_ff",
     "BankAssembler", "TMOutputs", "BatchEngine", "FullKernelBatchEngine",
-    "MixedKernelBatchEngine", "GroupEngine", "logger",
+    "MixedKernelBatchEngine", "GroupEngine", "ChainEngine", "logger",
 ]
