@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from ..config import DemodConfig
 from ..models.chain import (ChainState, FrontChainState, chain_msg_bits,
-                            chain_tail, front_chain_init, make_chain_fn,
+                            chain_tail, make_chain_fn,
                             make_front_chain_fn, seam_lead, _need_after)
 from ..ops.crc import CrcSpec
 from ..ops.fec import ConvCode
@@ -64,6 +64,18 @@ class ChainEngine:
       k_frames: sync capacity per block per channel (default: the densest
         packing, ceil(block/separation) + 1 for seam carries).
       block_symbols: symbols per device step.
+      pipeline_depth: 0 = synchronous; 1 = commit block k-1 while block
+        k's device work is in flight (fastest; frames lag one step).
+      acquire_cfo: estimate a per-channel carrier offset from the warm
+        block (M-th-power spectrum) and remove it with an in-program NCO
+        (models/chain.make_front_chain_fn).  Handles offsets beyond the
+        M-th-power tracker's pull-in (~1/(2*pi*M*sps) per-symbol slope)
+        UP TO the acquisition's unambiguous range |cfo| < 1/(2M)
+        cycles/sample -- beyond that the M-th power aliases and the
+        estimate is silently wrong (CRC failures reveal it).  The
+        estimate is fixed after warm-up; update it mid-stream with
+        :meth:`set_cfo` (no recompile -- frequency lives in the carried
+        state).
       interpret: Pallas interpret mode (defaults by platform).
     """
 
@@ -103,9 +115,10 @@ class ChainEngine:
         self.acquire_cfo = bool(acquire_cfo)
         if self.acquire_cfo:
             # Front chain: per-channel NCO derotation INSIDE the program
-            # (offsets beyond the M-th-power tracker's pull-in); the
-            # frequency estimate lives in the carried state, so
-            # reacquire() never recompiles (models/chain.py).
+            # (offsets beyond the M-th-power tracker's pull-in, within
+            # the acquisition's |cfo| < 1/(2M) unambiguous range); the
+            # frequency lives in the carried state, so set_cfo() updates
+            # it without recompiling (models/chain.py).
             self._step = jax.jit(make_front_chain_fn(
                 cfg, fmt, code, self.k, crc=crc, labeling=labeling,
                 interpret=interpret))
@@ -254,15 +267,15 @@ class ChainEngine:
             t_im[lead - n:] = soft.imag.T
             tail = SeamTailState(jnp.asarray(t_re), jnp.asarray(t_im))
         if self.acquire_cfo:
-            fs = front_chain_init(self.fmt, self.channels, full,
-                                  freq=freq_est)
+            from ..models.chain import FrontState
+            from ..ops.phase import wrap_to_pi
             # NCO phase continuity: the warm block consumed n_samp
             # samples of carrier already (derotate_host ran from phase
             # 0); start the in-program NCO where it left off.
-            ph = np.mod(2 * np.pi * freq_est * x.shape[1] + np.pi,
-                        2 * np.pi) - np.pi
-            front = fs.front._replace(
-                phase=jnp.asarray(ph, jnp.float32))
+            ph = wrap_to_pi(2 * np.pi * freq_est * x.shape[1])
+            front = FrontState(freq=jnp.asarray(freq_est, jnp.float32),
+                               phase=jnp.asarray(ph, jnp.float32),
+                               agc=None)
             self._state = FrontChainState(front, full, tail)
         else:
             self._state = ChainState(full, tail)
@@ -377,6 +390,22 @@ class ChainEngine:
         out, self.frames = self.frames, []
         return out
 
+    def set_cfo(self, freq) -> None:
+        """Update the in-program NCO frequencies mid-stream (no
+        recompile -- frequency lives in the carried state).  The
+        frequency step introduces a phase discontinuity the tracker and
+        per-frame UW rotation resolution absorb within ~numAvg symbols;
+        frames in that re-convergence window may fail CRC (counted)."""
+        if not self.acquire_cfo:
+            raise ValueError("set_cfo needs acquire_cfo=True (the plain "
+                             "chain has no in-program NCO)")
+        if self._state is None:
+            raise ValueError("engine not warmed up yet")
+        f = jnp.asarray(np.broadcast_to(
+            np.asarray(freq, np.float32), (self.channels,)))
+        self._state = self._state._replace(
+            front=self._state.front._replace(freq=f))
+
     @property
     def cfo_estimates(self):
         """Per-channel NCO frequencies (cycles/input-sample) when
@@ -389,16 +418,19 @@ class ChainEngine:
 
     @property
     def chain_state(self):
-        """The current ChainState carry (None during warm-up) -- pair
-        with utils.checkpoint.save_state; restore via
+        """The current carry -- a ChainState, or a FrontChainState when
+        ``acquire_cfo`` is on (None during warm-up) -- pair with
+        utils.checkpoint.save_state; restore via
         :meth:`restore_chain_state`."""
         return self._state
 
-    def restore_chain_state(self, state: ChainState, *,
+    def restore_chain_state(self, state: ChainState | FrontChainState, *,
                             base_symbols: int | None = None,
                             blocks_done: int = 0) -> None:
-        """Resume the fused chain from a checkpointed ChainState
-        (utils/checkpoint.load_state): exact mid-stream restart, the
+        """Resume the fused chain from a checkpointed carry
+        (utils/checkpoint.load_state) -- a ChainState, or a
+        FrontChainState for an ``acquire_cfo`` engine (type-checked):
+        exact mid-stream restart, the
         FullKernelBatchEngine.restore_full_state analog.  Staged samples
         and buffered frames from before the restore are discarded (they
         belong to the old stream).
